@@ -1,0 +1,64 @@
+"""Article wrapper: extraction entry point + image-URL projection.
+
+Mirrors /root/reference/src/extractor.rs: runs the Readability pipeline, then
+re-wraps the article node in a minimal HTML template (extractor.rs:33-46) and
+projects distinct non-empty, non-``data:image`` img srcs (extractor.rs:52-68).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..dom import Node, parse_html
+from .readability import MetaData, Readability, ReadabilityError
+
+_TEMPLATE = """
+            <!DOCTYPE html>
+            <html>
+                <head>
+                    <link rel="stylesheet" href="stylesheet.css" type="text/css"></link>
+                </head>
+                <body>
+                </body>
+            </html>
+            """
+
+
+class Article:
+    def __init__(self, html_str: str, url: str) -> None:
+        self.node_ref: Optional[Node] = None
+        self.img_urls: list[tuple[str, Optional[str]]] = []
+        self.readability = Readability(html_str)
+        self.url = url
+
+    @classmethod
+    def from_html(cls, html_str: str, url: str) -> "Article":
+        return cls(html_str, url)
+
+    def extract_content(self) -> None:
+        self.readability.parse(self.url)
+        if self.readability.article_node is not None:
+            doc = parse_html(_TEMPLATE)
+            body = doc.select_first("body")
+            body.append(self.readability.article_node)
+            self.node_ref = doc
+
+    def extract_img_urls(self) -> None:
+        if self.node_ref is None:
+            return
+        seen: set[str] = set()
+        urls: list[tuple[str, Optional[str]]] = []
+        for img in self.node_ref.select("img"):
+            src = img.attributes.get("src")
+            if src is None or src == "" or src.startswith("data:image"):
+                continue
+            if src not in seen:
+                seen.add(src)
+                urls.append((src, None))
+        self.img_urls = urls
+
+    def metadata(self) -> MetaData:
+        return self.readability.metadata
+
+
+__all__ = ["Article", "MetaData", "Readability", "ReadabilityError"]
