@@ -225,12 +225,32 @@ class Node:
             yield node
             node = node.parent
 
-    # ---------- selection (tag-name selectors only) ----------
+    # ---------- selection ----------
+    # The kernel only uses tag-name selectors (single or comma-separated);
+    # simple compound selectors (tag#id, .class, tag.class) are supported for
+    # the ported reference test-suite.
     def select(self, selector: str, inclusive: bool = True) -> Iterator["Node"]:
-        names = frozenset(s.strip().lower() for s in selector.split(","))
+        matchers = _parse_selector(selector)
+        if matchers.__class__ is frozenset:  # fast path: tag-name set
+            for node in self.descendant_elements(inclusive=inclusive):
+                if node.name in matchers:
+                    yield node
+            return
         for node in self.descendant_elements(inclusive=inclusive):
-            if node.name in names:
+            for tag, id_, classes in matchers:
+                if tag is not None and node.name != tag:
+                    continue
+                if id_ is not None and node.attributes.get("id") != id_:
+                    continue
+                if classes:
+                    cls = node.attributes.get("class")
+                    if cls is None:
+                        continue
+                    cls_set = cls.split()
+                    if not all(c in cls_set for c in classes):
+                        continue
                 yield node
+                break
 
     def select_list(self, selector: str, inclusive: bool = True) -> list["Node"]:
         return list(self.select(selector, inclusive=inclusive))
@@ -275,3 +295,31 @@ def next_sibling_chain(node: Optional[Node]) -> Iterator[Node]:
     while node is not None:
         yield node
         node = node.next_sibling
+
+
+_SELECTOR_CACHE: dict[str, object] = {}
+_SIMPLE_RE = __import__("re").compile(
+    r"^([a-zA-Z][a-zA-Z0-9-]*)?(?:#([\w-]+))?((?:\.[\w-]+)*)$"
+)
+
+
+def _parse_selector(selector: str):
+    cached = _SELECTOR_CACHE.get(selector)
+    if cached is not None:
+        return cached
+    parts = [s.strip() for s in selector.split(",")]
+    if all(_SIMPLE_RE.match(p) and "#" not in p and "." not in p for p in parts):
+        result: object = frozenset(p.lower() for p in parts)
+    else:
+        matchers = []
+        for p in parts:
+            m = _SIMPLE_RE.match(p)
+            if m is None:
+                raise ValueError(f"unsupported selector: {p!r}")
+            tag = m.group(1).lower() if m.group(1) else None
+            id_ = m.group(2)
+            classes = [c for c in (m.group(3) or "").split(".") if c]
+            matchers.append((tag, id_, classes))
+        result = tuple(matchers)
+    _SELECTOR_CACHE[selector] = result
+    return result

@@ -268,6 +268,9 @@ class _TreeBuilder(HTMLParser):
                     self.html.append(Node.new_text(data))
                 # otherwise dropped ("before html"/"before head"/"in head")
                 return
+            # html5ever's "before head"/"after head" modes drop the leading
+            # whitespace of the run that forces body creation
+            data = data.lstrip()
             self._ensure_body()
         cur = self._current()
         if cur is self.html or cur is self.document:

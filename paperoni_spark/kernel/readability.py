@@ -75,10 +75,10 @@ def blen(s: str) -> int:
 
 
 def _fmt_score(x: np.float32) -> str:
-    # numpy >= 1.14 prints shortest round-trip repr for float32, matching the
-    # value-preservation of Rust f32 Display (string differs for integral
-    # values — "5.0" vs "5" — but parse round-trip is exact either way).
-    return str(x)
+    # numpy >= 1.14 prints the shortest round-trip repr for float32; Rust f32
+    # Display does the same but prints integral values without ".0"
+    s = str(x)
+    return s[:-2] if s.endswith(".0") else s
 
 
 def _parse_score(s: str) -> np.float32:
