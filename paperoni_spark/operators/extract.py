@@ -1,0 +1,139 @@
+"""The Spark extraction operator: ``mapInPandas`` over the ``documents`` table.
+
+This is the engine's core stage — the whole Readability kernel
+(/root/reference/src/moz_readability/mod.rs, re-expressed in
+:mod:`paperoni_spark.kernel`) runs *inside* an Arrow-vectorized iterator UDF:
+
+* Catalyst sees a single opaque ``MapInPandas`` over ``(doc_id, spans)`` and
+  handles scan/prune/shuffle around it; no per-row Python anywhere else
+  (``input_hint``: "no per-row Python").
+* Arrow record batches are re-chunked inside the UDF by **cumulative span
+  bytes** (``_MAX_BATCH_BYTES``) so a run of mega-documents cannot blow up
+  worker memory even if the upstream batch row-count is large — the in-UDF
+  half of the skew story (the other half is tiered repartitioning in
+  ``pipeline.job``).
+* Each output row carries the executor partition id plus kernel metrics
+  (nodes_scored, candidates, spans_emitted) so the driver can build the
+  per-partition lineage/metrics checkpoint required by the north rule.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..spans.codec import extract_document
+
+EXTRACTED_SPAN_TYPE = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("order", IntegerType()),
+    ]
+)
+
+METADATA_TYPE = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("byline", StringType()),
+        StructField("excerpt", StringType()),
+        StructField("site_name", StringType()),
+    ]
+)
+
+EXTRACT_RESULT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("extracted", ArrayType(EXTRACTED_SPAN_TYPE)),
+        StructField("metadata", METADATA_TYPE),
+        StructField("img_urls", ArrayType(StringType())),
+        StructField("status", StringType()),
+        StructField("nodes_scored", LongType()),
+        StructField("candidates", LongType()),
+        StructField("spans_emitted", LongType()),
+        StructField("partition_id", IntegerType()),
+    ]
+)
+
+# flush accumulated results once this much input HTML has been processed;
+# bounds both input reassembly and output span memory per yielded chunk
+_MAX_BATCH_BYTES = 16 * 1024 * 1024
+
+
+def _span_bytes(spans: list[dict[str, Any]]) -> int:
+    total = 0
+    for s in spans:
+        t = s.get("text")
+        if t:
+            total += len(t)
+        m = s.get("media_ref")
+        if m:
+            total += len(m)
+    return total
+
+
+def make_extract_batch(base_url: str = "http://example.com/"):
+    """Build the mapInPandas iterator function (base_url is captured in the
+    closure and shipped to executors once)."""
+
+    def extract_batch(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        partition_id = ctx.partitionId() if ctx is not None else -1
+
+        rows: list[dict[str, Any]] = []
+        acc_bytes = 0
+
+        def flush() -> pd.DataFrame:
+            nonlocal rows, acc_bytes
+            out = pd.DataFrame(
+                {
+                    "doc_id": [r["doc_id"] for r in rows],
+                    "extracted": [r["extracted"] for r in rows],
+                    "metadata": [r["metadata"] for r in rows],
+                    "img_urls": [r["img_urls"] for r in rows],
+                    "status": [r["status"] for r in rows],
+                    "nodes_scored": [r["nodes_scored"] for r in rows],
+                    "candidates": [r["candidates"] for r in rows],
+                    "spans_emitted": [r["spans_emitted"] for r in rows],
+                    "partition_id": [partition_id] * len(rows),
+                }
+            )
+            rows = []
+            acc_bytes = 0
+            return out
+
+        for batch in batches:
+            for doc_id, spans in zip(batch["doc_id"], batch["spans"]):
+                span_list = list(spans) if spans is not None else []
+                result = extract_document(str(doc_id), span_list, base_url)
+                rows.append(result)
+                acc_bytes += _span_bytes(span_list)
+                if acc_bytes >= _MAX_BATCH_BYTES:
+                    yield flush()
+        if rows:
+            yield flush()
+
+    return extract_batch
+
+
+def run_extract(documents: DataFrame, base_url: str = "http://example.com/") -> DataFrame:
+    """Apply the extraction kernel over a ``documents`` DataFrame."""
+    return documents.mapInPandas(
+        make_extract_batch(base_url), schema=EXTRACT_RESULT_SCHEMA
+    )

@@ -1,0 +1,210 @@
+"""Fixture document corpus (FIXTURES.md §2): each archetype derives from a
+concrete test input in /root/reference/ (cited per entry) and is encoded into
+the interleaved ``documents`` span shape via :func:`codec.html_to_spans`.
+Deterministic — no randomness; `fx-mega` uses fixed repetition counts."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .codec import html_to_spans
+
+BASE_URL = "http://example.com/"
+
+# test_html/simple.html (used via mod.rs:2185), inlined verbatim
+FX_SIMPLE = """<!DOCTYPE html>
+<html lang="en">
+<head>
+    <title>Sample Document</title>
+</head>
+<body>
+    <h1>Some text in h1</h1>
+    <img src="inexistent.png">
+    <div class="invalid-elems">
+        <!-- This div contains invalid elements -->
+        <h1>Imagine some lorem ipsum</h1>
+        <img>
+    </div>
+    <!-- Test that the no-script content is copied over -->
+    <img src="lazy-load.png">
+    <noscript>
+        <div class="parent">
+            <img src="eager-load.png" id="lazy-load">
+        </div>
+    </noscript>
+</body>
+</html>
+"""
+
+# extractor.rs:85-112
+FX_EXTRACTOR = """
+        <!doctype html>
+        <html lang="en">
+            <head>
+                <meta charset="utf-8">
+                <meta name="description" content="A sample document">
+                <meta name="keywords" content="test,Rust">
+                <meta name="author" content="Paperoni">
+                <title>Testing Paperoni</title>
+            </head>
+            <body>
+                <header>
+                <!-- Unimportant information -->
+                    <h1>Testing Paperoni</h1>
+                </header>
+                <article>
+                    <h1>Starting out</h1>
+                    <p>Some Lorem Ipsum text here</p>
+                    <p>Observe this picture</p>
+                    <img src="./img.jpg" alt="Random image">
+                    <img src="data:image/png;base64,lJGWEIUQOIQWIDYVIVEDYFOUYQFWD">
+                </article>
+                <footer>
+                    <p>Made in HTML</p>
+                </footer>
+            </body>
+        </html>
+        """
+
+# mod.rs:2406-2419 (op: replace_brs mod.rs:257-332)
+FX_BRS = "<div>foo<br>bar<br> <br><br>abc</div>"
+
+_PARA = (
+    "<p>Lorem ipsum dolor sit amet, consectetur adipiscing elit, sed do "
+    "eiusmod tempor incididunt ut labore et dolore magna aliqua. Ut enim ad "
+    "minim veniam, quis nostrud exercitation ullamco laboris nisi ut aliquip "
+    "ex ea commodo consequat.</p>"
+)
+
+
+def _article(body: str, title: str = "Fixture article") -> str:
+    return (
+        "<!DOCTYPE html><html><head><title>"
+        + title
+        + '</title></head><body><article id="main-content">'
+        + body
+        + "</article></body></html>"
+    )
+
+
+# composed per FIXTURES.md fx-grab-smoke (thresholds mod.rs:15, :2083)
+FX_GRAB_SMOKE = _article(_PARA * 8 + '<img src="https://example.com/images/pic.png">' + _PARA * 4)
+FX_GRAB_RETRY = _article(_PARA)  # < 500 bytes total → flag-degradation retries
+FX_GRAB_EMPTY = "<!DOCTYPE html><html><body></body></html>"
+
+# mod.rs:3415-3529 kitchen-sink (abridged to the structural core, same ops)
+FX_PREP_ARTICLE = """
+<!DOCTYPE html>
+<html>
+  <head><title>A test HTML file</title></head>
+  <body>
+    <div class="search">Search for other posts
+      <input type="search" placeholder="Type here...">
+      <button id="search-btn">Search</button>
+    </div>
+    <aside>Some content aside</aside>
+    <article id="content">
+""" + _PARA * 6 + """
+      <table id="tbl-data">
+        <caption>Monthly savings</caption>
+        <tr><th>Month</th><th>Savings</th></tr>
+        <tr><td>January</td><td>$100</td></tr>
+        <tr><td>February</td><td>$50</td></tr>
+      </table>
+      <table width="100%" border="0" id="tbl-layout">
+        <tr valign="top"><td width="20%">Left</td><td>Main</td><td>Right</td></tr>
+      </table>
+      <p class="share">Share this as a <a href="https://example.com/tweet">Tweet</a></p>
+      <img src="https://example.com/images/inline.jpg">
+""" + _PARA * 4 + """
+    </article>
+    <footer>Copyright 2020</footer>
+  </body>
+</html>
+"""
+
+FX_TITLES = [
+    "<!DOCTYPE html><html><head><title>Porting Readability to Rust</title></head><body>" + _PARA * 8 + "</body></html>",
+    "<!DOCTYPE html><html><head><title>Crates.io: The Rust package repository</title></head><body>" + _PARA * 8 + "</body></html>",
+    "<!DOCTYPE html><html><head><title>Foo developer » Blog Post on Foo bar stuff</title></head><body>" + _PARA * 8 + "</body></html>",
+    "<!DOCTYPE html><html><head><title>Blog</title></head><body><h1>Getting started with Rust</h1>" + _PARA * 8 + "</body></html>",
+]
+
+FX_META = [
+    """<!DOCTYPE html><html><head>
+        <meta name="description" content="A post on how hard it is to work with text."/>
+        <title>Foo Coder / Blog on the difficulty of using utf-8</title>
+        <meta name="author" content="Foo Coder"/>
+        </head><body>""" + _PARA * 8 + "</body></html>",
+    """<!DOCTYPE html><html><head>
+        <meta name="title" content="A Long Title" />
+        <meta name="description" content="Foo bar baz bo&#223;" />
+        <meta property="og:site_name" content="Blog Place" />
+        <meta property="og:title" content="A Longer Title" />
+        <meta name="dc:creator" content="F&#x00f6;o Coder" />
+        <title>The Longest Title</title>
+        </head><body>""" + _PARA * 8 + "</body></html>",
+]
+
+# mod.rs:3774-3850 URL-resolution cases inside a real article body
+FX_REL_URI = _article(
+    _PARA * 6
+    + '<img src="https://example.image.com/images/1.jpg">'
+    + '<img src="../images/2.jpg">'
+    + '<img src="./images/3.jpg">'
+    + '<img src="/images/4.jpg">'
+    + '<p><a href="#frag">First image</a> and <a href="../home.html">home</a></p>'
+    + _PARA * 4
+)
+
+# mod.rs:2560-2599 byline capture inside an article
+FX_BYLINE = _article(
+    '<p class="author">A Paperoni maintainer</p>' + _PARA * 10
+)
+
+# mod.rs:2507-2560 visibility pruning
+FX_VISIBILITY = _article(
+    '<div style="display: none"><p>hidden cruft</p></div>'
+    + '<div aria-hidden="true"><p>aria hidden</p></div>'
+    + _PARA * 10
+)
+
+# unlikely-candidate stripping (regexes.rs:34-39) + negative class weights
+FX_UNLIKELY = _article(
+    '<div class="sidebar">Navigation links everywhere</div>'
+    + '<div class="comment">A comment that should vanish</div>'
+    + _PARA * 10
+)
+
+FX_LAZY_IMG = _article(
+    _PARA * 8
+    + '<img class="lazy" src="placeholder.jpg" data-src="./720x640.jpg">'
+    + _PARA * 3
+)
+
+FX_MEGA_REPEATS = 150  # fixed, not sampled (FIXTURES.md §3)
+FX_MEGA = _article((_PARA + '<img src="https://example.com/images/m.png">') * FX_MEGA_REPEATS)
+
+
+def fixture_corpus() -> list[dict[str, Any]]:
+    """All fixture documents as ``documents``-table rows."""
+    docs: list[tuple[str, str]] = [
+        ("fx-simple", FX_SIMPLE),
+        ("fx-extractor", FX_EXTRACTOR),
+        ("fx-brs", FX_BRS),
+        ("fx-prep-article", FX_PREP_ARTICLE),
+        ("fx-grab-smoke", FX_GRAB_SMOKE),
+        ("fx-grab-retry", FX_GRAB_RETRY),
+        ("fx-grab-empty", FX_GRAB_EMPTY),
+        ("fx-rel-uri", FX_REL_URI),
+        ("fx-byline", FX_BYLINE),
+        ("fx-visibility", FX_VISIBILITY),
+        ("fx-unlikely", FX_UNLIKELY),
+        ("fx-lazy-img", FX_LAZY_IMG),
+        ("fx-mega", FX_MEGA),
+    ]
+    docs += [(f"fx-title-{i}", h) for i, h in enumerate(FX_TITLES)]
+    docs += [(f"fx-meta-{i}", h) for i, h in enumerate(FX_META)]
+    return [
+        {"doc_id": doc_id, "spans": html_to_spans(html)} for doc_id, html in docs
+    ]

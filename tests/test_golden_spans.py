@@ -1,0 +1,31 @@
+"""Golden regression gate: the kernel's extracted span sequences for the
+fixture corpus are frozen in tests/golden/fixture_spans.json (generated once
+by the validated kernel per FIXTURES.md §3).  Byte-equality per row on
+(kind, text, media_ref, order) + metadata + img_urls + status."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from paperoni_spark.spans import extract_document, fixture_corpus
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "fixture_spans.json")
+
+
+def test_golden_span_sequences():
+    with open(GOLDEN_PATH) as f:
+        golden = json.load(f)
+    corpus = fixture_corpus()
+    assert set(golden) == {d["doc_id"] for d in corpus}
+    for doc in corpus:
+        expected = golden[doc["doc_id"]]
+        got = extract_document(doc["doc_id"], doc["spans"])
+        assert got["status"] == expected["status"], doc["doc_id"]
+        got_spans = [
+            {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "order": s["order"]}
+            for s in got["extracted"]
+        ]
+        assert got_spans == expected["extracted"], doc["doc_id"]
+        assert got["metadata"] == expected["metadata"], doc["doc_id"]
+        assert got["img_urls"] == expected["img_urls"], doc["doc_id"]

@@ -1,0 +1,99 @@
+"""Span codec tests: reassembly round-trip, emission order, golden pinning."""
+
+from __future__ import annotations
+
+from paperoni_spark.spans import (
+    extract_document,
+    fixture_corpus,
+    html_to_spans,
+    spans_to_html,
+    synth_document,
+)
+
+
+def test_html_to_spans_roundtrip_simple_markers():
+    html = '<p>before</p><img src="https://x.test/a.png"><p>after</p>'
+    spans = html_to_spans(html)
+    kinds = [s["kind"] for s in spans]
+    assert kinds == ["text", "media", "text"]
+    assert spans[1]["media_ref"] == "https://x.test/a.png"
+    assert [s["offset"] for s in spans] == [0, 1, 2]
+    # reassembly yields equivalent markup (img normalized to self-closing)
+    assert spans_to_html(spans) == '<p>before</p><img src="https://x.test/a.png"/><p>after</p>'
+
+
+def test_html_to_spans_keeps_rich_imgs_in_text():
+    html = '<img src="a.png" alt="x"><img src="b.png">'
+    spans = html_to_spans(html)
+    # first img has alt → stays in a text span; second is a media marker
+    assert [s["kind"] for s in spans] == ["text", "media"]
+    assert spans[1]["media_ref"] == "b.png"
+
+
+def test_reassembly_out_of_order_offsets():
+    spans = [
+        {"kind": "text", "text": "b", "media_ref": None, "offset": 1},
+        {"kind": "text", "text": "a", "media_ref": None, "offset": 0},
+    ]
+    assert spans_to_html(spans) == "ab"
+
+
+def test_extract_document_ok_and_media_spans():
+    row = next(d for d in fixture_corpus() if d["doc_id"] == "fx-grab-smoke")
+    result = extract_document(row["doc_id"], row["spans"])
+    assert result["status"] == "ok"
+    extracted = result["extracted"]
+    assert len(extracted) > 0
+    assert [s["order"] for s in extracted] == list(range(len(extracted)))
+    image_spans = [s for s in extracted if s["kind"] == "image"]
+    assert len(image_spans) == 1
+    assert image_spans[0]["media_ref"] == "https://example.com/images/pic.png"
+    assert result["spans_emitted"] == len(extracted)
+    assert result["nodes_scored"] > 0
+    assert result["img_urls"] == ["https://example.com/images/pic.png"]
+
+
+def test_extract_document_error_status():
+    row = next(d for d in fixture_corpus() if d["doc_id"] == "fx-grab-empty")
+    result = extract_document(row["doc_id"], row["spans"])
+    assert result["status"] == "error:ReadabilityError"
+    assert result["extracted"] == []
+
+
+def test_extract_document_metadata():
+    row = next(d for d in fixture_corpus() if d["doc_id"] == "fx-meta-1")
+    result = extract_document(row["doc_id"], row["spans"])
+    assert result["metadata"]["title"] == "A Longer Title"
+    assert result["metadata"]["byline"] == "Föo Coder"
+    assert result["metadata"]["site_name"] == "Blog Place"
+
+
+def test_fixture_corpus_shape():
+    corpus = fixture_corpus()
+    ids = [d["doc_id"] for d in corpus]
+    assert len(ids) == len(set(ids))
+    assert len(corpus) >= 15
+    for d in corpus:
+        for i, s in enumerate(d["spans"]):
+            assert s["offset"] == i
+            assert s["kind"] in ("text", "media")
+
+
+def test_synthetic_determinism():
+    a = synth_document(42)
+    b = synth_document(42)
+    assert a == b
+    c = synth_document(43)
+    assert c["spans"] != a["spans"]
+    # mega-doc tier exists deterministically
+    from paperoni_spark.spans.synthetic import n_paragraphs_for
+
+    sizes = {n_paragraphs_for(i) for i in range(3000)}
+    assert 4000 in sizes and 400 in sizes
+
+
+def test_synthetic_extracts_ok():
+    d = synth_document(7)
+    result = extract_document(d["doc_id"], d["spans"])
+    assert result["status"] == "ok"
+    assert result["spans_emitted"] > 0

@@ -1,0 +1,125 @@
+"""End-to-end Spark tests: the mapInPandas extraction stage must produce
+span sequences identical to the pure-Python kernel run per document
+(SURVEY.md §7 M2), plus lineage/metrics and resume semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from paperoni_spark.operators.extract import run_extract
+from paperoni_spark.pipeline import (
+    extract_pipeline,
+    lineage_metrics,
+    resume_against,
+    tiered_repartition,
+)
+from paperoni_spark.spans import extract_document, fixture_corpus, synth_corpus
+
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField(
+            "spans",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("kind", StringType()),
+                        StructField("text", StringType()),
+                        StructField("media_ref", StringType()),
+                        StructField("offset", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def make_documents_df(spark, rows):
+    return spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    return make_documents_df(spark, fixture_corpus())
+
+
+def test_spark_matches_kernel_span_for_span(spark, fixture_df):
+    """The per-row invariant: Spark-path output == kernel-path output on
+    (kind, text, media_ref, order) for every fixture document."""
+    result = {
+        r["doc_id"]: r
+        for r in run_extract(fixture_df).collect()
+    }
+    for doc in fixture_corpus():
+        expected = extract_document(doc["doc_id"], doc["spans"])
+        got = result[doc["doc_id"]]
+        assert got["status"] == expected["status"], doc["doc_id"]
+        got_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in got["extracted"]
+        ]
+        exp_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in expected["extracted"]
+        ]
+        assert got_spans == exp_spans, doc["doc_id"]
+        assert got["metadata"]["title"] == expected["metadata"]["title"]
+        assert list(got["img_urls"]) == expected["img_urls"]
+
+
+def test_extract_pipeline_end_to_end(spark, fixture_df):
+    extracted = extract_pipeline(fixture_df, light_partitions=4, heavy_partitions=2)
+    rows = extracted.collect()
+    assert len(rows) == len(fixture_corpus())
+    # tiny docs legitimately fail extraction (reference behavior: retries
+    # re-walk the consumed DOM, mod.rs:1615-1616 no-page-cache)
+    errored = {r["doc_id"] for r in rows if r["status"] != "ok"}
+    assert errored == {"fx-simple", "fx-brs", "fx-grab-empty"}
+    # mega doc flows through the heavy tier and still extracts
+    mega = next(r for r in rows if r["doc_id"] == "fx-mega")
+    assert mega["status"] == "ok"
+    assert mega["spans_emitted"] > 100
+
+
+def test_lineage_metrics(spark, fixture_df):
+    extracted = extract_pipeline(fixture_df, light_partitions=3, heavy_partitions=1)
+    metrics = lineage_metrics(extracted, run_id="test-run").collect()
+    assert len(metrics) >= 1
+    total_docs = sum(m["doc_count"] for m in metrics)
+    assert total_docs == len(fixture_corpus())
+    assert all(m["run_id"] == "test-run" for m in metrics)
+    assert sum(m["spans_emitted"] for m in metrics) > 0
+    assert sum(m["err_count"] for m in metrics) == 3
+
+
+def test_resume_anti_join(spark, fixture_df):
+    extracted = extract_pipeline(fixture_df, light_partitions=2, heavy_partitions=1)
+    done = extracted.select("doc_id", "status")
+    remaining = resume_against(fixture_df, done)
+    # everything ok is done; only the error docs remain for retry
+    ids = sorted(r["doc_id"] for r in remaining.collect())
+    assert ids == ["fx-brs", "fx-grab-empty", "fx-simple"]
+
+
+def test_tiered_repartition_partition_counts(spark):
+    docs = make_documents_df(spark, synth_corpus(300))
+    tiered = tiered_repartition(docs, light_partitions=5, heavy_partitions=3)
+    assert tiered.rdd.getNumPartitions() == 8
+    assert tiered.count() == 300
+
+
+def test_synth_corpus_on_spark(spark):
+    docs = make_documents_df(spark, synth_corpus(60))
+    result = run_extract(docs)
+    agg = result.groupBy("status").count().collect()
+    counts = {r["status"]: r["count"] for r in agg}
+    assert counts.get("ok", 0) == 60
