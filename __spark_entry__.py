@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()     — flagship extraction run (fixture + synthetic corpus) at sf0.001.
+queries()   — operator surface from SURVEY.md §2 + the training-data ops
+              (dedup / similarity / text-analysis / multimodal / streaming).
+oracle_sql()— DuckDB equivalents; the extraction kernel's oracle is the
+              frozen golden span corpus rendered as a VALUES table.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from paperoni_spark.contract import (  # noqa: E402
+    build_oracles,
+    build_queries,
+    fixture_documents_df,
+    synth_documents_df,
+)
+from paperoni_spark.pipeline.job import extract_pipeline  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full tiered extraction pipeline over the fixture
+    corpus + a deterministic synthetic heavy-tail corpus (the spans-shaped
+    documents table from BASELINE.json input_hint, synthesized per task
+    instructions)."""
+    docs = fixture_documents_df(spark).union(synth_documents_df(spark, 100))
+    return extract_pipeline(docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return build_oracles()

@@ -1,0 +1,480 @@
+"""Driver contract implementation: queries() + oracle_sql() pairs.
+
+Each query is a Spark DataFrame program from SURVEY.md §2's operator
+inventory (or the training-data operator set); each oracle is DuckDB SQL
+producing identical rows on the same inputs.  Oracles don't need to share
+syntax with the Spark side — only results — so each side uses its engine's
+natural form (portability is engineered via md5-based hashing, explicit
+rounding, and deterministic tie-breaks; see operators/*.py docstrings).
+
+For the extraction kernel itself (not SQL-expressible) the oracle is the
+frozen golden span corpus rendered as a VALUES table — byte-equality against
+tests/golden/fixture_spans.json, the span-sequence contract from
+BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .operators import dedup, multimodal, similarity, textstats
+from .operators.extract import run_extract
+from .pipeline.job import extract_pipeline
+from .spans import fixture_corpus, synth_corpus
+from .streaming import run_streaming_window_counts, windowed_event_counts
+
+GOLDEN_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "golden",
+    "fixture_spans.json",
+)
+
+DOCUMENTS_SPANS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField(
+            "spans",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("kind", StringType()),
+                        StructField("text", StringType()),
+                        StructField("media_ref", StringType()),
+                        StructField("offset", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+N_SYNTH_DOCS = 200
+
+# ---------------------------------------------------------------- loaders
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def fixture_documents_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(fixture_corpus(), schema=DOCUMENTS_SPANS_SCHEMA)
+
+
+def synth_documents_df(spark: SparkSession, n_docs: int = N_SYNTH_DOCS) -> DataFrame:
+    return spark.createDataFrame(synth_corpus(n_docs), schema=DOCUMENTS_SPANS_SCHEMA)
+
+
+# ------------------------------------------------------- extraction queries
+
+
+def q_extract_fixture_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel through the full Spark path, exploded to one row per span."""
+    extracted = run_extract(fixture_documents_df(spark))
+    return extracted.select(
+        "doc_id", F.posexplode_outer("extracted").alias("pos", "span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("span_kind"),
+        F.col("span.text").alias("span_text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.order").alias("span_order"),
+    ).where(F.col("span_kind").isNotNull())
+
+
+def q_extract_fixture_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    extracted = run_extract(fixture_documents_df(spark))
+    return extracted.select(
+        "doc_id",
+        "status",
+        F.col("spans_emitted").cast("long").alias("spans_emitted"),
+        F.col("metadata.title").alias("title"),
+        F.col("metadata.byline").alias("byline"),
+    )
+
+
+def q_extract_img_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 image-URL projection (extractor.rs:52-68) over the Spark path."""
+    extracted = run_extract(fixture_documents_df(spark))
+    return extracted.select(
+        "doc_id", F.explode("img_urls").alias("img_url")
+    )
+
+
+def q_extract_synthetic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: full tiered pipeline over the synthetic heavy-tail corpus."""
+    extracted = extract_pipeline(synth_documents_df(spark))
+    return (
+        extracted.groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("spans_emitted").alias("total_spans"),
+            F.sum("nodes_scored").alias("total_nodes_scored"),
+        )
+        .orderBy("status")
+    )
+
+
+# ----------------------------------------------------- golden VALUES oracle
+
+
+def _sql_str(value: str | None) -> str:
+    if value is None:
+        return "CAST(NULL AS VARCHAR)"
+    return "'" + value.replace("'", "''") + "'"
+
+
+def _golden() -> dict:
+    with open(GOLDEN_PATH) as f:
+        return json.load(f)
+
+
+def golden_spans_values_sql() -> str:
+    golden = _golden()
+    rows = []
+    for doc_id in sorted(golden):
+        for s in golden[doc_id]["extracted"]:
+            rows.append(
+                f"({_sql_str(doc_id)}, {_sql_str(s['kind'])}, {_sql_str(s['text'])}, "
+                f"{_sql_str(s['media_ref'])}, {s['order']})"
+            )
+    return (
+        "SELECT * FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(doc_id, span_kind, span_text, media_ref, span_order)"
+    )
+
+
+def golden_status_values_sql() -> str:
+    golden = _golden()
+    rows = []
+    for doc_id in sorted(golden):
+        g = golden[doc_id]
+        title = g["metadata"]["title"]
+        byline = g["metadata"]["byline"]
+        rows.append(
+            f"({_sql_str(doc_id)}, {_sql_str(g['status'])}, {len(g['extracted'])}, "
+            f"{_sql_str(title)}, {_sql_str(byline)})"
+        )
+    return (
+        "SELECT * FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(doc_id, status, spans_emitted, title, byline)"
+    )
+
+
+def golden_img_urls_values_sql() -> str:
+    golden = _golden()
+    rows = []
+    for doc_id in sorted(golden):
+        for url in golden[doc_id]["img_urls"]:
+            rows.append(f"({_sql_str(doc_id)}, {_sql_str(url)})")
+    return (
+        "SELECT * FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(doc_id, img_url)"
+    )
+
+
+# ------------------------------------------------------------ SQL oracles
+
+_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_STOP_LIST = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+
+_SHINGLE_CTE = f"""
+toks AS (SELECT doc_id, {_TOKENS} AS arr FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+  FROM toks, unnest(generate_series(1, len(arr) - 2)) AS t(i)
+  WHERE len(arr) >= 3
+)
+"""
+
+_SIG_CTE = (
+    _SHINGLE_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(dedup.MINHASH_K)
+    )
+    + " FROM sh GROUP BY doc_id)"
+)
+
+
+def oracle_exact_dedup() -> str:
+    return """
+SELECT source, count(*)::BIGINT AS n_docs,
+       count(DISTINCT md5(text))::BIGINT AS n_unique,
+       (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dupes
+FROM documents GROUP BY source
+"""
+
+
+def oracle_token_stats() -> str:
+    return f"""
+SELECT lang, count(*)::BIGINT AS doc_count,
+       sum(len({_TOKENS}))::BIGINT AS total_tokens,
+       round(avg(len({_TOKENS})), 4) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def oracle_quality_scores() -> str:
+    return f"""
+SELECT doc_id, lang,
+       length(text)::BIGINT AS n_chars_m,
+       len({_TOKENS})::INT AS n_tokens,
+       round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text), 6) AS punct_ratio,
+       round(len(list_filter({_TOKENS}, t -> t IN ({_STOP_LIST})))::DOUBLE / len({_TOKENS}), 6) AS stopword_ratio,
+       round((length(text) - len({_TOKENS}) + 1)::DOUBLE / len({_TOKENS}), 4) AS mean_token_len
+FROM documents
+"""
+
+
+def oracle_lang_id() -> str:
+    return """
+SELECT lang,
+       CASE WHEN (' ' || lower(text) || ' ') LIKE '% the %'
+              OR (' ' || lower(text) || ' ') LIKE '% and %'
+              OR (' ' || lower(text) || ' ') LIKE '% of %'
+            THEN 'en' ELSE 'und' END AS lang_guess,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def oracle_fingerprints() -> str:
+    return """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))::INT AS norm_len
+FROM documents
+"""
+
+
+def oracle_minhash_signatures() -> str:
+    mh_cols = ", ".join(f"mh{i}" for i in range(dedup.MINHASH_K))
+    concat = " || '|' || ".join(f"mh{i}" for i in range(dedup.MINHASH_K))
+    return f"WITH {_SIG_CTE} SELECT doc_id, md5({concat}) AS signature, {mh_cols} FROM sig"
+
+
+def oracle_lsh_candidate_pairs() -> str:
+    rows_per_band = dedup.MINHASH_K // dedup.LSH_BANDS
+    band_selects = []
+    for b in range(dedup.LSH_BANDS):
+        cols = " || '|' || ".join(
+            f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig"
+        )
+    union = " UNION ALL ".join(band_selects)
+    return (
+        f"WITH {_SIG_CTE}, bands AS ({union}) "
+        "SELECT band::INT AS band, bucket, count(*)::BIGINT AS n_docs "
+        "FROM bands GROUP BY band, bucket HAVING count(*) > 1"
+    )
+
+
+def oracle_simhash() -> str:
+    sums = []
+    for j in range(dedup.SIMHASH_BITS):
+        char_idx = j // 4 + 1
+        bit_in_char = j % 4
+        sums.append(
+            f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {char_idx}, 1)) - 1) >> {bit_in_char}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        )
+    weight = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+sums AS (SELECT doc_id, {', '.join(sums)} FROM hashed GROUP BY doc_id)
+SELECT doc_id, ({weight})::BIGINT AS simhash FROM sums
+"""
+
+
+def oracle_ngram_jaccard() -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         round(common::DOUBLE / (na.n_sh + nb.n_sh - common), 6) AS jaccard
+  FROM pairs
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.1
+"""
+
+
+def oracle_cosine_topk() -> str:
+    return """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM base WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         round(list_dot_product(q.qemb, b.emb) /
+               (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(b.emb, b.emb))), 3) AS score
+  FROM base b, q WHERE b.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank::INT AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _plane_literal(plane: int) -> str:
+    coefs = similarity.hyperplane(plane)
+    return "[" + ", ".join(f"{c:.1f}" for c in coefs) + "]::DOUBLE[]"
+
+
+def _bucket_sql(emb: str) -> str:
+    bits = [
+        f"CASE WHEN list_dot_product({emb}, {_plane_literal(p)}) > 0 THEN '1' ELSE '0' END"
+        for p in range(similarity.N_PLANES)
+    ]
+    return " || ".join(bits)
+
+
+def oracle_lsh_sign_buckets() -> str:
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT ({_bucket_sql('emb')}) AS bucket, count(*)::BIGINT AS n_vecs
+FROM base GROUP BY 1
+"""
+
+
+def oracle_ann_lsh_topk() -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         ({_bucket_sql('embedding::DOUBLE[]')}) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket FROM base WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         round(list_dot_product(q.qemb, b.emb) /
+               (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(b.emb, b.emb))), 3) AS score
+  FROM base b JOIN q ON b.bucket = q.qbucket
+  WHERE b.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank::INT AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def oracle_media_feature_stats() -> str:
+    hexpos = "strpos('0123456789abcdef', substr(md5(text), {i}, 1)) - 1"
+    b0 = f"(({hexpos.format(i=1)}) * 16 + ({hexpos.format(i=2)}))"
+    b1 = f"(({hexpos.format(i=3)}) * 16 + ({hexpos.format(i=4)}))"
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE (doc_id % 4) WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+                           WHEN 2 THEN 'audio/ogg' ELSE 'video/mp4' END AS mime,
+         strlen(text)::BIGINT AS n_bytes,
+         (64 + {b0} % 192)::INT AS width,
+         (64 + {b1} % 192)::INT AS height
+  FROM documents
+)
+SELECT mime, count(*)::BIGINT AS n_media, sum(n_bytes)::BIGINT AS total_bytes,
+       round(avg(width), 4) AS avg_width, round(avg(height), 4) AS avg_height
+FROM media GROUP BY mime
+"""
+
+
+def oracle_windowed_events() -> str:
+    return """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------- the contract
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # extraction kernel (SURVEY §2.2) through the Spark path
+        "extract_fixture_spans": q_extract_fixture_spans,
+        "extract_fixture_status": q_extract_fixture_status,
+        "extract_img_urls": q_extract_img_urls,
+        "extract_synthetic_stats": q_extract_synthetic_stats,
+        # dedup family
+        "exact_dedup": lambda spark, sf: dedup.exact_dedup_stats(load(spark, sf, "documents")),
+        "minhash_signatures": lambda spark, sf: dedup.minhash_signatures(load(spark, sf, "documents")),
+        "lsh_candidate_pairs": lambda spark, sf: dedup.lsh_candidate_pairs(load(spark, sf, "documents")),
+        "simhash": lambda spark, sf: dedup.simhash(load(spark, sf, "documents")),
+        "ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(load(spark, sf, "documents")),
+        # text analysis family
+        "token_stats": lambda spark, sf: textstats.token_stats(load(spark, sf, "documents")),
+        "quality_scores": lambda spark, sf: textstats.quality_scores(load(spark, sf, "documents")),
+        "lang_id": lambda spark, sf: textstats.lang_id(load(spark, sf, "documents")),
+        "fingerprints": lambda spark, sf: textstats.fingerprints(load(spark, sf, "documents")),
+        # similarity family
+        "cosine_topk": lambda spark, sf: similarity.cosine_topk(load(spark, sf, "embeddings")),
+        "lsh_sign_buckets": lambda spark, sf: similarity.lsh_sign_buckets(load(spark, sf, "embeddings")),
+        "ann_lsh_topk": lambda spark, sf: similarity.ann_lsh_topk(load(spark, sf, "embeddings")),
+        # multimodal plumbing
+        "media_feature_stats": lambda spark, sf: multimodal.media_feature_stats(
+            multimodal.media_table_from_documents(load(spark, sf, "documents"))
+        ),
+        # streaming (batch shape + true Structured Streaming run)
+        "windowed_events": lambda spark, sf: windowed_event_counts(load(spark, sf, "events")),
+        "streaming_windowed_events": lambda spark, sf: run_streaming_window_counts(spark, sf),
+    }
+
+
+def build_oracles() -> dict[str, str]:
+    return {
+        "extract_fixture_spans": golden_spans_values_sql(),
+        "extract_fixture_status": golden_status_values_sql(),
+        "extract_img_urls": golden_img_urls_values_sql(),
+        # extract_synthetic_stats: rows-only (kernel not SQL-expressible)
+        "exact_dedup": oracle_exact_dedup(),
+        "minhash_signatures": oracle_minhash_signatures(),
+        "lsh_candidate_pairs": oracle_lsh_candidate_pairs(),
+        "simhash": oracle_simhash(),
+        "ngram_jaccard": oracle_ngram_jaccard(),
+        "token_stats": oracle_token_stats(),
+        "quality_scores": oracle_quality_scores(),
+        "lang_id": oracle_lang_id(),
+        "fingerprints": oracle_fingerprints(),
+        "cosine_topk": oracle_cosine_topk(),
+        "lsh_sign_buckets": oracle_lsh_sign_buckets(),
+        "ann_lsh_topk": oracle_ann_lsh_topk(),
+        "media_feature_stats": oracle_media_feature_stats(),
+        "windowed_events": oracle_windowed_events(),
+        "streaming_windowed_events": oracle_windowed_events(),
+    }

@@ -1,0 +1,163 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (designed for ~10^12-row corpora, verified at sf on DuckDB
+oracles):
+
+* Exact dedup hashes once map-side and aggregates on the 128-bit digest —
+  a single shuffle keyed by digest, partial-aggregated (no text moves).
+* MinHash signatures are computed per-document with **no shuffle at all**
+  (explode → groupBy doc_id happens within the same hash partitioning as the
+  scan when bucketed; here a single agg shuffle keyed by doc_id).  The LSH
+  band join then shuffles only (doc_id, band_key) pairs — bytes per row, not
+  documents.
+* SimHash is one explode + one 16-way conditional aggregation — again one
+  doc_id-keyed shuffle of small rows.
+* Pairwise Jaccard is block-gated: candidate pairs come from an equi-join
+  on shared shingles, never a cross join.
+
+Hashing is engine-portable by construction: md5 hex (identical in Spark and
+DuckDB) ordered lexicographically stands in for integer min-hashing, and hex
+chars are decoded positionally for SimHash bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 8
+LSH_BANDS = 4  # rows-per-band = MINHASH_K / LSH_BANDS
+SIMHASH_BITS = 16
+
+
+def exact_dedup_stats(documents: DataFrame) -> DataFrame:
+    """Per-source exact duplicate statistics on the text digest."""
+    return (
+        documents.select("source", F.md5("text").alias("digest"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("digest").alias("n_unique"),
+        )
+        .withColumn("n_dupes", F.col("n_docs") - F.col("n_unique"))
+    )
+
+
+def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: one transform over the
+    token index range (map-side) and a single explode."""
+    shingle_expr = F.expr(
+        "CASE WHEN size(split(trim(text), '\\\\s+')) >= {n} THEN "
+        "transform(sequence(0, size(split(trim(text), '\\\\s+')) - {n}), "
+        "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, {n}))) "
+        "ELSE array() END".format(n=n)
+    )
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(shingle_expr)).alias("shingle")
+    ).distinct()
+
+
+def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """K-permutation MinHash over word 3-gram shingles.
+
+    Each permutation is the lexicographic minimum of ``md5(salt || shingle)``
+    — order-isomorphic to integer min-hashing and bit-identical across
+    engines.  Output: one row per doc with the signature digest (md5 of the
+    concatenated mins) for cheap equality checks downstream.
+    """
+    sh = _shingles(documents)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", *[F.col(f"mh{i}") for i in range(k)])).alias(
+            "signature"
+        ),
+        *[F.col(f"mh{i}") for i in range(k)],
+    )
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """MinHash-LSH banding: docs sharing a band key are near-dup candidates.
+    Returns (band, bucket, n_docs) for buckets with >1 member — the shuffle
+    moves only band-key rows, never documents."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(documents, k)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    all_bands = band_rows[0]
+    for br in band_rows[1:]:
+        all_bands = all_bands.union(br)
+    return (
+        all_bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over whitespace tokens: bit j is the sign of the sum of
+    (±1) votes from bit j of each token's hash.  Token hash bits come from
+    the first ``bits/4`` hex chars of md5 (positional decode — portable)."""
+    toks = (
+        documents.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .withColumn("h", F.md5("tok"))
+    )
+    aggs = []
+    for j in range(bits):
+        char_idx = j // 4 + 1  # 1-based into the md5 hex string
+        bit_in_char = j % 4
+        val = F.instr(F.lit("0123456789abcdef"), F.substring("h", char_idx, 1)) - 1
+        bit = F.shiftright(val, bit_in_char) % 2
+        aggs.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{j}")
+        )
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    weight = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        weight = term if weight is None else weight + term
+    return sums.select("doc_id", weight.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.1
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs that share ≥1 shingle
+    (equi-join blocking; at full scale the block key is an LSH band)."""
+    sh = _shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

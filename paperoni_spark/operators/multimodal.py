@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Image/audio/video payloads are carried as ``binary`` columns with a ``mime``
+string; decode / feature-extraction runs as an Arrow-batched ``mapInPandas``
+operator.  The decode itself is a clearly-marked deterministic STUB (no
+codec libraries in this container — see ``_fake_decode``); everything
+Spark-side is real and tested: schema, batch shape, partitioning, and the
+UDF signature match what a libvips/ffmpeg-backed decoder would use.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+MEDIA_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+_MIMES = ("image/jpeg", "image/png", "audio/ogg", "video/mp4")
+FEATURE_DIM = 8
+
+
+def _fake_decode(payload: bytes, mime: str) -> tuple[int, int, list[float]]:
+    """STUB decoder.  A real deployment plugs PIL/libvips/ffmpeg in here;
+    this deterministic stand-in derives shape + features from the payload
+    digest so the full Spark plumbing is exercised and oracle-checkable."""
+    digest = hashlib.md5(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    feature = [round(b / 255.0, 6) for b in digest[2 : 2 + FEATURE_DIM]]
+    return width, height, feature
+
+
+def media_table_from_documents(documents: DataFrame) -> DataFrame:
+    """Synthesize an opaque-binary media table from the documents corpus
+    (payload = encoded text, mime round-robined) — the test stand-in for an
+    Iceberg media table."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in _MIMES]),
+            (F.col("doc_id") % len(_MIMES) + 1).cast("int"),
+        ).alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def _extract_features_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        widths, heights, features, sizes = [], [], [], []
+        for payload, mime in zip(batch["payload"], batch["mime"]):
+            data = bytes(payload) if payload is not None else b""
+            w, h, feat = _fake_decode(data, mime)
+            widths.append(w)
+            heights.append(h)
+            features.append(feat)
+            sizes.append(len(data))
+        yield pd.DataFrame(
+            {
+                "media_id": batch["media_id"],
+                "mime": batch["mime"],
+                "n_bytes": sizes,
+                "width": widths,
+                "height": heights,
+                "feature": features,
+            }
+        )
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over the media table."""
+    return media.mapInPandas(_extract_features_batch, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def media_feature_stats(media: DataFrame) -> DataFrame:
+    """Per-mime aggregate over extracted features (join-free summary)."""
+    feats = media_features(media)
+    return feats.groupBy("mime").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.round(F.avg("height"), 4).alias("avg_height"),
+    )

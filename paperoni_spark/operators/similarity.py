@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* :func:`cosine_topk` — brute-force baseline: broadcast the (small) query
+  set against the corpus, compute cosine with built-in higher-order
+  functions (``zip_with`` + ``aggregate`` — JVM-side, no Python), rank with a
+  per-query window.  One broadcast, one shuffle (the window's partition by
+  query).  At 100 TB this is the verification path for sampled queries.
+* :func:`lsh_sign_buckets` / :func:`ann_lsh_topk` — the scale path:
+  random-hyperplane (sign) LSH with hyperplanes derived deterministically
+  from md5, materialized as literal ±1 coefficient arrays so bucketing is a
+  pure map-side expression (zero shuffle to bucket 10^12 vectors; the only
+  shuffle is the tiny bucket-histogram agg / within-bucket ranking).
+
+Scores are rounded before ranking with a vec_id tie-break, making the
+ordering deterministic and engine-portable for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMBED_DIM = 64
+N_PLANES = 8
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+
+
+def _to_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector (vec_id < n_queries)
+    the k nearest other vectors."""
+    from pyspark.sql.window import Window
+
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qemb"), F.col("emb"))
+                / (_norm(F.col("qemb")) * _norm(F.col("emb"))),
+                3,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def hyperplane(plane: int, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic ±1 hyperplane coefficients from md5 parity."""
+    coefs = []
+    for i in range(dim):
+        digest = hashlib.md5(f"{plane}:{i}".encode()).hexdigest()
+        coefs.append(1.0 if int(digest[0], 16) % 2 == 1 else -1.0)
+    return coefs
+
+
+def _bucket_col(emb_col, n_planes: int = N_PLANES):
+    bits = []
+    for p in range(n_planes):
+        coefs = F.array(*[F.lit(c) for c in hyperplane(p)])
+        bit = F.when(_dot(emb_col, coefs) > 0, F.lit("1")).otherwise(F.lit("0"))
+        bits.append(bit)
+    return F.concat(*bits)
+
+
+def lsh_sign_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Sign-LSH bucket histogram — map-side bucketing, one tiny agg shuffle."""
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    return (
+        base.select(_bucket_col(F.col("emb"), n_planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = N_PLANES
+) -> DataFrame:
+    """ANN: rank candidates only within the query's LSH bucket.  The
+    candidate join is an equi-join on the bucket key — the 10^12-row side is
+    shuffled by bucket once and reused for all queries."""
+    from pyspark.sql.window import Window
+
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    ).withColumn("bucket", _bucket_col(F.col("emb"), n_planes))
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        base.join(
+            F.broadcast(queries), F.col("bucket") == F.col("qbucket"), "inner"
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qemb"), F.col("emb"))
+                / (_norm(F.col("qemb")) * _norm(F.col("emb"))),
+                3,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
