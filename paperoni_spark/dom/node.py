@@ -202,21 +202,43 @@ class Node:
                     next_edge = None
             yield edge
 
-    def inclusive_descendants(self) -> Iterator["Node"]:
-        for kind, node in self.traverse(inclusive=True):
-            if kind == "start":
+    # The three walkers below inline the traverse() edge loop (same
+    # eager-successor timing) to avoid stacked generator overhead in the
+    # kernel's hottest path.
+    def _walk(self, inclusive: bool, elements_only: bool) -> Iterator["Node"]:
+        root = self
+        if inclusive:
+            next_edge = (True, root)
+        else:
+            fc = root.first_child
+            next_edge = (True, fc) if fc is not None else None
+        while next_edge is not None:
+            start, node = next_edge
+            if start:
+                if node.first_child is not None:
+                    next_edge = (True, node.first_child)
+                else:
+                    next_edge = (False, node)
+            else:
+                if node is root:
+                    next_edge = None
+                elif node.next_sibling is not None:
+                    next_edge = (True, node.next_sibling)
+                elif node.parent is not None:
+                    next_edge = (False, node.parent)
+                else:
+                    next_edge = None
+            if start and (not elements_only or node.type == ELEMENT):
                 yield node
+
+    def inclusive_descendants(self) -> Iterator["Node"]:
+        return self._walk(True, False)
 
     def descendants(self) -> Iterator["Node"]:
-        for kind, node in self.traverse(inclusive=False):
-            if kind == "start":
-                yield node
+        return self._walk(False, False)
 
     def descendant_elements(self, inclusive: bool = True) -> Iterator["Node"]:
-        it = self.inclusive_descendants() if inclusive else self.descendants()
-        for node in it:
-            if node.type == ELEMENT:
-                yield node
+        return self._walk(inclusive, True)
 
     def ancestors(self) -> Iterator["Node"]:
         """Parent chain, exclusive of self (kuchiki ``ancestors()``)."""
@@ -232,8 +254,30 @@ class Node:
     def select(self, selector: str, inclusive: bool = True) -> Iterator["Node"]:
         matchers = _parse_selector(selector)
         if matchers.__class__ is frozenset:  # fast path: tag-name set
-            for node in self.descendant_elements(inclusive=inclusive):
-                if node.name in matchers:
+            # inlined edge walk (same eager-successor timing as traverse())
+            root = self
+            if inclusive:
+                next_edge = (True, root)
+            else:
+                fc = root.first_child
+                next_edge = (True, fc) if fc is not None else None
+            while next_edge is not None:
+                start, node = next_edge
+                if start:
+                    if node.first_child is not None:
+                        next_edge = (True, node.first_child)
+                    else:
+                        next_edge = (False, node)
+                else:
+                    if node is root:
+                        next_edge = None
+                    elif node.next_sibling is not None:
+                        next_edge = (True, node.next_sibling)
+                    elif node.parent is not None:
+                        next_edge = (False, node.parent)
+                    else:
+                        next_edge = None
+                if start and node.type == ELEMENT and node.name in matchers:
                     yield node
             return
         for node in self.descendant_elements(inclusive=inclusive):
@@ -262,18 +306,21 @@ class Node:
 
     # ---------- text ----------
     def text_contents(self) -> str:
+        if self.type == TEXT:
+            return self.text
         out: list[str] = []
-
-        def walk(n: "Node") -> None:
-            if n.type == TEXT:
-                out.append(n.text)
-                return
-            c = n.first_child
-            while c is not None:
-                walk(c)
-                c = c.next_sibling
-
-        walk(self)
+        append = out.append
+        stack = [self.first_child]
+        while stack:
+            n = stack.pop()
+            while n is not None:
+                if n.type == TEXT:
+                    append(n.text)
+                elif n.first_child is not None:
+                    stack.append(n.next_sibling)
+                    n = n.first_child
+                    continue
+                n = n.next_sibling
         return "".join(out)
 
     # ---------- debugging ----------

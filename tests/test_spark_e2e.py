@@ -77,7 +77,7 @@ def test_spark_matches_kernel_span_for_span(spark, fixture_df):
 
 
 def test_extract_pipeline_end_to_end(spark, fixture_df):
-    extracted = extract_pipeline(fixture_df, light_partitions=4, heavy_partitions=2)
+    extracted = extract_pipeline(fixture_df, mode="tiered", light_partitions=4, heavy_partitions=2)
     rows = extracted.collect()
     assert len(rows) == len(fixture_corpus())
     # tiny docs legitimately fail extraction (reference behavior: retries
@@ -91,7 +91,7 @@ def test_extract_pipeline_end_to_end(spark, fixture_df):
 
 
 def test_lineage_metrics(spark, fixture_df):
-    extracted = extract_pipeline(fixture_df, light_partitions=3, heavy_partitions=1)
+    extracted = extract_pipeline(fixture_df, mode="tiered", light_partitions=3, heavy_partitions=1)
     metrics = lineage_metrics(extracted, run_id="test-run").collect()
     assert len(metrics) >= 1
     total_docs = sum(m["doc_count"] for m in metrics)
@@ -102,7 +102,7 @@ def test_lineage_metrics(spark, fixture_df):
 
 
 def test_resume_anti_join(spark, fixture_df):
-    extracted = extract_pipeline(fixture_df, light_partitions=2, heavy_partitions=1)
+    extracted = extract_pipeline(fixture_df, mode="tiered", light_partitions=2, heavy_partitions=1)
     done = extracted.select("doc_id", "status")
     remaining = resume_against(fixture_df, done)
     # everything ok is done; only the error docs remain for retry
