@@ -1,0 +1,80 @@
+"""Production entry point: spark-submit extraction job.
+
+Cluster usage (north rule deployment shape)::
+
+    zip -r engine.zip paperoni_spark
+    spark-submit --py-files engine.zip jobs/extract_job.py \
+        --input  <iceberg-table-or-parquet-path> \
+        --output <parquet-or-iceberg-out> \
+        --metrics <lineage/metrics table path> \
+        --resume-from <previous output to anti-join against>
+
+Local smoke (synthesizes the corpus when --input is 'synthetic:N')::
+
+    spark-submit --master 'local[8]' --py-files engine.zip \
+        jobs/extract_job.py --input synthetic:1000 --output /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import uuid
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--metrics", default=None)
+    parser.add_argument("--resume-from", default=None)
+    parser.add_argument("--base-url", default="http://example.com/")
+    parser.add_argument("--mode", choices=["scan", "tiered"], default="scan")
+    parser.add_argument("--run-id", default=None)
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from paperoni_spark.contract import DOCUMENTS_SPANS_SCHEMA
+    from paperoni_spark.pipeline.job import extract_pipeline, write_output
+
+    spark = SparkSession.builder.appName("paperoni-extract").getOrCreate()
+
+    if args.input.startswith("synthetic:"):
+        n = int(args.input.split(":", 1)[1])
+
+        def gen(batches):
+            import pandas as pd
+
+            from paperoni_spark.spans.synthetic import synth_document
+
+            for batch in batches:
+                docs = [synth_document(int(i)) for i in batch["id"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [d["doc_id"] for d in docs],
+                        "spans": [d["spans"] for d in docs],
+                    }
+                )
+
+        documents = spark.range(n).mapInPandas(gen, schema=DOCUMENTS_SPANS_SCHEMA)
+    else:
+        documents = spark.read.parquet(args.input)
+
+    done = None
+    if args.resume_from:
+        try:
+            done = spark.read.parquet(args.resume_from)
+        except Exception:
+            done = None
+
+    extracted = extract_pipeline(
+        documents, base_url=args.base_url, mode=args.mode, done=done
+    )
+    run_id = args.run_id or uuid.uuid4().hex
+    write_output(extracted, args.output, metrics_path=args.metrics, run_id=run_id)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

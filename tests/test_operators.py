@@ -1,0 +1,148 @@
+"""Operator-suite tests: dedup / similarity / textstats / multimodal /
+streaming over the driver's sf0.001 tables, including a pytest-side replica
+of the driver's DuckDB-oracle gate for a representative subset."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import paperoni_spark.contract as contract
+from paperoni_spark.operators import dedup, multimodal, similarity, textstats
+from paperoni_spark.streaming import run_streaming_window_counts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF_DIR, "documents.parquet")),
+    reason="driver testdata not present",
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return contract.load(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def embeds(spark):
+    return contract.load(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 9)
+    return v
+
+
+def assert_matches_oracle(sdf, con, sql):
+    srows = sdf.collect()
+    scols = sdf.columns
+    res = con.execute(sql)
+    orows = res.fetchall()
+    ocols = [d[0] for d in res.description]
+    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+    order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    assert [scols[i] for i in order_s] == [ocols[i] for i in order_o]
+    s_set = sorted(
+        (tuple(_norm(r[i]) for i in order_s) for r in srows), key=repr
+    )
+    o_set = sorted(
+        (tuple(_norm(r[i]) for i in order_o) for r in orows), key=repr
+    )
+    assert s_set == o_set
+
+
+def test_exact_dedup_matches_oracle(spark, docs, ddb):
+    assert_matches_oracle(
+        dedup.exact_dedup_stats(docs), ddb, contract.oracle_exact_dedup()
+    )
+
+
+def test_simhash_matches_oracle(spark, docs, ddb):
+    assert_matches_oracle(dedup.simhash(docs), ddb, contract.oracle_simhash())
+
+
+def test_minhash_matches_oracle(spark, docs, ddb):
+    assert_matches_oracle(
+        dedup.minhash_signatures(docs), ddb, contract.oracle_minhash_signatures()
+    )
+
+
+def test_quality_scores_matches_oracle(spark, docs, ddb):
+    assert_matches_oracle(
+        textstats.quality_scores(docs), ddb, contract.oracle_quality_scores()
+    )
+
+
+def test_fingerprints_matches_oracle(spark, docs, ddb):
+    assert_matches_oracle(
+        textstats.fingerprints(docs), ddb, contract.oracle_fingerprints()
+    )
+
+
+def test_cosine_topk_matches_oracle(spark, embeds, ddb):
+    assert_matches_oracle(
+        similarity.cosine_topk(embeds), ddb, contract.oracle_cosine_topk()
+    )
+
+
+def test_ann_recall_against_exact(spark, embeds):
+    """ANN is approximate: its hits must be a subset of each query's bucket
+    and every returned pair must carry the exact cosine score."""
+    exact = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in similarity.cosine_topk(embeds, n_queries=10, k=50).collect()
+    }
+    ann = similarity.ann_lsh_topk(embeds, n_queries=10, k=5).collect()
+    assert len(ann) > 0
+    for r in ann:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact:
+            assert exact[key] == r["score"]
+
+
+def test_lsh_bucket_histogram_total(spark, embeds):
+    rows = similarity.lsh_sign_buckets(embeds).collect()
+    assert sum(r["n_vecs"] for r in rows) == embeds.count()
+
+
+def test_media_features_plumbing(spark, docs):
+    media = multimodal.media_table_from_documents(docs)
+    feats = multimodal.media_features(media).limit(20).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert 64 <= r["width"] < 256
+        assert 64 <= r["height"] < 256
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert r["n_bytes"] > 0
+
+
+def test_streaming_equals_batch(spark, ddb):
+    from paperoni_spark.streaming import windowed_event_counts
+
+    events = contract.load(spark, SF_DIR, "events")
+    batch = windowed_event_counts(events)
+    stream = run_streaming_window_counts(spark, SF_DIR)
+    assert_matches_oracle(stream, ddb, contract.oracle_windowed_events())
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
+
+
+def test_ngram_jaccard_sane(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.05).collect()
+    for r in pairs:
+        assert 0.05 <= r["jaccard"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]
