@@ -29,11 +29,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .operators import dedup, multimodal, similarity, textstats
+from .operators import dedup, multimodal, sessionize, similarity, textstats
 from .operators.extract import run_extract
 from .pipeline.job import extract_pipeline
 from .spans import fixture_corpus, synth_corpus
 from .streaming import run_streaming_window_counts, windowed_event_counts
+from .streaming.stateful import running_user_totals
 
 GOLDEN_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -412,6 +413,39 @@ FROM media GROUP BY mime
 """
 
 
+def oracle_session_stats() -> str:
+    gap_us = sessionize.DEFAULT_GAP_MINUTES * 60 * 1_000_000
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered
+)
+SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us,
+       round(sum(value), 6) AS total_value
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+def oracle_user_totals() -> str:
+    return """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 def oracle_windowed_events() -> str:
     return """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -450,9 +484,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_feature_stats": lambda spark, sf: multimodal.media_feature_stats(
             multimodal.media_table_from_documents(load(spark, sf, "documents"))
         ),
-        # streaming (batch shape + true Structured Streaming run)
+        # sessionization (window functions, one shared shuffle)
+        "session_stats": lambda spark, sf: sessionize.session_stats(load(spark, sf, "events")),
+        # streaming (batch shape + true Structured Streaming run + custom
+        # stateful operator via applyInPandasWithState)
         "windowed_events": lambda spark, sf: windowed_event_counts(load(spark, sf, "events")),
         "streaming_windowed_events": lambda spark, sf: run_streaming_window_counts(spark, sf),
+        "stateful_user_totals": lambda spark, sf: running_user_totals(spark, sf),
     }
 
 
@@ -475,6 +513,8 @@ def build_oracles() -> dict[str, str]:
         "lsh_sign_buckets": oracle_lsh_sign_buckets(),
         "ann_lsh_topk": oracle_ann_lsh_topk(),
         "media_feature_stats": oracle_media_feature_stats(),
+        "session_stats": oracle_session_stats(),
         "windowed_events": oracle_windowed_events(),
         "streaming_windowed_events": oracle_windowed_events(),
+        "stateful_user_totals": oracle_user_totals(),
     }

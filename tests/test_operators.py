@@ -146,3 +146,17 @@ def test_ngram_jaccard_sane(spark, docs):
     for r in pairs:
         assert 0.05 <= r["jaccard"] <= 1.0
         assert r["doc_a"] < r["doc_b"]
+
+
+def test_session_stats_matches_oracle(spark, ddb):
+    events = contract.load(spark, SF_DIR, "events")
+    assert_matches_oracle(
+        contract.sessionize.session_stats(events), ddb, contract.oracle_session_stats()
+    )
+
+
+def test_stateful_streaming_equals_batch(spark, ddb):
+    from paperoni_spark.streaming.stateful import running_user_totals
+
+    totals = running_user_totals(spark, SF_DIR)
+    assert_matches_oracle(totals, ddb, contract.oracle_user_totals())
