@@ -59,6 +59,8 @@ EXTRACT_RESULT_SCHEMA = StructType(
         StructField("extracted", ArrayType(EXTRACTED_SPAN_TYPE)),
         StructField("metadata", METADATA_TYPE),
         StructField("img_urls", ArrayType(StringType())),
+        StructField("dom_byline", StringType()),
+        StructField("article_dir", StringType()),
         StructField("status", StringType()),
         StructField("nodes_scored", LongType()),
         StructField("candidates", LongType()),
@@ -107,6 +109,8 @@ def make_extract_batch(base_url: str = "http://example.com/"):
                     "extracted": [r["extracted"] for r in rows],
                     "metadata": [r["metadata"] for r in rows],
                     "img_urls": [r["img_urls"] for r in rows],
+                    "dom_byline": [r["dom_byline"] for r in rows],
+                    "article_dir": [r["article_dir"] for r in rows],
                     "status": [r["status"] for r in rows],
                     "nodes_scored": [r["nodes_scored"] for r in rows],
                     "candidates": [r["candidates"] for r in rows],

@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 
 from ..operators.extract import run_extract
 
+_JOB_START = time.time()
+
 # spans beyond this count put a document in the heavy tier
 HEAVY_SPAN_THRESHOLD = 64
 
@@ -113,6 +115,7 @@ def lineage_metrics(extracted: DataFrame, run_id: str | None = None) -> DataFram
             F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("err_count"),
         )
         .withColumn("run_id", F.lit(run_id))
+        .withColumn("started_at", F.lit(_JOB_START))
         .withColumn("finished_at", F.lit(time.time()))
     )
 

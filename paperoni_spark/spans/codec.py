@@ -141,6 +141,10 @@ def extract_document(
                 "site_name": meta.site_name,
             },
             "img_urls": [u for u, _ in article.img_urls],
+            # DOM-derived fields the reference keeps on Readability itself
+            # (mod.rs:56-59): byline captured during the walk, dir attr
+            "dom_byline": article.readability.byline,
+            "article_dir": article.readability.article_dir,
             "status": "ok",
             "nodes_scored": article.readability.nodes_scored,
             "candidates": article.readability.candidate_count,
@@ -152,6 +156,8 @@ def extract_document(
             "extracted": [],
             "metadata": {"title": None, "byline": None, "excerpt": None, "site_name": None},
             "img_urls": [],
+            "dom_byline": None,
+            "article_dir": None,
             "status": "error:ReadabilityError",
             "nodes_scored": 0,
             "candidates": 0,
@@ -163,6 +169,8 @@ def extract_document(
             "extracted": [],
             "metadata": {"title": None, "byline": None, "excerpt": None, "site_name": None},
             "img_urls": [],
+            "dom_byline": None,
+            "article_dir": None,
             "status": f"error:KernelError:{type(exc).__name__}",
             "nodes_scored": 0,
             "candidates": 0,

@@ -123,3 +123,32 @@ def test_synth_corpus_on_spark(spark):
     agg = result.groupBy("status").count().collect()
     counts = {r["status"]: r["count"] for r in agg}
     assert counts.get("ok", 0) == 60
+
+
+def test_streaming_extraction_matches_batch(spark, fixture_df, tmp_path_factory):
+    """The streaming ingestion mode (readStream + foreachBatch) produces the
+    same extraction results as the batch path, and its checkpoint makes a
+    re-run a no-op."""
+    import pyspark.sql.functions as F
+
+    from paperoni_spark.streaming.extract_stream import run_streaming_extraction
+
+    base = tmp_path_factory.mktemp("stream_extract")
+    docs_dir = str(base / "docs")
+    out = str(base / "out")
+    ckpt = str(base / "ckpt")
+    fixture_df.write.parquet(docs_dir)
+
+    run_streaming_extraction(spark, docs_dir, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == len(fixture_corpus())
+    batch = extract_pipeline(spark.read.parquet(docs_dir))
+    b = {r["doc_id"]: r for r in batch.collect()}
+    for r in got.collect():
+        exp = b[r["doc_id"]]
+        assert r["status"] == exp["status"]
+        assert r["extracted"] == exp["extracted"]
+
+    # checkpointed re-run ingests nothing new
+    run_streaming_extraction(spark, docs_dir, out, ckpt)
+    assert spark.read.parquet(out).count() == len(fixture_corpus())
