@@ -299,6 +299,15 @@ class Node:
     def select_list(self, selector: str, inclusive: bool = True) -> list["Node"]:
         return list(self.select(selector, inclusive=inclusive))
 
+    def count_tags(self, names: frozenset, inclusive: bool = True) -> dict:
+        """Count descendant elements per tag name in ONE walk — equivalent to
+        len(select_list(n)) for each name, for mutation-free callers."""
+        counts = dict.fromkeys(names, 0)
+        for node in self._walk(inclusive, True):
+            if node.name in names:
+                counts[node.name] += 1
+        return counts
+
     def select_first(self, selector: str) -> Optional["Node"]:
         for node in self.select(selector):
             return node

@@ -24,6 +24,7 @@ exercise:
 from __future__ import annotations
 
 import html as html_mod
+import os
 from html.parser import HTMLParser
 from typing import Optional
 
@@ -48,6 +49,17 @@ P_CLOSERS = frozenset(
 SCOPE_BOUNDARIES = frozenset(
     ["html", "body", "table", "td", "th", "caption", "template", "button"]
 )
+
+# implied-end-tag (names, boundaries) pairs, hoisted out of the hot path
+_LI_IMPLIED = (frozenset(["li"]), frozenset(["ul", "ol", "html", "body"]))
+_DD_IMPLIED = (frozenset(["dd", "dt"]), frozenset(["dl", "html", "body"]))
+_TR_IMPLIED = (frozenset(["tr", "td", "th"]), frozenset(["table", "html", "body"]))
+_TD_IMPLIED = (frozenset(["td", "th"]), frozenset(["tr", "table", "html", "body"]))
+_TBODY_IMPLIED = (
+    frozenset(["thead", "tbody", "tfoot", "tr", "td", "th"]),
+    frozenset(["table", "html", "body"]),
+)
+_OPTION_IMPLIED = (frozenset(["option"]), frozenset(["select", "html", "body"]))
 
 
 class _TreeBuilder(HTMLParser):
@@ -181,31 +193,17 @@ class _TreeBuilder(HTMLParser):
             if tag in P_CLOSERS:
                 self._close_p_if_open()
             if tag == "li":
-                self._pop_implied(
-                    frozenset(["li"]), frozenset(["ul", "ol", "html", "body"])
-                )
+                self._pop_implied(*_LI_IMPLIED)
             elif tag in ("dd", "dt"):
-                self._pop_implied(
-                    frozenset(["dd", "dt"]), frozenset(["dl", "html", "body"])
-                )
+                self._pop_implied(*_DD_IMPLIED)
             elif tag == "tr":
-                self._pop_implied(
-                    frozenset(["tr", "td", "th"]),
-                    frozenset(["table", "html", "body"]),
-                )
+                self._pop_implied(*_TR_IMPLIED)
             elif tag in ("td", "th"):
-                self._pop_implied(
-                    frozenset(["td", "th"]), frozenset(["tr", "table", "html", "body"])
-                )
+                self._pop_implied(*_TD_IMPLIED)
             elif tag in ("thead", "tbody", "tfoot"):
-                self._pop_implied(
-                    frozenset(["thead", "tbody", "tfoot", "tr", "td", "th"]),
-                    frozenset(["table", "html", "body"]),
-                )
+                self._pop_implied(*_TBODY_IMPLIED)
             elif tag == "option":
-                self._pop_implied(
-                    frozenset(["option"]), frozenset(["select", "html", "body"])
-                )
+                self._pop_implied(*_OPTION_IMPLIED)
             self._current().append(elem)
 
         if tag in RAWTEXT_ELEMENTS:
@@ -303,10 +301,24 @@ class _TreeBuilder(HTMLParser):
         self._ensure_body()
 
 
-def parse_html(html_str: str) -> Node:
-    """Parse a full document; returns the Document node (root)."""
+_USE_FAST = os.environ.get("PAPERONI_SLOW_PARSER", "") == ""
+
+
+def parse_html(html_str: str, fast: bool | None = None) -> Node:
+    """Parse a full document; returns the Document node (root).
+
+    ``fast`` selects the single-shot tokenizer (fastparse.py, default) or
+    the stdlib ``HTMLParser`` driver; both produce identical trees
+    (tests/test_fastparse_diff.py)."""
     builder = _TreeBuilder()
-    builder.feed(html_str)
+    if fast is None:
+        fast = _USE_FAST
+    if fast:
+        from .fastparse import fast_feed
+
+        fast_feed(builder, html_str)
+    else:
+        builder.feed(html_str)
     builder.close()
     return builder.document
 
@@ -395,9 +407,16 @@ class _FragmentBuilder(HTMLParser):
         self._current().append(Node.new_comment(data))
 
 
-def parse_fragment(html_str: str) -> Node:
+def parse_fragment(html_str: str, fast: bool | None = None) -> Node:
     builder = _FragmentBuilder()
-    builder.feed(html_str)
+    if fast is None:
+        fast = _USE_FAST
+    if fast:
+        from .fastparse import fast_feed
+
+        fast_feed(builder, html_str)
+    else:
+        builder.feed(html_str)
     builder.close()
     if builder._raw_elem is not None:
         text = "".join(builder._raw_buf)

@@ -69,6 +69,11 @@ class ReadabilityError(Exception):
     """Extraction failure (reference: ErrorKind::ReadabilityError)."""
 
 
+_BR_HR = frozenset(["br", "hr"])
+_CLEAN_COND_TAGS = frozenset(["p", "img", "li", "input", "object", "embed", "iframe"])
+_MEDIA_TAGS = frozenset(["img", "embed", "object", "iframe"])
+
+
 def blen(s: str) -> int:
     """Rust ``str::len`` — UTF-8 byte length."""
     return len(s.encode("utf-8"))
@@ -603,15 +608,12 @@ class Readability:
     def is_element_without_content(node: Node) -> bool:
         """mod.rs:977-985"""
         child_count = len(node.child_list())
-        return (
-            node.is_element
-            and node.text_contents().strip() == ""
-            and (
-                child_count == 0
-                or child_count
-                == len(node.select_list("br")) + len(node.select_list("hr"))
-            )
-        )
+        if not node.is_element or node.text_contents().strip() != "":
+            return False
+        if child_count == 0:
+            return True
+        counts = node.count_tags(_BR_HR)
+        return child_count == counts["br"] + counts["hr"]
 
     @staticmethod
     def has_single_tag_inside_element(node: Node, tag_name: str) -> bool:
@@ -828,13 +830,14 @@ class Readability:
             )
             if can_skip_embed:
                 continue
-            p_nodes = len(node.select_list("p"))
-            img_nodes = len(node.select_list("img"))
-            li_nodes = len(node.select_list("li")) - 100
-            input_nodes = len(node.select_list("input"))
+            counts = node.count_tags(_CLEAN_COND_TAGS)
+            p_nodes = counts["p"]
+            img_nodes = counts["img"]
+            li_nodes = counts["li"] - 100
+            input_nodes = counts["input"]
             p = f32(p_nodes)
             img = f32(img_nodes)
-            embed_count = len(node.select_list("object, embed, iframe"))
+            embed_count = counts["object"] + counts["embed"] + counts["iframe"]
             link_density = self.get_link_density(node)
             content_length = blen(self.get_inner_text(node, None))
             has_figure_ancestor = self.has_ancestor_tag(node, "figure")
@@ -963,11 +966,7 @@ class Readability:
         p_nodes = (
             n
             for n in node_ref.select("p")
-            if len(n.select_list("img"))
-            + len(n.select_list("embed"))
-            + len(n.select_list("object"))
-            + len(n.select_list("iframe"))
-            == 0
+            if sum(n.count_tags(_MEDIA_TAGS).values()) == 0
             and self.get_inner_text(n, False) == ""
         )
         nxt = next(p_nodes, None)
