@@ -60,6 +60,7 @@ _TBODY_IMPLIED = (
     frozenset(["table", "html", "body"]),
 )
 _OPTION_IMPLIED = (frozenset(["option"]), frozenset(["select", "html", "body"]))
+_HEADINGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
 
 
 class _TreeBuilder(HTMLParser):
@@ -251,6 +252,17 @@ class _TreeBuilder(HTMLParser):
                 if self.stack:
                     self.stack.pop()
                 return
+        # WHATWG: any </h1>..</h6> closes the nearest open heading element
+        if tag in _HEADINGS:
+            for node in reversed(self.stack):
+                if node.name in _HEADINGS:
+                    while self.stack and self.stack[-1] is not node:
+                        self.stack.pop()
+                    if self.stack:
+                        self.stack.pop()
+                    return
+                if node.name in SCOPE_BOUNDARIES:
+                    break
         # unmatched end tag: ignored
 
     def handle_data(self, data: str) -> None:
@@ -390,6 +402,13 @@ class _FragmentBuilder(HTMLParser):
                     self.stack.pop()
                 self.stack.pop()
                 return
+        if tag in _HEADINGS:
+            for node in reversed(self.stack[1:]):
+                if node.name in _HEADINGS:
+                    while self.stack[-1] is not node:
+                        self.stack.pop()
+                    self.stack.pop()
+                    return
 
     def handle_data(self, data: str) -> None:
         if self._raw_elem is not None:
