@@ -1,0 +1,85 @@
+"""Watermark semantics over multi-batch file-source streams.
+
+What Structured Streaming guarantees (and what we assert):
+* on-time windows aggregate correctly and are emitted in append mode only
+  once the watermark passes their end;
+* windows still open at the end of the run are NOT emitted (append gating);
+* late-data dropping is best-effort — this Spark build plans no late-input
+  filter before the stateful aggregation (verified via the micro-batch
+  physical plan), so a beyond-watermark row re-opens its window and emits
+  late rather than being silently dropped.  The test pins that behavior so
+  an engine upgrade that tightens it is caught deliberately.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from paperoni_spark.streaming.windowed import EVENTS_SCHEMA
+
+
+def _rows(spark, times_and_types):
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(minutes=m), 1, et, 1.0, "{}")
+        for i, (m, et) in enumerate(times_and_types)
+    ]
+    return spark.createDataFrame(data, schema=EVENTS_SCHEMA)
+
+
+def test_watermark_append_semantics(spark, tmp_path_factory):
+    base_dir = tmp_path_factory.mktemp("wm")
+    events_dir = str(base_dir / "events")
+    os.makedirs(events_dir)
+
+    # batch 1: two on-time windows + a far-future event advancing the
+    # watermark to 05:10 − 2h = 03:10
+    _rows(
+        spark, [(70, "click"), (80, "click"), (130, "view"), (310, "late-driver")]
+    ).coalesce(1).write.parquet(os.path.join(events_dir, "batch1"))
+    time.sleep(1.1)  # file source orders batches by modification time
+    # batch 2: one beyond-watermark event and one future event
+    _rows(spark, [(30, "too-late"), (370, "tail")]).coalesce(1).write.parquet(
+        os.path.join(events_dir, "batch2")
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir + "/*")
+        .withWatermark("ts", "2 hours")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .count()
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+            "count",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    rows = {
+        (r["ws"], r["event_type"]): r["count"]
+        for r in spark.table("wm_test").collect()
+    }
+
+    # on-time windows emitted exactly once the watermark passed their end
+    assert rows.get(("2024-01-01 01:00:00", "click")) == 2
+    assert rows.get(("2024-01-01 02:00:00", "view")) == 1
+    # windows newer than the final watermark stay open — never emitted
+    assert not any(et in ("tail", "late-driver") for _, et in rows)
+    # best-effort lateness: this engine build re-opens the late window
+    # (no late-input filter in the plan) instead of dropping the row
+    assert rows.get(("2024-01-01 00:00:00", "too-late")) == 1
