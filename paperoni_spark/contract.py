@@ -71,6 +71,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def _utc(spark: SparkSession) -> SparkSession:
+    """Pin the session timezone for timestamp-formatting queries so results
+    match the (naive-timestamp) DuckDB oracle under any host session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def fixture_documents_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(fixture_corpus(), schema=DOCUMENTS_SPANS_SCHEMA)
 
@@ -485,11 +492,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.media_table_from_documents(load(spark, sf, "documents"))
         ),
         # sessionization (window functions, one shared shuffle)
-        "session_stats": lambda spark, sf: sessionize.session_stats(load(spark, sf, "events")),
+        "session_stats": lambda spark, sf: sessionize.session_stats(load(_utc(spark), sf, "events")),
         # streaming (batch shape + true Structured Streaming run + custom
         # stateful operator via applyInPandasWithState)
-        "windowed_events": lambda spark, sf: windowed_event_counts(load(spark, sf, "events")),
-        "streaming_windowed_events": lambda spark, sf: run_streaming_window_counts(spark, sf),
+        "windowed_events": lambda spark, sf: windowed_event_counts(load(_utc(spark), sf, "events")),
+        "streaming_windowed_events": lambda spark, sf: run_streaming_window_counts(_utc(spark), sf),
         "stateful_user_totals": lambda spark, sf: running_user_totals(spark, sf),
     }
 
