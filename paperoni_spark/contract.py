@@ -29,7 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .operators import dedup, multimodal, sessionize, similarity, textstats
+from .operators import dedup, multimodal, pdf, sessionize, similarity, textstats
 from .operators.extract import run_extract
 from .pipeline.job import extract_pipeline
 from .spans import fixture_corpus, synth_corpus
@@ -453,6 +453,31 @@ FROM events GROUP BY user_id
 """
 
 
+def oracle_pdf_page_stats() -> str:
+    # replicates the deterministic stub decoder (operators/pdf.py): page
+    # count and per-page image presence derive from md5 of the payload
+    hexpos = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+
+    def byte(i: int) -> str:  # byte i of the digest, from hex chars
+        return f"(({hexpos.format(i=2 * i + 1)}) * 16 + ({hexpos.format(i=2 * i + 2)}))"
+
+    img = " + ".join(
+        f"CASE WHEN n_pages > {p} AND {byte(1 + p)} % 3 = 0 THEN 1 ELSE 0 END"
+        for p in range(4)
+    )
+    return f"""
+WITH pdf AS (
+  SELECT doc_id::VARCHAR AS doc_id, md5('%PDF-1.4 ' || text) AS h FROM documents
+),
+paged AS (
+  SELECT doc_id, h, (1 + {byte(0)} % 4)::INT AS n_pages FROM pdf
+)
+SELECT doc_id, n_pages, 'ok' AS status,
+       (n_pages + {img})::BIGINT AS spans_emitted
+FROM paged
+"""
+
+
 def oracle_windowed_events() -> str:
     return """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -491,6 +516,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_feature_stats": lambda spark, sf: multimodal.media_feature_stats(
             multimodal.media_table_from_documents(load(spark, sf, "documents"))
         ),
+        # PDF/layout parse path (stub decoder, real plumbing)
+        "pdf_page_stats": lambda spark, sf: pdf.extract_pdf(
+            pdf.pdf_table_from_documents(load(spark, sf, "documents"))
+        ).select("doc_id", "n_pages", "status", "spans_emitted"),
         # sessionization (window functions, one shared shuffle)
         "session_stats": lambda spark, sf: sessionize.session_stats(load(_utc(spark), sf, "events")),
         # streaming (batch shape + true Structured Streaming run + custom
@@ -520,6 +549,7 @@ def build_oracles() -> dict[str, str]:
         "lsh_sign_buckets": oracle_lsh_sign_buckets(),
         "ann_lsh_topk": oracle_ann_lsh_topk(),
         "media_feature_stats": oracle_media_feature_stats(),
+        "pdf_page_stats": oracle_pdf_page_stats(),
         "session_stats": oracle_session_stats(),
         "windowed_events": oracle_windowed_events(),
         "streaming_windowed_events": oracle_windowed_events(),

@@ -51,10 +51,28 @@ _MIMES = ("image/jpeg", "image/png", "audio/ogg", "video/mp4")
 FEATURE_DIM = 8
 
 
+try:  # import-gated real decoder (not installed in this container)
+    from PIL import Image as _PIL_Image  # pragma: no cover
+except ImportError:
+    _PIL_Image = None
+
+
 def _fake_decode(payload: bytes, mime: str) -> tuple[int, int, list[float]]:
-    """STUB decoder.  A real deployment plugs PIL/libvips/ffmpeg in here;
-    this deterministic stand-in derives shape + features from the payload
-    digest so the full Spark plumbing is exercised and oracle-checkable."""
+    """STUB decoder.  When PIL is installed, real image payloads decode
+    through it; otherwise (this container) a deterministic stand-in derives
+    shape + features from the payload digest so the full Spark plumbing is
+    exercised and oracle-checkable."""
+    if _PIL_Image is not None and mime.startswith("image/"):  # pragma: no cover
+        import io
+
+        try:
+            with _PIL_Image.open(io.BytesIO(payload)) as img:
+                width, height = img.size
+                thumb = img.convert("L").resize((FEATURE_DIM, 1))
+                feature = [round(p / 255.0, 6) for p in thumb.getdata()]
+                return width, height, feature
+        except Exception:
+            pass  # fall through to the deterministic stub
     digest = hashlib.md5(payload).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192

@@ -160,3 +160,26 @@ def test_stateful_streaming_equals_batch(spark, ddb):
 
     totals = running_user_totals(spark, SF_DIR)
     assert_matches_oracle(totals, ddb, contract.oracle_user_totals())
+
+
+def test_pdf_extract_plumbing(spark, docs, ddb):
+    from paperoni_spark.operators import pdf
+
+    result = pdf.extract_pdf(pdf.pdf_table_from_documents(docs))
+    rows = result.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert r["status"] == "ok"
+        assert 1 <= r["n_pages"] <= 4
+        spans = r["extracted"]
+        assert [s["order"] for s in spans] == list(range(len(spans)))
+        assert all(s["kind"] in ("text", "image") for s in spans)
+        pages = [s["page"] for s in spans if s["kind"] == "text"]
+        assert pages == sorted(pages)
+    assert_matches_oracle(
+        pdf.extract_pdf(pdf.pdf_table_from_documents(docs)).select(
+            "doc_id", "n_pages", "status", "spans_emitted"
+        ),
+        ddb,
+        contract.oracle_pdf_page_stats(),
+    )
