@@ -512,6 +512,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": lambda spark, sf: similarity.cosine_topk(load(spark, sf, "embeddings")),
         "lsh_sign_buckets": lambda spark, sf: similarity.lsh_sign_buckets(load(spark, sf, "embeddings")),
         "ann_lsh_topk": lambda spark, sf: similarity.ann_lsh_topk(load(spark, sf, "embeddings")),
+        # rows-only: k-means assignment is FP-order-sensitive across engines
+        "ann_ivf_topk": lambda spark, sf: similarity.ann_ivf_topk(load(spark, sf, "embeddings")),
         # multimodal plumbing
         "media_feature_stats": lambda spark, sf: multimodal.media_feature_stats(
             multimodal.media_table_from_documents(load(spark, sf, "documents"))

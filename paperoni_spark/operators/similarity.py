@@ -110,6 +110,110 @@ def lsh_sign_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFra
     )
 
 
+def ivf_assignments(
+    embeddings: DataFrame, n_centroids: int = 16, iters: int = 2
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: deterministic k-means over the corpus.
+
+    Centroids live on the driver (k × dim floats — tiny) and are shipped as
+    literal arrays, so each Lloyd iteration is one pruned scan + one
+    partial-aggregated groupBy; assignment of 10^12 vectors is pure map-side
+    work.  Init is deterministic (the k lowest vec_ids) — no RNG state.
+    """
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    seed_rows = (
+        base.orderBy("vec_id").limit(n_centroids).select("emb").collect()
+    )
+    centroids = [list(r["emb"]) for r in seed_rows]
+
+    def assign_col(cents):
+        dists = F.array(
+            *[
+                _dot(F.col("emb"), F.col("emb"))
+                - F.lit(2.0) * _dot(F.col("emb"), F.array(*[F.lit(c) for c in cent]))
+                + F.lit(sum(x * x for x in cent))
+                for cent in cents
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(iters):
+        assigned = base.withColumn("centroid", assign_col(centroids))
+        # element-wise mean per cluster: explode dims once, partial-agg
+        means = (
+            assigned.select("centroid", F.posexplode("emb").alias("dim", "val"))
+            .groupBy("centroid", "dim")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        for row in means:
+            new_centroids[row["centroid"]][row["dim"]] = row["mean"]
+        centroids = new_centroids
+
+    return base.withColumn("centroid", assign_col(centroids)), centroids
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: rank candidates only within the query's ``nprobe`` nearest
+    clusters.  The corpus side is assigned map-side and joined on the
+    cluster id — at scale the assigned table is written bucketed by
+    centroid so probes become partition-pruned scans."""
+    from pyspark.sql.window import Window
+
+    assigned, centroids = ivf_assignments(embeddings, n_centroids)
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+
+    def dist_to(cent):
+        return (
+            _dot(F.col("qemb"), F.col("qemb"))
+            - F.lit(2.0) * _dot(F.col("qemb"), F.array(*[F.lit(c) for c in cent]))
+            + F.lit(sum(x * x for x in cent))
+        )
+
+    dists = F.array(*[dist_to(c) for c in centroids])
+    probe_cols = [
+        F.array_position(dists, F.array_sort(dists)[p]).cast("int") - 1
+        for p in range(nprobe)
+    ]
+    queries = queries.withColumn("probes", F.array(*probe_cols))
+
+    scored = (
+        assigned.join(
+            F.broadcast(queries),
+            F.array_contains(F.col("probes"), F.col("centroid")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qemb"), F.col("emb"))
+                / (_norm(F.col("qemb")) * _norm(F.col("emb"))),
+                3,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = N_PLANES
 ) -> DataFrame:

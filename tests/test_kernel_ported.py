@@ -1406,3 +1406,25 @@ def test_remove_flag():
     doc.remove_flag(FLAG_WEIGHT_CLASSES)
     assert not doc.flag_is_active(FLAG_WEIGHT_CLASSES)
     assert doc.flag_is_active(FLAG_STRIP_UNLIKELYS)
+
+
+# mod.rs:647-763 <base href> branch (not covered by the reference's test)
+def test_fix_relative_uris_with_base_href():
+    html_str = """
+        <!DOCTYPE html>
+        <html>
+            <head><base href="https://cdn.example.net/assets/"></head>
+            <body>
+                <img id="rel" src="pic.jpg">
+                <p><a id="frag" href="#sec">jump</a></p>
+            </body>
+        </html>
+        """
+    doc = Readability(html_str)
+    doc.article_node = doc.root_node.select_first("body")
+    doc.fix_relative_uris("https://example.com/post/")
+    img = doc.root_node.select_first("img#rel")
+    assert img.attributes.get("src") == "https://cdn.example.net/assets/pic.jpg"
+    # base != document ⇒ fragment links resolve against base (reference rule)
+    a = doc.root_node.select_first("a#frag")
+    assert a.attributes.get("href") == "https://cdn.example.net/assets/#sec"

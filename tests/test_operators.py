@@ -11,6 +11,7 @@ import duckdb
 import pytest
 
 import paperoni_spark.contract as contract
+from pyspark.sql import functions as F
 from paperoni_spark.operators import dedup, multimodal, similarity, textstats
 from paperoni_spark.streaming import run_streaming_window_counts
 
@@ -183,3 +184,35 @@ def test_pdf_extract_plumbing(spark, docs, ddb):
         ddb,
         contract.oracle_pdf_page_stats(),
     )
+
+
+def test_ivf_ann(spark, embeds):
+    from paperoni_spark.operators.similarity import ann_ivf_topk, cosine_topk, ivf_assignments
+
+    assigned, centroids = ivf_assignments(embeds, n_centroids=8, iters=2)
+    counts = {r["centroid"]: r["n"] for r in assigned.groupBy("centroid").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == embeds.count()
+    assert len(centroids) == 8 and all(len(c) == 64 for c in centroids)
+
+    ann = ann_ivf_topk(embeds, n_queries=5, k=5, n_centroids=8, nprobe=2).collect()
+    assert len(ann) > 0
+    exact = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in cosine_topk(embeds, n_queries=5, k=100).collect()
+    }
+    # every IVF hit carries the exact cosine score for that pair
+    for r in ann:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact:
+            assert exact[key] == r["score"]
+    # IVF with nprobe=2 of 8 clusters should recover a decent share of the
+    # true top-5 (deterministic corpus → deterministic recall)
+    true_top = {}
+    for (q, v), s in exact.items():
+        true_top.setdefault(q, []).append((s, v))
+    hits = 0
+    for q, lst in true_top.items():
+        top5 = {v for _, v in sorted(lst, key=lambda t: (-t[0], t[1]))[:5]}
+        got = {r["vec_id"] for r in ann if r["query_id"] == q}
+        hits += len(top5 & got)
+    assert hits >= 5  # ≥20% recall across 5 queries at this tiny scale
