@@ -136,8 +136,31 @@ def make_extract_batch(base_url: str = "http://example.com/"):
     return extract_batch
 
 
-def run_extract(documents: DataFrame, base_url: str = "http://example.com/") -> DataFrame:
-    """Apply the extraction kernel over a ``documents`` DataFrame."""
-    return documents.mapInPandas(
-        make_extract_batch(base_url), schema=EXTRACT_RESULT_SCHEMA
-    )
+STATS_RESULT_SCHEMA = StructType(
+    [f for f in EXTRACT_RESULT_SCHEMA.fields if f.name not in ("extracted",)]
+)
+
+
+def run_extract(
+    documents: DataFrame,
+    base_url: str = "http://example.com/",
+    emit_spans: bool = True,
+) -> DataFrame:
+    """Apply the extraction kernel over a ``documents`` DataFrame.
+
+    ``emit_spans=False`` drops the ``extracted`` array from the output —
+    Catalyst cannot column-prune through an opaque ``MapInPandas``, so
+    stats/validation jobs that only need metadata + metrics opt out of
+    materializing (and Arrow-shipping) the span payload explicitly.
+    """
+    if emit_spans:
+        return documents.mapInPandas(
+            make_extract_batch(base_url), schema=EXTRACT_RESULT_SCHEMA
+        )
+    inner = make_extract_batch(base_url)
+
+    def stats_batch(batches):
+        for out in inner(batches):
+            yield out.drop(columns=["extracted"])
+
+    return documents.mapInPandas(stats_batch, schema=STATS_RESULT_SCHEMA)

@@ -152,3 +152,15 @@ def test_streaming_extraction_matches_batch(spark, fixture_df, tmp_path_factory)
     # checkpointed re-run ingests nothing new
     run_streaming_extraction(spark, docs_dir, out, ckpt)
     assert spark.read.parquet(out).count() == len(fixture_corpus())
+
+
+def test_stats_only_extraction(spark, fixture_df):
+    from paperoni_spark.operators.extract import run_extract
+
+    stats = run_extract(fixture_df, emit_spans=False)
+    assert "extracted" not in stats.columns
+    rows = {r["doc_id"]: r for r in stats.collect()}
+    full = {r["doc_id"]: r for r in run_extract(fixture_df).collect()}
+    for doc_id, r in rows.items():
+        assert r["status"] == full[doc_id]["status"]
+        assert r["spans_emitted"] == full[doc_id]["spans_emitted"]
