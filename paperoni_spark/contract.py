@@ -453,6 +453,41 @@ FROM events GROUP BY user_id
 """
 
 
+def q_docs_joined_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join family: documents ⋈ embeddings on doc_id==vec_id, aggregating
+    text-quality signals per (lang, label).  Equi-join on the shared key —
+    SMJ/shuffled-hash at scale, AQE-broadcast at sf — then one partial
+    aggregation."""
+    docs = textstats.quality_scores(load(spark, sf_dir, "documents"))
+    labels = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    return (
+        docs.join(labels, "doc_id")
+        .groupBy("lang", "label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def oracle_docs_joined_labels() -> str:
+    return f"""
+WITH q AS (
+  SELECT doc_id, lang, len({_TOKENS})::INT AS n_tokens,
+         len(list_filter({_TOKENS}, t -> t IN ({_STOP_LIST})))::DOUBLE / len({_TOKENS}) AS sw
+  FROM documents
+)
+SELECT lang, label, count(*)::BIGINT AS n_docs,
+       round(avg(round(sw, 6)), 6) AS avg_stopword_ratio,
+       round(avg(n_tokens), 4) AS avg_tokens
+FROM q JOIN embeddings e ON q.doc_id = e.vec_id
+GROUP BY lang, label
+"""
+
+
 def oracle_pdf_page_stats() -> str:
     # replicates the deterministic stub decoder (operators/pdf.py): page
     # count and per-page image presence derive from md5 of the payload
@@ -522,6 +557,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_page_stats": lambda spark, sf: pdf.extract_pdf(
             pdf.pdf_table_from_documents(load(spark, sf, "documents"))
         ).select("doc_id", "n_pages", "status", "spans_emitted"),
+        # join family: documents ⋈ embeddings + aggregate
+        "docs_joined_labels": q_docs_joined_labels,
         # sessionization (window functions, one shared shuffle)
         "session_stats": lambda spark, sf: sessionize.session_stats(load(_utc(spark), sf, "events")),
         # streaming (batch shape + true Structured Streaming run + custom
@@ -552,6 +589,7 @@ def build_oracles() -> dict[str, str]:
         "ann_lsh_topk": oracle_ann_lsh_topk(),
         "media_feature_stats": oracle_media_feature_stats(),
         "pdf_page_stats": oracle_pdf_page_stats(),
+        "docs_joined_labels": oracle_docs_joined_labels(),
         "session_stats": oracle_session_stats(),
         "windowed_events": oracle_windowed_events(),
         "streaming_windowed_events": oracle_windowed_events(),
