@@ -134,9 +134,14 @@ def _parse_html_declaration(builder, rawdata: str, i: int) -> int:
 
 
 def _parse_marked_section(builder, rawdata: str, i: int) -> int:
+    if i + 3 == len(rawdata):
+        return -1  # incomplete at EOF (_markupbase._scan_name returns -1)
     m = _DECLNAME.match(rawdata, i + 3)
     if m is None:
-        return -1
+        # _markupbase._scan_name raises on a present-but-invalid name token
+        raise AssertionError(
+            "expected name token at %r" % rawdata[i : i + 20]
+        )
     sect_name = m.group().strip().lower()
     if sect_name in ("temp", "cdata", "ignore", "include", "rcdata"):
         match = _MARKED_CLOSE.search(rawdata, i + 3)

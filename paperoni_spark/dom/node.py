@@ -44,6 +44,8 @@ class Node:
         "last_child",
         "prev_sibling",
         "next_sibling",
+        "is_element",
+        "is_text",
     )
 
     def __init__(self, type_: str, name: str = "", text: str = ""):
@@ -58,6 +60,10 @@ class Node:
         self.last_child: Optional[Node] = None
         self.prev_sibling: Optional[Node] = None
         self.next_sibling: Optional[Node] = None
+        # node type never changes → plain attributes beat property calls in
+        # the kernel's hot predicates
+        self.is_element = type_ == ELEMENT
+        self.is_text = type_ == TEXT
 
     # ---------- constructors ----------
     @staticmethod
@@ -80,14 +86,6 @@ class Node:
         return Node(DOCUMENT)
 
     # ---------- basic predicates ----------
-    @property
-    def is_element(self) -> bool:
-        return self.type == ELEMENT
-
-    @property
-    def is_text(self) -> bool:
-        return self.type == TEXT
-
     def sorted_attr_items(self) -> list[tuple[str, str]]:
         return sorted(self.attributes.items())
 
