@@ -205,29 +205,32 @@ class Node:
     # kernel's hottest path.
     def _walk(self, inclusive: bool, elements_only: bool) -> Iterator["Node"]:
         root = self
-        if inclusive:
-            next_edge = (True, root)
-        else:
-            fc = root.first_child
-            next_edge = (True, fc) if fc is not None else None
-        while next_edge is not None:
-            start, node = next_edge
+        node = root if inclusive else root.first_child
+        if node is None:
+            return
+        start = True
+        while True:
+            # successor computed BEFORE yielding (eager-successor timing)
             if start:
-                if node.first_child is not None:
-                    next_edge = (True, node.first_child)
+                nxt = node.first_child
+                if nxt is not None:
+                    nstart = True
                 else:
-                    next_edge = (False, node)
+                    nxt, nstart = node, False
+            elif node is root:
+                nxt = None
             else:
-                if node is root:
-                    next_edge = None
-                elif node.next_sibling is not None:
-                    next_edge = (True, node.next_sibling)
-                elif node.parent is not None:
-                    next_edge = (False, node.parent)
+                nxt = node.next_sibling
+                if nxt is not None:
+                    nstart = True
                 else:
-                    next_edge = None
+                    nxt = node.parent
+                    nstart = False
             if start and (not elements_only or node.type == ELEMENT):
                 yield node
+            if nxt is None:
+                return
+            node, start = nxt, nstart
 
     def inclusive_descendants(self) -> Iterator["Node"]:
         return self._walk(True, False)
@@ -254,29 +257,31 @@ class Node:
         if matchers.__class__ is frozenset:  # fast path: tag-name set
             # inlined edge walk (same eager-successor timing as traverse())
             root = self
-            if inclusive:
-                next_edge = (True, root)
-            else:
-                fc = root.first_child
-                next_edge = (True, fc) if fc is not None else None
-            while next_edge is not None:
-                start, node = next_edge
+            node = root if inclusive else root.first_child
+            if node is None:
+                return
+            start = True
+            while True:
                 if start:
-                    if node.first_child is not None:
-                        next_edge = (True, node.first_child)
+                    nxt = node.first_child
+                    if nxt is not None:
+                        nstart = True
                     else:
-                        next_edge = (False, node)
+                        nxt, nstart = node, False
+                elif node is root:
+                    nxt = None
                 else:
-                    if node is root:
-                        next_edge = None
-                    elif node.next_sibling is not None:
-                        next_edge = (True, node.next_sibling)
-                    elif node.parent is not None:
-                        next_edge = (False, node.parent)
+                    nxt = node.next_sibling
+                    if nxt is not None:
+                        nstart = True
                     else:
-                        next_edge = None
+                        nxt = node.parent
+                        nstart = False
                 if start and node.type == ELEMENT and node.name in matchers:
                     yield node
+                if nxt is None:
+                    return
+                node, start = nxt, nstart
             return
         for node in self.descendant_elements(inclusive=inclusive):
             for tag, id_, classes in matchers:
