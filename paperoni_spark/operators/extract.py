@@ -123,9 +123,20 @@ def make_extract_batch(base_url: str = "http://example.com/"):
             return out
 
         for batch in batches:
-            for doc_id, spans in zip(batch["doc_id"], batch["spans"]):
+            # optional per-document URL column (the reference resolves URIs
+            # against each article's own URL, extractor.rs:19-26); falls
+            # back to the job-level base_url
+            urls = batch["url"] if "url" in batch.columns else None
+            for idx, (doc_id, spans) in enumerate(
+                zip(batch["doc_id"], batch["spans"])
+            ):
                 span_list = list(spans) if spans is not None else []
-                result = extract_document(str(doc_id), span_list, base_url)
+                doc_url = base_url
+                if urls is not None:
+                    u = urls.iloc[idx]
+                    if u is not None and isinstance(u, str) and u != "":
+                        doc_url = u
+                result = extract_document(str(doc_id), span_list, doc_url)
                 rows.append(result)
                 acc_bytes += _span_bytes(span_list)
                 if acc_bytes >= _MAX_BATCH_BYTES:

@@ -164,3 +164,48 @@ def test_stats_only_extraction(spark, fixture_df):
     for doc_id, r in rows.items():
         assert r["status"] == full[doc_id]["status"]
         assert r["spans_emitted"] == full[doc_id]["spans_emitted"]
+
+
+def test_per_document_url_column(spark):
+    """An optional `url` column overrides the job base_url per document
+    (reference semantics: URIs resolve against the article's own URL)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from paperoni_spark.operators.extract import run_extract
+    from paperoni_spark.spans import html_to_spans
+    from paperoni_spark.spans.fixtures import FX_REL_URI
+
+    schema = StructType(
+        DOCUMENTS_SCHEMA.fields + [StructField("url", StringType())]
+    )
+    rows = [
+        {"doc_id": "with-url", "spans": html_to_spans(FX_REL_URI), "url": "https://site-a.test/blog/"},
+        {"doc_id": "no-url", "spans": html_to_spans(FX_REL_URI), "url": None},
+    ]
+    result = {r["doc_id"]: r for r in run_extract(spark.createDataFrame(rows, schema)).collect()}
+    a_imgs = result["with-url"]["img_urls"]
+    b_imgs = result["no-url"]["img_urls"]
+    assert any(u.startswith("https://site-a.test/") for u in a_imgs)
+    assert any(u.startswith("http://example.com/") for u in b_imgs)
+
+
+def test_sql_udtf_surface(spark, fixture_df):
+    """The SQL-callable UDTF produces the same results as the batch path."""
+    from paperoni_spark.pipeline.sql_api import register_sql_api
+
+    register_sql_api(spark)
+    fixture_df.createOrReplaceTempView("documents_spans")
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql(
+            "SELECT * FROM extract_articles(TABLE(SELECT doc_id, spans FROM documents_spans))"
+        ).collect()
+    }
+    from paperoni_spark.operators.extract import run_extract
+
+    batch = {r["doc_id"]: r for r in run_extract(fixture_df).collect()}
+    assert set(got) == set(batch)
+    for doc_id, r in got.items():
+        assert r["status"] == batch[doc_id]["status"]
+        assert r["spans_emitted"] == batch[doc_id]["spans_emitted"]
+        assert r["extracted"] == batch[doc_id]["extracted"]
