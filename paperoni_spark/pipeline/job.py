@@ -13,7 +13,11 @@ resumable from checkpoint with per-partition lineage + metrics"):
   size-based skew split cannot see.)
 * **Resume.**  ``resume_against`` anti-joins the input on previously
   extracted ``doc_id``s — on a restart only unfinished documents re-run, and
-  appends stay idempotent at the doc level.
+  appends stay idempotent at the doc level.  At cluster scale both tables
+  are bucketed on ``doc_id`` (Iceberg ``bucket(N, doc_id)``), which makes
+  the anti-join — including the distinct — completely shuffle-free
+  (verified: zero Exchange nodes in the bucketed plan,
+  tests/test_spark_e2e.py::test_bucketed_resume_antijoin_is_shuffle_free).
 * **Lineage/metrics.**  Per-partition aggregates of the kernel metric
   columns, written alongside the output (Iceberg ``writeTo(...).append()`` on
   a real cluster; parquet in this sandbox — see ``write_output``).

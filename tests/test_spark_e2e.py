@@ -209,3 +209,33 @@ def test_sql_udtf_surface(spark, fixture_df):
         assert r["status"] == batch[doc_id]["status"]
         assert r["spans_emitted"] == batch[doc_id]["spans_emitted"]
         assert r["extracted"] == batch[doc_id]["extracted"]
+
+
+def test_bucketed_resume_antijoin_is_shuffle_free(spark, tmp_path_factory):
+    """Scale path for resume: documents and extracted bucketed on doc_id
+    co-locate the anti-join — the physical plan has ZERO Exchange nodes
+    (the Iceberg equivalent is bucket(N, doc_id) partition transforms)."""
+    import pyspark.sql.functions as F
+
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = make_documents_df(spark, synth_corpus(150))
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{wh}'")
+        docs.write.bucketBy(4, "doc_id").sortBy("doc_id").mode("overwrite").saveAsTable("bkt.documents_b")
+        docs.select("doc_id").withColumn("status", F.lit("ok")).limit(100).write.bucketBy(
+            4, "doc_id"
+        ).sortBy("doc_id").mode("overwrite").saveAsTable("bkt.extracted_b")
+        remaining = spark.table("bkt.documents_b").join(
+            spark.table("bkt.extracted_b")
+            .where(F.col("status") == "ok")
+            .select("doc_id")
+            .distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        plan = remaining._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert remaining.count() == 50
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
