@@ -122,6 +122,15 @@ def q_extract_img_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the full training-data pipeline composition
+    (extract → flatten → fingerprint/dedup → quality) over the synthetic
+    corpus."""
+    from .pipeline.compose import corpus_dedup_stats
+
+    return corpus_dedup_stats(synth_documents_df(spark, 150))
+
+
 def q_extract_synthetic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: full tiered pipeline over the synthetic heavy-tail corpus."""
     extracted = extract_pipeline(synth_documents_df(spark))
@@ -532,6 +541,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_fixture_status": q_extract_fixture_status,
         "extract_img_urls": q_extract_img_urls,
         "extract_synthetic_stats": q_extract_synthetic_stats,
+        "corpus_build": q_corpus_build,
         # dedup family
         "exact_dedup": lambda spark, sf: dedup.exact_dedup_stats(load(spark, sf, "documents")),
         "minhash_signatures": lambda spark, sf: dedup.minhash_signatures(load(spark, sf, "documents")),

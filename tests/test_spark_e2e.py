@@ -239,3 +239,40 @@ def test_bucketed_resume_antijoin_is_shuffle_free(spark, tmp_path_factory):
         assert remaining.count() == 50
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_corpus_build_composition(spark):
+    from paperoni_spark.pipeline.compose import corpus_build, corpus_dedup_stats
+
+    docs = make_documents_df(spark, synth_corpus(40))
+    built = corpus_build(docs).collect()
+    assert len(built) == 40
+    for r in built:
+        assert r["n_tokens"] > 0 and r["n_chars"] > 0
+        assert len(r["fingerprint"]) == 32
+    stats = corpus_dedup_stats(docs).collect()[0]
+    assert stats["docs_ok"] == 40
+    assert stats["unique_texts"] == 40  # synthetic docs are all distinct
+    assert stats["total_images"] > 0
+
+
+def test_mega_document_through_pipeline(spark):
+    """A single ~40k-span document flows through the Arrow-batched UDF
+    without memory trouble and emits a consistent span sequence."""
+    from paperoni_spark.spans.codec import extract_document, html_to_spans
+
+    para = "<p>" + "Lorem ipsum dolor sit amet consectetur adipiscing elit. " * 3 + "</p>"
+    body = "".join(
+        para + f'<img src="https://example.com/m/{i}.png">' for i in range(20000)
+    )
+    html = f"<!DOCTYPE html><html><head><title>Mega</title></head><body><article>{body}</article></body></html>"
+    spans = html_to_spans(html)
+    assert len(spans) >= 40000
+    direct = extract_document("mega-1", spans)
+    assert direct["status"] == "ok"
+
+    df = make_documents_df(spark, [{"doc_id": "mega-1", "spans": spans}])
+    row = run_extract(df).collect()[0]
+    assert row["status"] == "ok"
+    assert row["spans_emitted"] == direct["spans_emitted"]
+    assert row["spans_emitted"] > 30000
