@@ -25,7 +25,7 @@ specific properties of that tree, all replicated here:
 
 from __future__ import annotations
 
-from typing import Callable, Iterator, Optional
+from typing import Iterator, Optional
 
 ELEMENT = "element"
 TEXT = "text"

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from ..dom import Node, parse_html
+from ..dom import Node
 from .readability import MetaData, Readability, ReadabilityError
 
 def _template_doc() -> Node:

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import re
 from itertools import islice
-from typing import Callable, Iterator, Optional
+from typing import Callable, Optional
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
 import numpy as np

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import html as html_mod
 import re
-from typing import Any, Optional
+from typing import Any
 
 from ..dom import Node
 from ..kernel import Article, ReadabilityError
