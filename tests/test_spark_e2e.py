@@ -281,47 +281,46 @@ def test_mega_document_through_pipeline(spark):
 def test_task_retry_resilience(tmp_path_factory):
     """A transient task failure inside the extraction stage is retried by
     Spark and produces exactly-once results (no dupes, no loss) — the
-    cluster-failure half of the resumability story."""
-    import os
-
-    from pyspark.sql import SparkSession
+    cluster-failure half of the resumability story.  Runs in a subprocess:
+    it needs its own SparkContext with task maxFailures=2, and getOrCreate
+    would otherwise reuse (and its teardown would stop) the shared session."""
+    import subprocess
+    import sys
 
     marker_dir = str(tmp_path_factory.mktemp("retry_markers"))
-    spark = (
-        SparkSession.builder.master("local[2,2]")  # maxFailures=2 per task
-        .appName("retry-test")
-        .config("spark.sql.shuffle.partitions", "2")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    script = f"""
+import os, sys
+sys.path.insert(0, {repr(str(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__)))))})
+from pyspark.sql import SparkSession
+from paperoni_spark.spans import synth_corpus
+from paperoni_spark.contract import DOCUMENTS_SPANS_SCHEMA
+from paperoni_spark.operators.extract import EXTRACT_RESULT_SCHEMA, make_extract_batch
+
+marker_dir = {repr(marker_dir)}
+spark = (SparkSession.builder.master("local[2,2]").appName("retry-test")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+docs = spark.createDataFrame(synth_corpus(30), schema=DOCUMENTS_SPANS_SCHEMA)
+inner = make_extract_batch()
+
+def flaky(batches):
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    marker = os.path.join(marker_dir, f"p{{ctx.partitionId()}}")
+    if ctx.attemptNumber() == 0 and not os.path.exists(marker):
+        open(marker, "w").close()
+        raise RuntimeError("injected transient failure")
+    yield from inner(batches)
+
+rows = docs.repartition(2, "doc_id").mapInPandas(flaky, schema=EXTRACT_RESULT_SCHEMA).collect()
+assert len(rows) == 30, len(rows)
+assert len({{r["doc_id"] for r in rows}}) == 30
+assert all(r["status"] == "ok" for r in rows)
+assert len(os.listdir(marker_dir)) == 2
+spark.stop()
+print("RETRY_TEST_OK")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
     )
-    try:
-        docs = spark.createDataFrame(synth_corpus(30), schema=DOCUMENTS_SCHEMA)
-
-        from paperoni_spark.operators.extract import (
-            EXTRACT_RESULT_SCHEMA,
-            make_extract_batch,
-        )
-
-        inner = make_extract_batch()
-
-        def flaky(batches):
-            from pyspark import TaskContext
-
-            ctx = TaskContext.get()
-            marker = os.path.join(marker_dir, f"p{ctx.partitionId()}")
-            if ctx.attemptNumber() == 0 and not os.path.exists(marker):
-                open(marker, "w").close()
-                raise RuntimeError("injected transient failure")
-            yield from inner(batches)
-
-        result = docs.repartition(2, "doc_id").mapInPandas(
-            flaky, schema=EXTRACT_RESULT_SCHEMA
-        )
-        rows = result.collect()
-        assert len(rows) == 30
-        assert len({r["doc_id"] for r in rows}) == 30
-        assert all(r["status"] == "ok" for r in rows)
-        # both partitions actually failed once and were retried
-        assert len(os.listdir(marker_dir)) == 2
-    finally:
-        spark.stop()
+    assert "RETRY_TEST_OK" in proc.stdout, proc.stderr[-2000:]
