@@ -126,7 +126,7 @@ def main() -> None:
     corpus = ensure_corpus(spark_full, N_DOCS)
     corpus_scaling = ensure_corpus(spark_full, N_DOCS_SCALING)
 
-    t_full, n_ok_full = timed_extraction(spark_full, corpus)
+    t_full, n_ok_full = timed_extraction(spark_full, corpus, reps=3)
     thr_full = n_ok_full / t_full
     queries["extract_full_cores"] = round(t_full, 3)
 

@@ -98,3 +98,30 @@ def test_grab_article_no_body_errors():
     doc.root_node.select_first("body").detach()
     with pytest.raises(ReadabilityError):
         doc.grab_article()
+
+
+def test_article_dir_captured():
+    # R29 (mod.rs:2107-2125): first dir attr among candidate ancestors
+    html = (
+        '<!DOCTYPE html><html><body><div dir="rtl"><article>'
+        + "<p>"
+        + "Lorem ipsum dolor sit amet, consectetur adipiscing elit. " * 20
+        + "</p>" * 1
+        + "</article></div></body></html>"
+    )
+    doc = Readability(html)
+    doc.parse("http://example.com/")
+    assert doc.article_dir == "rtl"
+
+
+def test_article_dir_flows_to_output():
+    from paperoni_spark.spans.codec import extract_document, html_to_spans
+
+    html = (
+        '<!DOCTYPE html><html><body><div dir="rtl"><article>'
+        + "<p>" + "Lorem ipsum dolor sit amet, consectetur adipiscing elit. " * 20 + "</p>"
+        + "</article></div></body></html>"
+    )
+    result = extract_document("d1", html_to_spans(html))
+    assert result["status"] == "ok"
+    assert result["article_dir"] == "rtl"
