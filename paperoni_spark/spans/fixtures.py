@@ -182,6 +182,43 @@ FX_LAZY_IMG = _article(
     + _PARA * 3
 )
 
+# mod.rs:3058-3156 data-vs-layout tables inside an extractable article
+FX_DATA_TABLES = _article(
+    _PARA * 6
+    + """<table id="tbl-data"><caption>Monthly savings</caption>
+        <tr><th>Month</th><th>Savings</th></tr>
+        <tr><td>January</td><td>$100</td></tr>
+        <tr><td>February</td><td>$50</td></tr></table>
+        <table width="100%" border="0" id="tbl-layout">
+        <tr valign="top"><td width="20%">Left</td><td>Mid</td><td>Right</td></tr></table>"""
+    + _PARA * 5
+)
+
+# mod.rs:3214-3283 conditional-clean ladder targets
+FX_CLEAN_COND = _article(
+    _PARA * 6
+    + '<div class="comment"><p>negative-weight div to be removed</p></div>'
+    + '<div id="embeds"><iframe width="420" height="345" src="https://www.youtube.com/embed/dQw4w9WgXcQ"></iframe></div>'
+    + '<div id="linkfarm"><a href="https://example.com/1">one</a> <a href="https://example.com/2">two</a> <a href="https://example.com/3">three</a></div>'
+    + _PARA * 5
+)
+
+# mod.rs:2930-3015 class/id weights steering candidate choice
+FX_CLASSWEIGHT = (
+    "<!DOCTYPE html><html><head><title>Weighted fixture</title></head><body>"
+    + '<div id="sidebar" class="widget">' + _PARA + "</div>"
+    + '<div id="blog" class="main article">' + _PARA * 10 + "</div>"
+    + '<div id="comments">' + _PARA + "</div>"
+    + "</body></html>"
+)
+
+# mod.rs:2282-2316 phrasing-content wrapping inside a div
+FX_PHRASING = _article(
+    "<div>Loose text with <b>bold</b> and <a href='https://example.com/x'><i>nested phrasing</i></a> runs"
+    + _PARA * 8
+    + "</div>"
+)
+
 FX_MEGA_REPEATS = 150  # fixed, not sampled (FIXTURES.md §3)
 FX_MEGA = _article((_PARA + '<img src="https://example.com/images/m.png">') * FX_MEGA_REPEATS)
 
@@ -201,6 +238,10 @@ def fixture_corpus() -> list[dict[str, Any]]:
         ("fx-visibility", FX_VISIBILITY),
         ("fx-unlikely", FX_UNLIKELY),
         ("fx-lazy-img", FX_LAZY_IMG),
+        ("fx-data-tables", FX_DATA_TABLES),
+        ("fx-clean-cond", FX_CLEAN_COND),
+        ("fx-classweight", FX_CLASSWEIGHT),
+        ("fx-phrasing", FX_PHRASING),
         ("fx-mega", FX_MEGA),
     ]
     docs += [(f"fx-title-{i}", h) for i, h in enumerate(FX_TITLES)]
