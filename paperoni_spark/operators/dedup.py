@@ -44,15 +44,24 @@ def exact_dedup_stats(documents: DataFrame) -> DataFrame:
 
 
 def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: one transform over the
-    token index range (map-side) and a single explode."""
-    shingle_expr = F.expr(
-        "CASE WHEN size(split(trim(text), '\\\\s+')) >= {n} THEN "
-        "transform(sequence(0, size(split(trim(text), '\\\\s+')) - {n}), "
-        "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, {n}))) "
-        "ELSE array() END".format(n=n)
+    """Distinct word n-gram shingles per document — fully map-side.
+
+    The token array is materialized once per row behind a ``Generate``
+    barrier (explode of a one-element array): without it, Catalyst's
+    projection collapse inlines ``split()`` into every element of the
+    shingle ``transform`` lambda, making the stage O(tokens²) per document
+    (measured 2-4× slower at sf0.1, and far worse for long docs)."""
+    toks_df = documents.select(
+        "doc_id",
+        F.explode(F.array(F.split(F.trim("text"), r"\s+"))).alias("toks"),
     )
-    return documents.select(
+    shingle_expr = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {n}))) "
+        "ELSE array() END"
+    )
+    return toks_df.select(
         "doc_id", F.explode(F.array_distinct(shingle_expr)).alias("shingle")
     ).distinct()
 
