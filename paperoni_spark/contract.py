@@ -409,6 +409,70 @@ SELECT query_id, vec_id, score, rank::INT AS rank FROM ranked WHERE rank <= 5
 """
 
 
+def oracle_embedding_near_dup() -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         ({_bucket_sql('embedding::DOUBLE[]')}) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 3) AS cosine
+FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb) /
+            (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 3) >= 0.95
+"""
+
+
+def oracle_bpe_token_stats() -> str:
+    pattern = textstats.BPE_ISH_PATTERN.replace("\\", "\\\\")
+    toks = f"regexp_extract_all(text, '{pattern}', 0)"
+    return f"""
+SELECT lang, count(*)::BIGINT AS doc_count,
+       sum(len({toks}))::BIGINT AS total_bpe_tokens,
+       round(avg(len(list_distinct({toks}))), 4) AS avg_unique_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def oracle_media_resize_sample() -> str:
+    hexpos = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+
+    def byte(i: int) -> str:
+        return f"(({hexpos.format(i=2 * i + 1)}) * 16 + ({hexpos.format(i=2 * i + 2)}))"
+
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE (doc_id % 4) WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+                           WHEN 2 THEN 'audio/ogg' ELSE 'video/mp4' END AS mime,
+         md5(text) AS h
+  FROM documents
+),
+dims AS (
+  SELECT media_id, mime,
+         (64 + {byte(0)} % 192) AS src_w,
+         (64 + {byte(1)} % 192) AS src_h,
+         (100 + {byte(2)} % 900) AS dur
+  FROM media
+),
+scaled AS (
+  SELECT media_id, mime, src_w, src_h, dur,
+         least(224.0 / src_w, 224.0 / src_h) AS scale
+  FROM dims
+)
+SELECT media_id, mime,
+       greatest(1, floor(src_w * scale))::INT AS out_width,
+       greatest(1, floor(src_h * scale))::INT AS out_height,
+       (greatest(1, floor(src_w * scale))::BIGINT * greatest(1, floor(src_h * scale))::BIGINT * 3) AS out_bytes,
+       CASE WHEN mime LIKE 'video/%'
+            THEN list_slice(range(0, dur, greatest(1, dur // 8)), 1, 8)
+            ELSE []::INT[] END AS frame_indices
+FROM scaled
+"""
+
+
 def oracle_media_feature_stats() -> str:
     hexpos = "strpos('0123456789abcdef', substr(md5(text), {i}, 1)) - 1"
     b0 = f"(({hexpos.format(i=1)}) * 16 + ({hexpos.format(i=2)}))"
@@ -559,6 +623,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda spark, sf: similarity.ann_lsh_topk(load(spark, sf, "embeddings")),
         # rows-only: k-means assignment is FP-order-sensitive across engines
         "ann_ivf_topk": lambda spark, sf: similarity.ann_ivf_topk(load(spark, sf, "embeddings")),
+        "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(load(spark, sf, "embeddings")),
+        "bpe_token_stats": lambda spark, sf: textstats.bpe_token_stats(load(spark, sf, "documents")),
+        "media_resize_sample": lambda spark, sf: multimodal.media_resize_and_sample(
+            multimodal.media_table_from_documents(load(spark, sf, "documents"))
+        ),
         # multimodal plumbing
         "media_feature_stats": lambda spark, sf: multimodal.media_feature_stats(
             multimodal.media_table_from_documents(load(spark, sf, "documents"))
@@ -599,6 +668,9 @@ def build_oracles() -> dict[str, str]:
         "ann_lsh_topk": oracle_ann_lsh_topk(),
         "media_feature_stats": oracle_media_feature_stats(),
         "pdf_page_stats": oracle_pdf_page_stats(),
+        "embedding_near_dup": oracle_embedding_near_dup(),
+        "bpe_token_stats": oracle_bpe_token_stats(),
+        "media_resize_sample": oracle_media_resize_sample(),
         "docs_joined_labels": oracle_docs_joined_labels(),
         "session_stats": oracle_session_stats(),
         "windowed_events": oracle_windowed_events(),

@@ -118,6 +118,69 @@ def _extract_features_batch(
         )
 
 
+def _fake_resize(payload: bytes, target_w: int, target_h: int) -> tuple[int, int, int]:
+    """STUB resize (PIL absent): returns the aspect-preserving output shape
+    and a deterministic byte-size estimate; real deployments return the
+    re-encoded payload."""
+    digest = hashlib.md5(payload).digest()
+    src_w = 64 + digest[0] % 192
+    src_h = 64 + digest[1] % 192
+    scale = min(target_w / src_w, target_h / src_h)
+    out_w, out_h = max(1, int(src_w * scale)), max(1, int(src_h * scale))
+    return out_w, out_h, out_w * out_h * 3
+
+
+def _fake_frame_sample(payload: bytes, n_frames: int) -> list[int]:
+    """STUB frame sampler (ffmpeg absent): deterministic frame indices from
+    the payload digest; real deployments return decoded frame tensors."""
+    digest = hashlib.md5(payload).digest()
+    duration_frames = 100 + digest[2] % 900
+    step = max(1, duration_frames // n_frames)
+    return list(range(0, duration_frames, step))[:n_frames]
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("out_bytes", LongType()),
+        StructField("frame_indices", ArrayType(IntegerType())),
+    ]
+)
+
+
+def media_resize_and_sample(
+    media: DataFrame, target_w: int = 224, target_h: int = 224, n_frames: int = 8
+) -> DataFrame:
+    """Resize (images) / frame-sample (videos) plumbing over binary payloads
+    — same Arrow-batched stage shape as decode; stubbed compute."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"media_id": [], "mime": [], "out_width": [], "out_height": [], "out_bytes": [], "frame_indices": []}
+            for media_id, mime, payload in zip(
+                batch["media_id"], batch["mime"], batch["payload"]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                w, h, nbytes = _fake_resize(data, target_w, target_h)
+                frames = (
+                    _fake_frame_sample(data, n_frames)
+                    if str(mime).startswith("video/")
+                    else []
+                )
+                out["media_id"].append(media_id)
+                out["mime"].append(mime)
+                out["out_width"].append(w)
+                out["out_height"].append(h)
+                out["out_bytes"].append(nbytes)
+                out["frame_indices"].append(frames)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batch_fn, schema=RESIZE_SCHEMA)
+
+
 def media_features(media: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature-extract over the media table."""
     return media.mapInPandas(_extract_features_batch, schema=MEDIA_FEATURES_SCHEMA)

@@ -110,6 +110,38 @@ def lsh_sign_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFra
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, sign-LSH blocked: only
+    pairs sharing an LSH bucket are compared (the bucket join shuffles
+    bucket keys, never a cross join), then exact cosine gates at
+    ``threshold``.  Rounded + ordered for engine portability."""
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    ).withColumn("bucket", _bucket_col(F.col("emb"), n_planes))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket"
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+                3,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_assignments(
     embeddings: DataFrame, n_centroids: int = 16, iters: int = 2
 ) -> tuple[DataFrame, list[list[float]]]:

@@ -74,6 +74,30 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """BPE-style regex token counting (letters / digit runs / punct runs —
+    a lookaround-free, engine-portable cousin of the GPT-2 pre-tokenizer).
+    Training-data budgeting uses these counts; pure map-side + one agg."""
+    toks = F.expr(f"regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)")
+    return (
+        documents.select(
+            "doc_id",
+            "lang",
+            F.size(toks).alias("n_bpe_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.avg("n_unique_tokens"), 4).alias("avg_unique_tokens"),
+        )
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Normalization fingerprint: md5 of lowercased, whitespace-collapsed
     text — the exact-dedup key for near-identical formatting variants."""

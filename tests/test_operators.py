@@ -216,3 +216,39 @@ def test_ivf_ann(spark, embeds):
         got = {r["vec_id"] for r in ann if r["query_id"] == q}
         hits += len(top5 & got)
     assert hits >= 5  # ≥20% recall across 5 queries at this tiny scale
+
+
+def test_embedding_near_dup_blocking(spark, embeds, ddb):
+    from paperoni_spark.operators.similarity import embedding_near_dup_pairs
+
+    # corpus has no true near-dups at 0.95 (both engines agree on empty)
+    assert_matches_oracle(
+        embedding_near_dup_pairs(embeds), ddb, contract.oracle_embedding_near_dup()
+    )
+    # at a permissive threshold the blocked comparison yields real pairs
+    pairs = embedding_near_dup_pairs(embeds, threshold=0.3).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["vec_a"] < r["vec_b"]
+        assert 0.3 <= r["cosine"] <= 1.0
+
+
+def test_bpe_token_stats(spark, docs, ddb):
+    assert_matches_oracle(
+        contract.textstats.bpe_token_stats(docs), ddb, contract.oracle_bpe_token_stats()
+    )
+
+
+def test_media_resize_sample(spark, docs, ddb):
+    from paperoni_spark.operators import multimodal
+
+    media = multimodal.media_table_from_documents(docs)
+    result = multimodal.media_resize_and_sample(media)
+    rows = result.collect()
+    for r in rows[:30]:
+        assert max(r["out_width"], r["out_height"]) <= 224
+        if r["mime"].startswith("video/"):
+            assert 1 <= len(r["frame_indices"]) <= 8
+        else:
+            assert r["frame_indices"] == []
+    assert_matches_oracle(result, ddb, contract.oracle_media_resize_sample())
