@@ -345,6 +345,31 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.1
 """
 
 
+def oracle_winnow_fingerprints() -> str:
+    w = dedup.WINNOW_WINDOW - 1
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS arr FROM documents),
+sh AS (
+  SELECT doc_id, i AS pos, md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]) AS h
+  FROM toks, unnest(generate_series(1, len(arr) - 2)) AS t(i)
+  WHERE len(arr) >= 3
+),
+minima AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {w} FOLLOWING) AS win_min
+  FROM sh
+),
+agg AS (
+  SELECT doc_id, list_sort(list_distinct(list(win_min))) AS fps
+  FROM minima GROUP BY doc_id
+)
+SELECT doc_id, len(fps)::INT AS n_fingerprints,
+       md5(array_to_string(fps, '|')) AS fp_digest
+FROM agg
+"""
+
+
 def oracle_cosine_topk() -> str:
     return """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -612,6 +637,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": lambda spark, sf: dedup.lsh_candidate_pairs(load(spark, sf, "documents")),
         "simhash": lambda spark, sf: dedup.simhash(load(spark, sf, "documents")),
         "ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(load(spark, sf, "documents")),
+        "winnow_fingerprints": lambda spark, sf: dedup.winnow_fingerprints(load(spark, sf, "documents")),
         # text analysis family
         "token_stats": lambda spark, sf: textstats.token_stats(load(spark, sf, "documents")),
         "quality_scores": lambda spark, sf: textstats.quality_scores(load(spark, sf, "documents")),
@@ -659,6 +685,7 @@ def build_oracles() -> dict[str, str]:
         "lsh_candidate_pairs": oracle_lsh_candidate_pairs(),
         "simhash": oracle_simhash(),
         "ngram_jaccard": oracle_ngram_jaccard(),
+        "winnow_fingerprints": oracle_winnow_fingerprints(),
         "token_stats": oracle_token_stats(),
         "quality_scores": oracle_quality_scores(),
         "lang_id": oracle_lang_id(),

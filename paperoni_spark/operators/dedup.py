@@ -66,6 +66,49 @@ def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     ).distinct()
 
 
+WINNOW_WINDOW = 4
+
+
+def winnow_fingerprints(
+    documents: DataFrame, n: int = 3, window: int = WINNOW_WINDOW
+) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): hash every word
+    n-gram in document order, slide a window of ``window`` hashes, keep each
+    window's minimum — the classic local-fingerprint scheme whose selections
+    are stable under edits outside the window.  Hashes are md5 (lexicographic
+    min ≙ integer min, engine-portable); one doc_id-keyed window shuffle."""
+    from pyspark.sql.window import Window
+
+    toks_df = documents.select(
+        "doc_id",
+        F.explode(F.array(F.split(F.trim("text"), r"\s+"))).alias("toks"),
+    )
+    shingle_arr = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {n}))) "
+        "ELSE array() END"
+    )
+    positioned = toks_df.select(
+        "doc_id", F.posexplode(shingle_arr).alias("pos", "shingle")
+    ).withColumn("h", F.md5("shingle"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    minima = positioned.withColumn("win_min", F.min("h").over(w))
+    return (
+        minima.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("win_min")).alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_fingerprints"),
+            F.md5(F.concat_ws("|", "fps")).alias("fp_digest"),
+        )
+    )
+
+
 def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """K-permutation MinHash over word 3-gram shingles.
 

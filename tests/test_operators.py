@@ -252,3 +252,15 @@ def test_media_resize_sample(spark, docs, ddb):
         else:
             assert r["frame_indices"] == []
     assert_matches_oracle(result, ddb, contract.oracle_media_resize_sample())
+
+
+def test_winnow_fingerprints(spark, docs, ddb):
+    from paperoni_spark.operators.dedup import winnow_fingerprints
+
+    result = winnow_fingerprints(docs)
+    assert_matches_oracle(result, ddb, contract.oracle_winnow_fingerprints())
+    rows = result.collect()
+    # winnowing selects far fewer fingerprints than there are shingles
+    for r in rows[:20]:
+        assert r["n_fingerprints"] >= 1
+        assert len(r["fp_digest"]) == 32
