@@ -41,7 +41,7 @@ def test_watermark_append_semantics(spark, tmp_path_factory):
     _rows(
         spark, [(70, "click"), (80, "click"), (130, "view"), (310, "late-driver")]
     ).coalesce(1).write.parquet(os.path.join(events_dir, "batch1"))
-    time.sleep(1.1)  # file source orders batches by modification time
+    time.sleep(2.1)  # file source orders batches by modification time
     # batch 2: one beyond-watermark event and one future event
     _rows(spark, [(30, "too-late"), (370, "tail")]).coalesce(1).write.parquet(
         os.path.join(events_dir, "batch2")
