@@ -67,7 +67,8 @@ def fast_feed(builder, rawdata: str) -> None:
             if j < 0:
                 j = n
             if i < j:
-                builder.handle_data(unescape(rawdata[i:j]))
+                chunk = rawdata[i:j]
+                builder.handle_data(unescape(chunk) if "&" in chunk else chunk)
             i = j
             if i == n:
                 break
