@@ -29,3 +29,30 @@ def test_golden_span_sequences():
         assert got_spans == expected["extracted"], doc["doc_id"]
         assert got["metadata"] == expected["metadata"], doc["doc_id"]
         assert got["img_urls"] == expected["img_urls"], doc["doc_id"]
+
+
+def test_golden_synthetic_corpus():
+    """Synthetic-corpus extraction is frozen (digest per doc): the bench
+    corpus semantics must stay identical across rounds so BENCH_r{N}
+    numbers are comparable; a kernel change that alters these is caught
+    here deliberately."""
+    import hashlib
+
+    from paperoni_spark.spans import synth_document
+
+    with open(os.path.join(os.path.dirname(__file__), "golden", "synthetic_spans.json")) as f:
+        golden = json.load(f)
+    for doc_id, expected in golden.items():
+        idx = int(doc_id.split("-")[1])
+        d = synth_document(idx)
+        r = extract_document(d["doc_id"], d["spans"])
+        assert r["status"] == expected["status"], doc_id
+        assert r["spans_emitted"] == expected["spans_emitted"], doc_id
+        assert r["nodes_scored"] == expected["nodes_scored"], doc_id
+        digest = hashlib.md5(
+            json.dumps(
+                [[s["kind"], s["text"], s["media_ref"], s["order"]] for s in r["extracted"]],
+                ensure_ascii=False,
+            ).encode()
+        ).hexdigest()
+        assert digest == expected["extracted_digest"], doc_id
