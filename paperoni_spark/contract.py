@@ -492,8 +492,8 @@ SELECT media_id, mime,
        greatest(1, floor(src_h * scale))::INT AS out_height,
        (greatest(1, floor(src_w * scale))::BIGINT * greatest(1, floor(src_h * scale))::BIGINT * 3) AS out_bytes,
        CASE WHEN mime LIKE 'video/%'
-            THEN list_slice(range(0, dur, greatest(1, dur // 8)), 1, 8)
-            ELSE []::INT[] END AS frame_indices
+            THEN array_to_string(list_slice(range(0, dur, greatest(1, dur // 8)), 1, 8), '|')
+            ELSE '' END AS frame_indices
 FROM scaled
 """
 

@@ -139,6 +139,9 @@ def _fake_frame_sample(payload: bytes, n_frames: int) -> list[int]:
     return list(range(0, duration_frames, step))[:n_frames]
 
 
+# frame_indices is a '|'-joined string (not array<int>): driver-side result
+# canonicalization sorts rows with pandas, and unhashable list cells break it
+# (round-1 gate failure); a joined string is hashable and oracle-portable.
 RESIZE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -146,7 +149,7 @@ RESIZE_SCHEMA = StructType(
         StructField("out_width", IntegerType()),
         StructField("out_height", IntegerType()),
         StructField("out_bytes", LongType()),
-        StructField("frame_indices", ArrayType(IntegerType())),
+        StructField("frame_indices", StringType()),
     ]
 )
 
@@ -166,9 +169,9 @@ def media_resize_and_sample(
                 data = bytes(payload) if payload is not None else b""
                 w, h, nbytes = _fake_resize(data, target_w, target_h)
                 frames = (
-                    _fake_frame_sample(data, n_frames)
+                    "|".join(map(str, _fake_frame_sample(data, n_frames)))
                     if str(mime).startswith("video/")
-                    else []
+                    else ""
                 )
                 out["media_id"].append(media_id)
                 out["mime"].append(mime)

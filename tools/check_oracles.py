@@ -14,6 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pandas as pd
 
 import __spark_entry__ as entrymod
 from paperoni_spark.pipeline import build_spark
@@ -34,9 +35,19 @@ def normalize(value):
 
 
 def rowset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    normalized = [tuple(normalize(r[i]) for i in order) for r in rows]
-    return sorted(normalized, key=repr), [cols[i] for i in order]
+    """Canonicalize exactly like the driver gate: pandas DataFrame, columns
+    sorted by name, then multi-column ``sort_values``.  Critically this
+    REPRODUCES the driver's failure mode on unhashable cells (list-typed
+    columns raise TypeError in pandas factorize) — round 1's
+    media_resize_sample passed a repr-based local sort but broke the driver.
+    """
+    ordered = sorted(cols)
+    df = pd.DataFrame(
+        [[normalize(v) for v in r] for r in rows], columns=list(cols)
+    )[ordered]
+    if len(df):
+        df = df.sort_values(by=ordered, kind="mergesort").reset_index(drop=True)
+    return [tuple(r) for r in df.itertuples(index=False, name=None)], ordered
 
 
 def main() -> int:
