@@ -36,12 +36,11 @@ from .spans import fixture_corpus, synth_corpus
 from .streaming import run_streaming_window_counts, windowed_event_counts
 from .streaming.stateful import running_user_totals
 
-GOLDEN_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests",
-    "golden",
-    "fixture_spans.json",
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden"
 )
+GOLDEN_PATH = os.path.join(_GOLDEN_DIR, "fixture_spans.json")
+SYNTH_AGG_PATH = os.path.join(_GOLDEN_DIR, "synthetic_agg.json")
 
 DOCUMENTS_SPANS_SCHEMA = StructType(
     [
@@ -123,25 +122,26 @@ def q_extract_img_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the full training-data pipeline composition
-    (extract → flatten → fingerprint/dedup → quality) over the synthetic
-    corpus."""
-    from .pipeline.compose import corpus_dedup_stats
+    """The full training-data pipeline composition (extract → flatten →
+    normalize-fingerprint → quality signals) over the frozen synthetic
+    corpus, one row per surviving document.  Oracle: frozen golden VALUES
+    (tests/golden/synthetic_agg.json) — the corpus generator is frozen for
+    cross-round comparability, so per-doc outputs are a stable contract."""
+    from .pipeline.compose import corpus_build
 
-    return corpus_dedup_stats(synth_documents_df(spark, 150))
+    return corpus_build(synth_documents_df(spark, 150))
 
 
 def q_extract_synthetic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: full tiered pipeline over the synthetic heavy-tail corpus."""
+    """Full tiered pipeline over the synthetic heavy-tail corpus, one row
+    per document (status + span/node counters).  Oracle: frozen golden
+    VALUES — see q_corpus_build."""
     extracted = extract_pipeline(synth_documents_df(spark))
-    return (
-        extracted.groupBy("status")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("spans_emitted").alias("total_spans"),
-            F.sum("nodes_scored").alias("total_nodes_scored"),
-        )
-        .orderBy("status")
+    return extracted.select(
+        "doc_id",
+        "status",
+        F.col("spans_emitted").cast("long").alias("spans_emitted"),
+        F.col("nodes_scored").cast("long").alias("nodes_scored"),
     )
 
 
@@ -190,6 +190,27 @@ def golden_status_values_sql() -> str:
         "SELECT * FROM (VALUES\n"
         + ",\n".join(rows)
         + "\n) AS t(doc_id, status, spans_emitted, title, byline)"
+    )
+
+
+def synthetic_golden_values_sql(name: str) -> str:
+    """VALUES oracle from the frozen per-doc golden rows of the synthetic
+    corpus (tests/golden/synthetic_agg.json).  The synthetic generator is
+    frozen for cross-round bench comparability (spans/synthetic.py), so
+    these rows are a stable regression contract — regenerating the file is
+    only legitimate when a query's *shape* changes, never to paper over a
+    kernel behavior change."""
+    with open(SYNTH_AGG_PATH) as f:
+        golden = json.load(f)[name]
+    cols = ", ".join(golden["columns"])
+    rows = []
+    for row in golden["rows"]:
+        cells = [
+            _sql_str(v) if isinstance(v, str) or v is None else str(v) for v in row
+        ]
+        rows.append("(" + ", ".join(cells) + ")")
+    return (
+        "SELECT * FROM (VALUES\n" + ",\n".join(rows) + f"\n) AS t({cols})"
     )
 
 
@@ -434,6 +455,94 @@ SELECT query_id, vec_id, score, rank::INT AS rank FROM ranked WHERE rank <= 5
 """
 
 
+def oracle_ann_ivf_topk(
+    n_centroids: int = 16,
+    iters: int = 2,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 2,
+    dim: int = similarity.EMBED_DIM,
+) -> str:
+    """DuckDB twin of similarity.ann_ivf_topk: the same deterministic
+    k-means (seed = k lowest vec_ids, rounded distances with lowest-cid
+    tie-break, rounded per-dim means, empty clusters keep their centroid)
+    unrolled as one CTE chain per Lloyd iteration."""
+    r = similarity.IVF_ROUND
+
+    def dist(e: str, c: str) -> str:
+        return (
+            f"round(list_dot_product({e}, {e}) - 2 * list_dot_product({e}, {c})"
+            f" + list_dot_product({c}, {c}), {r})"
+        )
+
+    ctes = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb AS c
+  FROM (SELECT vec_id, emb FROM base ORDER BY vec_id LIMIT {n_centroids}))""",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT b.vec_id, b.emb, s.cid,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {dist('b.emb', 's.c')} ASC, s.cid ASC) AS rn
+    FROM base b CROSS JOIN {prev} s) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{it} AS (
+  SELECT a.cid, i AS dim, round(avg(a.emb[i]), {r}) AS m
+  FROM a{it} a, unnest(generate_series(1, {dim})) AS t(i) GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+  SELECT s.cid, coalesce(mm.c, s.c) AS c
+  FROM {prev} s LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS c
+                           FROM m{it} GROUP BY cid) mm USING (cid))"""
+        )
+        prev = f"c{it}"
+    ctes.append(
+        f"""af AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT b.vec_id, b.emb, s.cid,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {dist('b.emb', 's.c')} ASC, s.cid ASC) AS rn
+    FROM base b CROSS JOIN {prev} s) WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, emb AS qemb FROM af WHERE vec_id < {n_queries})"
+    )
+    ctes.append(
+        f"""probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, s.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {dist('q.qemb', 's.c')} ASC, s.cid ASC) AS rn
+    FROM q CROSS JOIN {prev} s) WHERE rn <= {nprobe})"""
+    )
+    ctes.append(
+        """scored AS (
+  SELECT q.query_id, a.vec_id,
+         round(list_dot_product(q.qemb, a.emb) /
+               (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(a.emb, a.emb))), 3) AS score
+  FROM af a JOIN probes p ON a.cid = p.cid JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id != q.query_id)"""
+    )
+    ctes.append(
+        """ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, vec_id, score, rank::INT AS rank FROM ranked WHERE rank <= {k}"
+    )
+
+
 def oracle_embedding_near_dup() -> str:
     return f"""
 WITH base AS (
@@ -647,7 +756,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": lambda spark, sf: similarity.cosine_topk(load(spark, sf, "embeddings")),
         "lsh_sign_buckets": lambda spark, sf: similarity.lsh_sign_buckets(load(spark, sf, "embeddings")),
         "ann_lsh_topk": lambda spark, sf: similarity.ann_lsh_topk(load(spark, sf, "embeddings")),
-        # rows-only: k-means assignment is FP-order-sensitive across engines
+        # k-means made engine-portable (rounded distances/means, cid
+        # tie-breaks) so the DuckDB twin replays the exact Lloyd iterations
         "ann_ivf_topk": lambda spark, sf: similarity.ann_ivf_topk(load(spark, sf, "embeddings")),
         "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(load(spark, sf, "embeddings")),
         "bpe_token_stats": lambda spark, sf: textstats.bpe_token_stats(load(spark, sf, "documents")),
@@ -679,7 +789,8 @@ def build_oracles() -> dict[str, str]:
         "extract_fixture_spans": golden_spans_values_sql(),
         "extract_fixture_status": golden_status_values_sql(),
         "extract_img_urls": golden_img_urls_values_sql(),
-        # extract_synthetic_stats: rows-only (kernel not SQL-expressible)
+        "extract_synthetic_stats": synthetic_golden_values_sql("extract_synthetic_stats"),
+        "corpus_build": synthetic_golden_values_sql("corpus_build"),
         "exact_dedup": oracle_exact_dedup(),
         "minhash_signatures": oracle_minhash_signatures(),
         "lsh_candidate_pairs": oracle_lsh_candidate_pairs(),
@@ -693,6 +804,7 @@ def build_oracles() -> dict[str, str]:
         "cosine_topk": oracle_cosine_topk(),
         "lsh_sign_buckets": oracle_lsh_sign_buckets(),
         "ann_lsh_topk": oracle_ann_lsh_topk(),
+        "ann_ivf_topk": oracle_ann_ivf_topk(),
         "media_feature_stats": oracle_media_feature_stats(),
         "pdf_page_stats": oracle_pdf_page_stats(),
         "embedding_near_dup": oracle_embedding_near_dup(),

@@ -142,6 +142,21 @@ def embedding_near_dup_pairs(
     )
 
 
+IVF_ROUND = 6  # decimals: distances + centroid means (engine portability)
+
+
+def _sq_dist(cent):
+    """Rounded squared distance |e|² − 2e·c + |c|² to a literal centroid.
+    Rounding before any argmin/sort makes assignment identical across
+    engines despite FP summation-order differences."""
+    return F.round(
+        _dot(F.col("emb"), F.col("emb"))
+        - F.lit(2.0) * _dot(F.col("emb"), F.array(*[F.lit(c) for c in cent]))
+        + F.lit(sum(x * x for x in cent)),
+        IVF_ROUND,
+    )
+
+
 def ivf_assignments(
     embeddings: DataFrame, n_centroids: int = 16, iters: int = 2
 ) -> tuple[DataFrame, list[list[float]]]:
@@ -151,6 +166,9 @@ def ivf_assignments(
     literal arrays, so each Lloyd iteration is one pruned scan + one
     partial-aggregated groupBy; assignment of 10^12 vectors is pure map-side
     work.  Init is deterministic (the k lowest vec_ids) — no RNG state.
+    Distances and per-iteration centroid means are rounded (IVF_ROUND) so
+    every assignment — and hence the DuckDB oracle twin — is FP-order
+    independent; argmin ties break to the lowest centroid id.
     """
     base = embeddings.select(
         "vec_id", _to_double(F.col("embedding")).alias("emb")
@@ -161,14 +179,10 @@ def ivf_assignments(
     centroids = [list(r["emb"]) for r in seed_rows]
 
     def assign_col(cents):
-        dists = F.array(
-            *[
-                _dot(F.col("emb"), F.col("emb"))
-                - F.lit(2.0) * _dot(F.col("emb"), F.array(*[F.lit(c) for c in cent]))
-                + F.lit(sum(x * x for x in cent))
-                for cent in cents
-            ]
-        )
+        dists = F.array(*[_sq_dist(cent) for cent in cents])
+        # array_position returns the FIRST index holding the min — ties
+        # break to the lowest centroid id, matching the oracle's (d, cid)
+        # ordering.
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     for _ in range(iters):
@@ -182,7 +196,7 @@ def ivf_assignments(
         )
         new_centroids = [list(c) for c in centroids]
         for row in means:
-            new_centroids[row["centroid"]][row["dim"]] = row["mean"]
+            new_centroids[row["centroid"]][row["dim"]] = round(row["mean"], IVF_ROUND)
         centroids = new_centroids
 
     return base.withColumn("centroid", assign_col(centroids)), centroids
@@ -207,17 +221,25 @@ def ann_ivf_topk(
     )
 
     def dist_to(cent):
-        return (
+        return F.round(
             _dot(F.col("qemb"), F.col("qemb"))
             - F.lit(2.0) * _dot(F.col("qemb"), F.array(*[F.lit(c) for c in cent]))
-            + F.lit(sum(x * x for x in cent))
+            + F.lit(sum(x * x for x in cent)),
+            IVF_ROUND,
         )
 
-    dists = F.array(*[dist_to(c) for c in centroids])
-    probe_cols = [
-        F.array_position(dists, F.array_sort(dists)[p]).cast("int") - 1
-        for p in range(nprobe)
-    ]
+    # sort (distance, centroid-id) structs so probe selection is total-order
+    # deterministic even under distance ties (array_position on a sorted
+    # distance array would duplicate probes on ties)
+    pairs = F.array_sort(
+        F.array(
+            *[
+                F.struct(dist_to(c).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    probe_cols = [pairs[p]["cid"].cast("int") for p in range(nprobe)]
     queries = queries.withColumn("probes", F.array(*probe_cols))
 
     scored = (
