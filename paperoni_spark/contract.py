@@ -349,10 +349,15 @@ SELECT doc_id, ({weight})::BIGINT AS simhash FROM sums
 def oracle_ngram_jaccard() -> str:
     return f"""
 WITH {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+blocked AS (
+  SELECT s.* FROM sh s
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {dedup.SHINGLE_DF_CAP}) ok USING (shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM blocked GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM sh a JOIN sh b USING (shingle)
+  FROM blocked a JOIN blocked b USING (shingle)
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ),
 scored AS (
@@ -415,36 +420,64 @@ def _plane_literal(plane: int) -> str:
     return "[" + ", ".join(f"{c:.1f}" for c in coefs) + "]::DOUBLE[]"
 
 
-def _bucket_sql(emb: str) -> str:
+def _band_key_sql(emb: str, band: int) -> str:
+    ppb = similarity.PLANES_PER_BAND
     bits = [
         f"CASE WHEN list_dot_product({emb}, {_plane_literal(p)}) > 0 THEN '1' ELSE '0' END"
-        for p in range(similarity.N_PLANES)
+        for p in range(band * ppb, (band + 1) * ppb)
     ]
     return " || ".join(bits)
 
 
+def _bands_cte(src: str = "base") -> str:
+    """bands: one row per (vector, band); capped: rows in under-cap buckets."""
+    per_band = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, ({_band_key_sql('emb', b)}) AS bkey FROM {src}"
+        for b in range(similarity.N_BANDS)
+    )
+    return f"""bands AS ({per_band}),
+capped AS (
+  SELECT b.* FROM bands b
+  JOIN (SELECT band, bkey FROM bands GROUP BY 1, 2
+        HAVING count(*) <= {similarity.MAX_BUCKET}) ok USING (band, bkey))"""
+
+
 def oracle_lsh_sign_buckets() -> str:
     return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
-SELECT ({_bucket_sql('emb')}) AS bucket, count(*)::BIGINT AS n_vecs
-FROM base GROUP BY 1
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+{_bands_cte()}
+SELECT band::INT AS band, bkey AS bucket, count(*)::BIGINT AS n_vecs
+FROM bands GROUP BY 1, 2
 """
 
 
 def oracle_ann_lsh_topk() -> str:
+    ppb = similarity.PLANES_PER_BAND
     return f"""
-WITH base AS (
-  SELECT vec_id, embedding::DOUBLE[] AS emb,
-         ({_bucket_sql('embedding::DOUBLE[]')}) AS bucket
-  FROM embeddings
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+{_bands_cte()},
+qb AS (SELECT vec_id AS query_id, band, bkey FROM bands WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, band, bkey FROM qb
+  UNION
+  SELECT query_id, band,
+         substr(bkey, 1, i - 1)
+           || (CASE substr(bkey, i, 1) WHEN '0' THEN '1' ELSE '0' END)
+           || substr(bkey, i + 1) AS bkey
+  FROM qb, unnest(generate_series(1, {ppb})) AS t(i)
 ),
-q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket FROM base WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id
+  FROM capped c JOIN probes p USING (band, bkey)
+  WHERE c.vec_id != p.query_id
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM base WHERE vec_id < 10),
 scored AS (
-  SELECT q.query_id, b.vec_id,
+  SELECT cand.query_id, cand.vec_id,
          round(list_dot_product(q.qemb, b.emb) /
                (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(b.emb, b.emb))), 3) AS score
-  FROM base b JOIN q ON b.bucket = q.qbucket
-  WHERE b.vec_id != q.query_id
+  FROM cand JOIN base b ON b.vec_id = cand.vec_id
+  JOIN q ON q.query_id = cand.query_id
 ),
 ranked AS (
   SELECT query_id, vec_id, score,
@@ -543,19 +576,43 @@ def oracle_ann_ivf_topk(
     )
 
 
+N_PLANTED_TWINS = 10
+TWIN_ID_OFFSET = 1_000_000
+
+
+def planted_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Gate seeding: union the corpus with exact twins of the first
+    N_PLANTED_TWINS vectors (vec_id + TWIN_ID_OFFSET) so the near-dup
+    oracle compares non-empty sets — round 1's gate was trivially green on
+    0 rows vs 0 rows.  The operator under test is unchanged; only the gate
+    input is enriched (mirrored verbatim in the DuckDB oracle)."""
+    base = embeddings.select("vec_id", "embedding")
+    twins = base.where(F.col("vec_id") < N_PLANTED_TWINS).select(
+        (F.col("vec_id") + TWIN_ID_OFFSET).alias("vec_id"), "embedding"
+    )
+    return base.union(twins)
+
+
 def oracle_embedding_near_dup() -> str:
     return f"""
-WITH base AS (
-  SELECT vec_id, embedding::DOUBLE[] AS emb,
-         ({_bucket_sql('embedding::DOUBLE[]')}) AS bucket
-  FROM embeddings
+WITH planted AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {TWIN_ID_OFFSET}, embedding FROM embeddings WHERE vec_id < {N_PLANTED_TWINS}
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM planted),
+{_bands_cte()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM capped a JOIN capped b USING (band, bkey)
+  WHERE a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.emb, b.emb) /
-             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 3) AS cosine
-FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.emb, b.emb) /
-            (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 3) >= 0.95
+SELECT vec_a, vec_b,
+       round(list_dot_product(ea.emb, eb.emb) /
+             (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))), 3) AS cosine
+FROM cand JOIN base ea ON ea.vec_id = vec_a JOIN base eb ON eb.vec_id = vec_b
+WHERE round(list_dot_product(ea.emb, eb.emb) /
+            (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))), 3) >= 0.95
 """
 
 
@@ -759,7 +816,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-means made engine-portable (rounded distances/means, cid
         # tie-breaks) so the DuckDB twin replays the exact Lloyd iterations
         "ann_ivf_topk": lambda spark, sf: similarity.ann_ivf_topk(load(spark, sf, "embeddings")),
-        "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(load(spark, sf, "embeddings")),
+        "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(
+            planted_embeddings(load(spark, sf, "embeddings"))
+        ),
         "bpe_token_stats": lambda spark, sf: textstats.bpe_token_stats(load(spark, sf, "documents")),
         "media_resize_sample": lambda spark, sf: multimodal.media_resize_and_sample(
             multimodal.media_table_from_documents(load(spark, sf, "documents"))

@@ -185,16 +185,40 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return sums.select("doc_id", weight.cast("long").alias("simhash"))
 
 
+SHINGLE_DF_CAP = 100
+
+
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.1
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.1,
+    df_cap: int = SHINGLE_DF_CAP,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs that share ≥1 shingle
-    (equi-join blocking; at full scale the block key is an LSH band)."""
+    """Exact n-gram Jaccard with document-frequency-capped blocking.
+
+    A shingle shared by 10^8 documents (boilerplate) makes its join bucket
+    quadratic — the classic hot-key blowup.  Shingles with document
+    frequency > ``df_cap`` are excluded from the similarity space
+    entirely: the over-cap set is tiny by construction and ships as a
+    broadcast anti-join, so the big side never shuffles for the cap.  The
+    result is *boilerplate-insensitive* Jaccard — intersection and union
+    both range over the capped shingle space, which both bounds the join
+    and stops boilerplate from inflating similarity between unrelated
+    documents (the behavior a dedup pass wants).  A true near-dup pair
+    shares rare shingles, so it always survives the cap.
+    """
     sh = _shingles(documents, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    blocked = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = blocked.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), on="shingle")
+        blocked.alias("a")
+        .join(blocked.alias("b"), on="shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("common"))

@@ -23,7 +23,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 EMBED_DIM = 64
-N_PLANES = 8
+
+# Banded sign-LSH geometry.  Total code = N_BANDS * PLANES_PER_BAND bits;
+# a pair is a candidate iff it collides in >=1 band (MinHash-style banding
+# applied to hyperplane signs).  PLANES_PER_BAND controls bucket
+# granularity (2^R buckets per band); N_BANDS controls recall.  At 10^12
+# vectors raise PLANES_PER_BAND to 20-24 (1M-16M buckets/band, keeping
+# per-bucket candidate sets ~10^5-10^6) and N_BANDS to 6-8 — the shapes
+# below are scaled for the 500-row driver fixture.  MAX_BUCKET bounds
+# candidate generation: buckets larger than the cap are skipped (the
+# degenerate-region guard — a near-zero or boilerplate embedding cluster
+# otherwise creates an O(B^2) pair explosion).
+N_BANDS = 4
+PLANES_PER_BAND = 8
+N_PLANES = N_BANDS * PLANES_PER_BAND
+MAX_BUCKET = 64
 
 
 def _dot(a, b):
@@ -89,46 +103,125 @@ def hyperplane(plane: int, dim: int = EMBED_DIM) -> list[float]:
     return coefs
 
 
-def _bucket_col(emb_col, n_planes: int = N_PLANES):
-    bits = []
-    for p in range(n_planes):
-        coefs = F.array(*[F.lit(c) for c in hyperplane(p)])
-        bit = F.when(_dot(emb_col, coefs) > 0, F.lit("1")).otherwise(F.lit("0"))
-        bits.append(bit)
-    return F.concat(*bits)
+_PLANE_MATRIX = None
 
 
-def lsh_sign_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """Sign-LSH bucket histogram — map-side bucketing, one tiny agg shuffle."""
+def _plane_matrix():
+    global _PLANE_MATRIX
+    if _PLANE_MATRIX is None:
+        import numpy as np
+
+        _PLANE_MATRIX = np.array(
+            [hyperplane(p) for p in range(N_PLANES)], dtype=np.float64
+        ).T  # dim × planes
+    return _PLANE_MATRIX
+
+
+def lsh_code_col(emb_col):
+    """Full N_PLANES-bit sign-LSH code as one Arrow-vectorized pandas UDF.
+
+    All projections happen in ONE numpy matmul per batch — Catalyst
+    higher-order functions (aggregate/zip_with) are interpreted per
+    element, not codegen'd, so 32 of them per row is ~10× slower than the
+    BLAS path.  The ±1 plane coefficients make each projection a signed sum
+    of float32-exact doubles, so the sign agrees with the DuckDB oracle's
+    sequential list_dot_product for any summation order except exact-zero
+    knife edges."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf can't resolve — the return type is in the decorator
+    @pandas_udf("string")
+    def code_udf(emb):
+        planes = _plane_matrix()
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (mat @ planes) > 0
+        codes = np.where(bits, "1", "0")
+        return pd.Series(["".join(row) for row in codes])
+
+    return code_udf(emb_col)
+
+
+def banded_buckets(base: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(vec_id, emb, band, bkey): one row per (vector, band).  Pure
+    map-side — one vectorized code per vector, then an explode of (band,
+    substring) structs; no shuffle to bucket 10^12 vectors."""
+    coded = base.withColumn("code", lsh_code_col(F.col("emb")))
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring(
+                        "code", b * PLANES_PER_BAND + 1, PLANES_PER_BAND
+                    ).alias("bkey"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    )
+    return coded.select("vec_id", "emb", bands.alias("bb")).select(
+        "vec_id", "emb", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+
+
+def capped_bands(bands: DataFrame, cap: int = MAX_BUCKET) -> DataFrame:
+    """Drop rows in over-cap buckets.  The over-cap set is tiny by
+    construction (few degenerate buckets), so it ships as a broadcast
+    anti-join — the 10^12-row side never shuffles for the cap."""
+    hot = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count("*").alias("n_in_bucket"))
+        .where(F.col("n_in_bucket") > cap)
+        .select("band", "bkey")
+    )
+    return bands.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+
+
+def lsh_sign_buckets(embeddings: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Per-band sign-LSH bucket histogram — map-side bucketing, one tiny
+    agg shuffle of (band, key) rows.  This is also the skew probe: bucket
+    sizes here tell you whether MAX_BUCKET will bite."""
     base = embeddings.select(
         "vec_id", _to_double(F.col("embedding")).alias("emb")
     )
     return (
-        base.select(_bucket_col(F.col("emb"), n_planes).alias("bucket"))
-        .groupBy("bucket")
+        banded_buckets(base, n_bands)
+        .groupBy("band", F.col("bkey").alias("bucket"))
         .agg(F.count("*").alias("n_vecs"))
     )
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, n_planes: int = N_PLANES
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    cap: int = MAX_BUCKET,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate detection, sign-LSH blocked: only
-    pairs sharing an LSH bucket are compared (the bucket join shuffles
-    bucket keys, never a cross join), then exact cosine gates at
+    """Embedding-cosine near-duplicate detection, banded sign-LSH blocked:
+    a pair is compared iff it collides in >=1 band whose bucket is under
+    the size cap (candidate generation is per-band equi-join, never a
+    cross join; over-cap buckets are excluded to bound the O(B²) pair
+    blowup).  Candidates dedupe across bands, then exact cosine gates at
     ``threshold``.  Rounded + ordered for engine portability."""
     base = embeddings.select(
         "vec_id", _to_double(F.col("embedding")).alias("emb")
-    ).withColumn("bucket", _bucket_col(F.col("emb"), n_planes))
-    a = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket"
     )
-    b = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "bucket"
-    )
-    return (
-        a.join(b, "bucket")
+    bands = capped_bands(banded_buckets(base), cap).select("vec_id", "band", "bkey")
+    a = bands.select(F.col("vec_id").alias("vec_a"), "band", "bkey")
+    b = bands.select(F.col("vec_id").alias("vec_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
         .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = base.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    eb = base.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
@@ -143,18 +236,6 @@ def embedding_near_dup_pairs(
 
 
 IVF_ROUND = 6  # decimals: distances + centroid means (engine portability)
-
-
-def _sq_dist(cent):
-    """Rounded squared distance |e|² − 2e·c + |c|² to a literal centroid.
-    Rounding before any argmin/sort makes assignment identical across
-    engines despite FP summation-order differences."""
-    return F.round(
-        _dot(F.col("emb"), F.col("emb"))
-        - F.lit(2.0) * _dot(F.col("emb"), F.array(*[F.lit(c) for c in cent]))
-        + F.lit(sum(x * x for x in cent)),
-        IVF_ROUND,
-    )
 
 
 def ivf_assignments(
@@ -179,11 +260,30 @@ def ivf_assignments(
     centroids = [list(r["emb"]) for r in seed_rows]
 
     def assign_col(cents):
-        dists = F.array(*[_sq_dist(cent) for cent in cents])
-        # array_position returns the FIRST index holding the min — ties
-        # break to the lowest centroid id, matching the oracle's (d, cid)
-        # ordering.
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        # one numpy matmul per Arrow batch instead of k interpreted
+        # higher-order-function distances per row (~10× on the hot pass);
+        # np.argmin takes the FIRST min — ties break to the lowest centroid
+        # id, matching the oracle's (d, cid) ordering.  round() before
+        # argmin keeps assignment FP-order independent across engines.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        cent_mat = np.array(cents, dtype=np.float64)  # k × dim
+        cent_sq = (cent_mat * cent_mat).sum(axis=1)
+
+        @pandas_udf("int")
+        def assign_udf(emb):
+            mat = np.stack(emb.to_numpy()).astype(np.float64)
+            dists = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ cent_mat.T)
+                + cent_sq[None, :]
+            )
+            dists = np.round(dists, IVF_ROUND)
+            return pd.Series(np.argmin(dists, axis=1).astype("int32"))
+
+        return assign_udf(F.col("emb"))
 
     for _ in range(iters):
         assigned = base.withColumn("centroid", assign_col(centroids))
@@ -268,27 +368,66 @@ def ann_ivf_topk(
     )
 
 
+def _probe_keys(key_col, planes_per_band: int = PLANES_PER_BAND):
+    """Multi-probe key set: the band key plus every Hamming-distance-1
+    neighbor (each bit flipped once) — the standard multi-probe LSH trick
+    that recovers recall lost to fine (high-R) bucket granularity without
+    adding tables."""
+    keys = [key_col]
+    for i in range(1, planes_per_band + 1):
+        flipped = F.when(F.substring(key_col, i, 1) == "0", F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        keys.append(
+            F.concat(
+                F.substring(key_col, 1, i - 1),
+                flipped,
+                F.substring(key_col, i + 1, planes_per_band - i),
+            )
+        )
+    return F.array(*keys)
+
+
 def ann_lsh_topk(
-    embeddings: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = N_PLANES
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    cap: int = MAX_BUCKET,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """ANN: rank candidates only within the query's LSH bucket.  The
-    candidate join is an equi-join on the bucket key — the 10^12-row side is
-    shuffled by bucket once and reused for all queries."""
+    """ANN: rank candidates only within the query's banded LSH buckets
+    (union over bands), with Hamming-1 multi-probe on the query side.  The
+    probe set stays tiny (n_queries × bands × (R+1) keys) and broadcasts;
+    the corpus side is bucketed map-side, capped (over-cap buckets are
+    skipped — the skew guard), and joined per band — the 10^12-row side is
+    never shuffled for the probe join, and candidate ranking moves only
+    the deduped (query, candidate) id pairs."""
     from pyspark.sql.window import Window
 
     base = embeddings.select(
         "vec_id", _to_double(F.col("embedding")).alias("emb")
-    ).withColumn("bucket", _bucket_col(F.col("emb"), n_planes))
+    )
+    bands = banded_buckets(base)
+    corpus = capped_bands(bands, cap).select("vec_id", "band", "bkey")
+    qbands = bands.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "band", "bkey"
+    )
+    if multiprobe:
+        qbands = qbands.select(
+            "query_id", "band", F.explode(_probe_keys(F.col("bkey"))).alias("bkey")
+        )
+    cand = (
+        corpus.join(F.broadcast(qbands.distinct()), ["band", "bkey"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
     queries = base.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qemb"),
-        F.col("bucket").alias("qbucket"),
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
     scored = (
-        base.join(
-            F.broadcast(queries), F.col("bucket") == F.col("qbucket"), "inner"
-        )
-        .where(F.col("vec_id") != F.col("query_id"))
+        cand.join(base, "vec_id")
+        .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",
             "vec_id",

@@ -118,7 +118,24 @@ def test_ann_recall_against_exact(spark, embeds):
 
 def test_lsh_bucket_histogram_total(spark, embeds):
     rows = similarity.lsh_sign_buckets(embeds).collect()
-    assert sum(r["n_vecs"] for r in rows) == embeds.count()
+    # banded: every vector appears once per band
+    assert sum(r["n_vecs"] for r in rows) == embeds.count() * similarity.N_BANDS
+    assert {r["band"] for r in rows} == set(range(similarity.N_BANDS))
+
+
+def test_bucket_cap_excludes_degenerate_cluster(spark):
+    """The MAX_BUCKET guard: a degenerate cluster (every vector identical →
+    one over-cap bucket per band) generates NO candidate pairs, while the
+    same corpus passes with the cap lifted — the O(B²) skew bound."""
+    from paperoni_spark.operators.similarity import embedding_near_dup_pairs
+
+    vec = [1.0] * similarity.EMBED_DIM
+    rows = [(i, vec) for i in range(similarity.MAX_BUCKET + 5)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    assert embedding_near_dup_pairs(df).count() == 0
+    capped_off = embedding_near_dup_pairs(df, cap=10_000)
+    n = similarity.MAX_BUCKET + 5
+    assert capped_off.count() == n * (n - 1) // 2
 
 
 def test_media_features_plumbing(spark, docs):
@@ -221,10 +238,11 @@ def test_ivf_ann(spark, embeds):
 def test_embedding_near_dup_blocking(spark, embeds, ddb):
     from paperoni_spark.operators.similarity import embedding_near_dup_pairs
 
-    # corpus has no true near-dups at 0.95 (both engines agree on empty)
-    assert_matches_oracle(
-        embedding_near_dup_pairs(embeds), ddb, contract.oracle_embedding_near_dup()
-    )
+    # planted twins make the 0.95 gate non-trivial (>0 rows both engines)
+    planted = contract.planted_embeddings(embeds)
+    result = embedding_near_dup_pairs(planted)
+    assert result.count() >= contract.N_PLANTED_TWINS
+    assert_matches_oracle(result, ddb, contract.oracle_embedding_near_dup())
     # at a permissive threshold the blocked comparison yields real pairs
     pairs = embedding_near_dup_pairs(embeds, threshold=0.3).collect()
     assert len(pairs) > 0
@@ -252,6 +270,20 @@ def test_media_resize_sample(spark, docs, ddb):
         else:
             assert r["frame_indices"] == ""
     assert_matches_oracle(result, ddb, contract.oracle_media_resize_sample())
+
+
+def test_shingle_df_cap_blocks_boilerplate(spark):
+    """Hot-shingle guard: documents whose ONLY overlap is a boilerplate
+    shingle (df > cap) never become candidates, while the same corpus
+    pairs up with the cap lifted."""
+    from paperoni_spark.operators.dedup import SHINGLE_DF_CAP, ngram_jaccard_pairs
+
+    n = SHINGLE_DF_CAP + 20
+    rows = [(f"d{i:04d}", f"BOILER PLATE TEXT unique{i} token{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id: string, text: string")
+    assert ngram_jaccard_pairs(df).count() == 0
+    uncapped = ngram_jaccard_pairs(df, df_cap=10_000)
+    assert uncapped.count() == n * (n - 1) // 2
 
 
 def test_winnow_fingerprints(spark, docs, ddb):
