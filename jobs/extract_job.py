@@ -63,9 +63,17 @@ def main(argv: list[str] | None = None) -> None:
 
     done = None
     if args.resume_from:
+        from pyspark.errors import AnalysisException
+
         try:
             done = spark.read.parquet(args.resume_from)
-        except Exception:
+        except AnalysisException as e:
+            # A missing checkpoint means "first run" — start fresh.  Any
+            # OTHER read error (corrupt/partial checkpoint) must fail loudly:
+            # silently ignoring it would re-extract everything and, in
+            # append mode, write duplicate rows for completed doc_ids.
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             done = None
 
     extracted = extract_pipeline(

@@ -135,7 +135,19 @@ def write_output(
     ``df.writeTo(table).append()`` pair (extracted + lineage tables) so that
     partition-level retries are idempotent; this environment has no Iceberg
     catalog, so parquet paths stand in with identical semantics for the
-    doc-level resume contract (anti-join on doc_id)."""
-    extracted.write.mode(mode).parquet(output_path)
+    doc-level resume contract (anti-join on doc_id).
+
+    Lineage derives from READING BACK the just-written output (filtered to
+    this run's id), never from re-evaluating ``extracted`` — re-running the
+    kernel would double job cost and describe a different physical run than
+    the data on disk.  On Iceberg this is the snapshot read of the append
+    that just committed."""
+    run_id = run_id or uuid.uuid4().hex
+    stamped = extracted.withColumn("run_id", F.lit(run_id))
+    stamped.write.mode(mode).parquet(output_path)
     if metrics_path is not None:
-        lineage_metrics(extracted, run_id).write.mode(mode).parquet(metrics_path)
+        written = (
+            extracted.sparkSession.read.parquet(output_path)
+            .where(F.col("run_id") == run_id)
+        )
+        lineage_metrics(written, run_id).write.mode(mode).parquet(metrics_path)

@@ -35,13 +35,28 @@ IMAGE_KIND = "image"
 # encoded as a media span; imgs with richer markup stay inside text spans
 _SIMPLE_IMG_RE = re.compile(r"""<img\s+src=(?:"([^"]*)"|'([^']*)')\s*/?>""", re.I)
 
+# rawtext/comment regions where an <img ...> character sequence is DATA,
+# not markup — encoding it as a media span would desynchronize the spans
+# from the real document (decode round-trip stays correct, but the media
+# inventory would lie)
+_RAWTEXT_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>|<!--.*?-->", re.I | re.S
+)
+
 
 def html_to_spans(html_str: str) -> list[dict[str, Any]]:
-    """Encode an HTML document into interleaved text+media spans."""
+    """Encode an HTML document into interleaved text+media spans.
+
+    img matches inside script/style rawtext or comments are skipped — they
+    are content bytes, not media markers (they stay inside text spans
+    verbatim, so reassembly remains byte-faithful for them)."""
+    rawtext_regions = [m.span() for m in _RAWTEXT_RE.finditer(html_str)]
     spans: list[dict[str, Any]] = []
     offset = 0
     pos = 0
     for m in _SIMPLE_IMG_RE.finditer(html_str):
+        if any(a <= m.start() < b for a, b in rawtext_regions):
+            continue
         if m.start() > pos:
             spans.append(
                 {

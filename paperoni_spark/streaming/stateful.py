@@ -86,14 +86,16 @@ def running_user_totals(
     )
     query.awaitTermination()
     # update-mode memory sink accumulates one row per (batch, user); the
-    # totals are monotone so the final state is the max per user
+    # final state is the row with the highest n_events (strictly monotone —
+    # a group only emits when it saw data).  A struct-max keeps (n_events,
+    # total_value) from the SAME row: independent column-wise maxes could
+    # mix micro-batches when event values are negative (total_value is not
+    # monotone).
     from pyspark.sql import functions as F
 
     return (
         spark.table(table)
         .groupBy("user_id")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.max("total_value").alias("total_value"),
-        )
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
     )

@@ -30,6 +30,21 @@ def test_html_to_spans_keeps_rich_imgs_in_text():
     assert spans[1]["media_ref"] == "b.png"
 
 
+def test_html_to_spans_skips_rawtext_and_comment_imgs():
+    html = (
+        '<script>var s = \'<img src="fake.png">\';</script>'
+        '<!-- <img src="commented.png"> -->'
+        '<style>.x{content:\'<img src="style.png">\'}</style>'
+        '<img src="real.png">'
+    )
+    spans = html_to_spans(html)
+    media = [s for s in spans if s["kind"] == "media"]
+    assert [m["media_ref"] for m in media] == ["real.png"]
+    # the rawtext imgs survive verbatim inside the text span
+    text = "".join(s["text"] or "" for s in spans if s["kind"] == "text")
+    assert 'fake.png' in text and 'commented.png' in text and 'style.png' in text
+
+
 def test_reassembly_out_of_order_offsets():
     spans = [
         {"kind": "text", "text": "b", "media_ref": None, "offset": 1},
