@@ -192,6 +192,10 @@ def _parse_starttag(builder, rawdata: str, i: int) -> int:
     match = tagfind_tolerant.match(rawdata, i + 1)
     tag = match.group(1).lower()
     k = match.end()
+    # attribute-less tags (the common case) skip the attrfind loop entirely
+    if k == endpos - 1 and rawdata[k] == ">":
+        builder.handle_starttag(tag, attrs)
+        return endpos
     while k < endpos:
         m = attrfind_tolerant.match(rawdata, k)
         if m is None:

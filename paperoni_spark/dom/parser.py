@@ -28,7 +28,7 @@ import os
 from html.parser import HTMLParser
 from typing import Optional
 
-from .node import Node
+from .node import ELEMENT, Node
 
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
@@ -154,7 +154,8 @@ class _TreeBuilder(HTMLParser):
 
     # ---------- HTMLParser hooks ----------
     def handle_starttag(self, tag: str, attrs: list[tuple[str, Optional[str]]]) -> None:
-        tag = tag.lower()
+        # both tokenizer drivers (stdlib HTMLParser and fastparse) deliver
+        # tag and attribute names already lower-cased — no re-lowering here
         if self._raw_elem is not None:
             # shouldn't happen in cdata mode, but be safe
             self._raw_buf.append(self.get_starttag_text() or "")
@@ -162,7 +163,6 @@ class _TreeBuilder(HTMLParser):
 
         attr_map: dict[str, str] = {}
         for k, v in attrs:
-            k = k.lower()
             if k not in attr_map:
                 attr_map[k] = v if v is not None else ""
 
@@ -180,7 +180,9 @@ class _TreeBuilder(HTMLParser):
                 node.attributes.setdefault(k, v)
             return
 
-        elem = Node.new_element(tag, attr_map)
+        # hand the freshly-built dict to the node (new_element would copy it)
+        elem = Node(ELEMENT, name=tag)
+        elem.attributes = attr_map
 
         if self.body is None and not self.head_closed and tag in HEAD_ELEMENTS:
             self._ensure_head().append(elem)
