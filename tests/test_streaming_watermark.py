@@ -83,3 +83,57 @@ def test_watermark_append_semantics(spark, tmp_path_factory):
     # best-effort lateness: this engine build re-opens the late window
     # (no late-input filter in the plan) instead of dropping the row
     assert rows.get(("2024-01-01 00:00:00", "too-late")) == 1
+
+def test_watermark_update_mode_late_rows(spark, tmp_path_factory):
+    """Update-mode twin of the append test: two-trigger file source, a
+    beyond-watermark row in the second trigger."""
+    base_dir = tmp_path_factory.mktemp("wmu")
+    events_dir = str(base_dir / "events")
+    os.makedirs(events_dir)
+
+    # trigger 1: watermark advances to 05:10 - 2h = 03:10
+    _rows(spark, [(70, "click"), (80, "click"), (310, "driver")]).coalesce(
+        1
+    ).write.parquet(os.path.join(events_dir, "batch1"))
+    time.sleep(2.1)
+    # trigger 2: 00:30 is far beyond the 03:10 watermark
+    _rows(spark, [(30, "too-late"), (200, "ontime")]).coalesce(1).write.parquet(
+        os.path.join(events_dir, "batch2")
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir + "/*")
+        .withWatermark("ts", "2 hours")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .count()
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+            "count",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("wmu_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    rows = {
+        (r["ws"], r["event_type"]): r["count"]
+        for r in spark.table("wmu_test").collect()
+    }
+    # update mode emits every on-time window when it changes
+    assert rows.get(("2024-01-01 01:00:00", "click")) == 2
+    assert rows.get(("2024-01-01 05:00:00", "driver")) == 1
+    assert rows.get(("2024-01-01 03:00:00", "ontime")) == 1
+    # same best-effort lateness as append mode: this engine build plans no
+    # late-input filter before the stateful agg, so the beyond-watermark row
+    # re-opens its (already-evicted) window and emits — pinned so an engine
+    # upgrade that starts dropping late rows is caught deliberately
+    assert rows.get(("2024-01-01 00:00:00", "too-late")) == 1
