@@ -29,7 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .operators import dedup, multimodal, pdf, sessionize, similarity, textstats
+from .operators import dedup, multimodal, pdf, sampling, sessionize, similarity, textstats
 from .operators.extract import run_extract
 from .pipeline.job import extract_pipeline
 from .spans import fixture_corpus, synth_corpus
@@ -368,6 +368,70 @@ scored AS (
   JOIN sizes nb ON nb.doc_id = doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.1
+"""
+
+
+_STRATA_FRACTIONS = {"en": 0.5, "zh": 0.25, "de": 0.1}
+_STRATA_DEFAULT = 0.05
+
+
+def oracle_dedup_clusters() -> str:
+    """Recursive-CTE twin of dedup.dedup_clusters: same jaccard edge set
+    (shared with oracle_ngram_jaccard), true connected-component fixpoint,
+    min-doc_id cluster labels."""
+    return f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+blocked AS (
+  SELECT s.* FROM sh s
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {dedup.SHINGLE_DF_CAP}) ok USING (shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM blocked GROUP BY doc_id),
+jp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM blocked a JOIN blocked b USING (shingle)
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+  ) pairs
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(common::DOUBLE / (na.n_sh + nb.n_sh - common), 6) >= 0.1
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+          UNION ALL SELECT doc_b, doc_a FROM jp),
+walk AS (
+  SELECT doc_id AS doc, doc_id AS reach FROM documents
+  UNION
+  SELECT w.doc, e.b FROM walk w JOIN edges e ON e.a = w.reach
+)
+SELECT doc AS doc_id, min(reach) AS cluster,
+       (doc = min(reach)) AS is_survivor
+FROM walk GROUP BY doc
+"""
+
+
+def _sample_pred_sql(salt: str = sampling.SAMPLE_SALT) -> str:
+    return f"substr(md5('{salt}' || doc_id::VARCHAR), 1, 8)"
+
+
+def oracle_hash_sample() -> str:
+    cutoff = sampling._cutoff_hex(0.2)
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {_sample_pred_sql()} < '{cutoff}'
+"""
+
+
+def oracle_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{sampling._cutoff_hex(f)}'"
+        for s, f in sorted(_STRATA_FRACTIONS.items())
+    )
+    return f"""
+SELECT lang, count(*)::BIGINT AS n_sampled FROM documents
+WHERE {_sample_pred_sql()} <
+      (CASE lang {cases} ELSE '{sampling._cutoff_hex(_STRATA_DEFAULT)}' END)
+GROUP BY lang
 """
 
 
@@ -804,6 +868,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": lambda spark, sf: dedup.simhash(load(spark, sf, "documents")),
         "ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(load(spark, sf, "documents")),
         "winnow_fingerprints": lambda spark, sf: dedup.winnow_fingerprints(load(spark, sf, "documents")),
+        "dedup_clusters": lambda spark, sf: dedup.dedup_clusters(load(spark, sf, "documents")),
+        # deterministic corpus sampling (training-mix construction)
+        "hash_sample": lambda spark, sf: sampling.hash_sample(
+            load(spark, sf, "documents"), fraction=0.2
+        ).select("doc_id", "lang"),
+        "stratified_sample": lambda spark, sf: sampling.stratified_hash_sample(
+            load(spark, sf, "documents"), _STRATA_FRACTIONS, _STRATA_DEFAULT
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled")),
         # text analysis family
         "token_stats": lambda spark, sf: textstats.token_stats(load(spark, sf, "documents")),
         "quality_scores": lambda spark, sf: textstats.quality_scores(load(spark, sf, "documents")),
@@ -856,6 +930,9 @@ def build_oracles() -> dict[str, str]:
         "simhash": oracle_simhash(),
         "ngram_jaccard": oracle_ngram_jaccard(),
         "winnow_fingerprints": oracle_winnow_fingerprints(),
+        "dedup_clusters": oracle_dedup_clusters(),
+        "hash_sample": oracle_hash_sample(),
+        "stratified_sample": oracle_stratified_sample(),
         "token_stats": oracle_token_stats(),
         "quality_scores": oracle_quality_scores(),
         "lang_id": oracle_lang_id(),

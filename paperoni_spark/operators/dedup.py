@@ -188,6 +188,55 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 SHINGLE_DF_CAP = 100
 
 
+def dedup_clusters(documents: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the n-gram
+    Jaccard near-dup graph, labeling every document with its cluster's
+    minimum doc_id and marking that minimum as the survivor (the row a
+    dedup pass would keep).
+
+    The component algorithm is iterative min-label propagation — each round
+    is one equi-join + partial-agg shuffle, converging in O(log diameter)
+    rounds (the driver loop is control-plane only: one count() per round on
+    the tiny changed-set).  Near-dup cluster diameters are small in
+    practice, so this is the standard large-scale CC recipe; the DuckDB
+    oracle computes the same fixpoint with a recursive CTE."""
+    pairs = ngram_jaccard_pairs(documents, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = documents.select("doc_id", F.col("doc_id").alias("cluster"))
+    while True:
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_a"), F.col("cluster").alias("nc")
+                ),
+                "doc_a",
+            )
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("nc").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster"), F.coalesce("nmin", "cluster")).alias(
+                    "new_cluster"
+                ),
+                "cluster",
+            )
+        )
+        changed = updated.where(F.col("new_cluster") != F.col("cluster")).count()
+        labels = updated.select("doc_id", F.col("new_cluster").alias("cluster"))
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("is_survivor")
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,

@@ -296,3 +296,58 @@ def test_winnow_fingerprints(spark, docs, ddb):
     for r in rows[:20]:
         assert r["n_fingerprints"] >= 1
         assert len(r["fp_digest"]) == 32
+
+
+def test_dedup_clusters_chain(spark):
+    """A duplicate chain A~B~C (A!~C directly) must collapse into ONE
+    cluster labeled with the minimum doc_id — the transitive-closure case
+    pair-listing alone can't express."""
+    from paperoni_spark.operators.dedup import dedup_clusters
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"{shared} one two three"),
+        (2, f"{shared} one two three four five"),  # near-dup of 1 and 3
+        (3, f"{shared} four five six"),
+        (10, "completely different text with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["cluster"], r["is_survivor"]) for r in dedup_clusters(df, threshold=0.1).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (2, False) or got[2] == (1, False)
+    assert got[2][0] == 1 and got[3][0] == 1  # transitive closure via 2
+    assert got[10] == (10, True)
+
+
+def test_dedup_clusters_oracle(spark, docs, ddb):
+    from paperoni_spark.operators.dedup import dedup_clusters
+
+    assert_matches_oracle(
+        dedup_clusters(docs), ddb, contract.oracle_dedup_clusters()
+    )
+
+
+def test_hash_sampling(spark, docs, ddb):
+    from paperoni_spark.operators.sampling import hash_sample, stratified_hash_sample
+
+    total = docs.count()
+    sampled = hash_sample(docs, fraction=0.2)
+    n = sampled.count()
+    # deterministic: same result twice, and roughly the asked fraction
+    assert n == hash_sample(docs, fraction=0.2).count()
+    assert 0.1 * total < n < 0.35 * total
+    # monotone in fraction: a bigger sample contains the smaller one
+    small = {r["doc_id"] for r in sampled.collect()}
+    big = {r["doc_id"] for r in hash_sample(docs, fraction=0.5).collect()}
+    assert small <= big
+    # salt rotation draws a different subset
+    other = {r["doc_id"] for r in hash_sample(docs, fraction=0.2, salt="v2:").collect()}
+    assert other != small
+    assert_matches_oracle(
+        hash_sample(docs, fraction=0.2).select("doc_id", "lang"),
+        ddb,
+        contract.oracle_hash_sample(),
+    )
+    strat = stratified_hash_sample(docs, {"en": 1.0, "zh": 0.0}, 0.0)
+    langs = {r["lang"] for r in strat.collect()}
+    assert langs == {"en"}
