@@ -281,6 +281,33 @@ FROM documents
 """
 
 
+def oracle_quality_filter() -> str:
+    t = textstats
+    return f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         len({_TOKENS})::INT AS n_tokens,
+         round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text), 6) AS punct_ratio,
+         round(len(list_filter({_TOKENS}, t -> t IN ({_STOP_LIST})))::DOUBLE / len({_TOKENS}), 6) AS stopword_ratio,
+         round((length(text) - len({_TOKENS}) + 1)::DOUBLE / len({_TOKENS}), 4) AS mean_token_len
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN n_tokens < {t.QF_MIN_TOKENS} THEN 'too_short'
+           WHEN n_tokens > {t.QF_MAX_TOKENS} THEN 'too_long'
+           WHEN mean_token_len < {t.QF_MIN_MEAN_TOKEN_LEN}
+                OR mean_token_len > {t.QF_MAX_MEAN_TOKEN_LEN} THEN 'token_len'
+           WHEN punct_ratio > {t.QF_MAX_PUNCT_RATIO} THEN 'high_punct'
+           WHEN lang = 'en' AND stopword_ratio < {t.QF_MIN_STOPWORD_RATIO} THEN 'low_stopword'
+         END AS reject_reason
+  FROM q
+)
+SELECT doc_id, lang, (reject_reason IS NULL) AS keep, reject_reason FROM flagged
+"""
+
+
 def oracle_lang_id() -> str:
     return """
 SELECT lang,
@@ -881,6 +908,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis family
         "token_stats": lambda spark, sf: textstats.token_stats(load(spark, sf, "documents")),
         "quality_scores": lambda spark, sf: textstats.quality_scores(load(spark, sf, "documents")),
+        "quality_filter": lambda spark, sf: textstats.quality_filter(load(spark, sf, "documents")),
         "lang_id": lambda spark, sf: textstats.lang_id(load(spark, sf, "documents")),
         "fingerprints": lambda spark, sf: textstats.fingerprints(load(spark, sf, "documents")),
         # similarity family
@@ -935,6 +963,7 @@ def build_oracles() -> dict[str, str]:
         "stratified_sample": oracle_stratified_sample(),
         "token_stats": oracle_token_stats(),
         "quality_scores": oracle_quality_scores(),
+        "quality_filter": oracle_quality_filter(),
         "lang_id": oracle_lang_id(),
         "fingerprints": oracle_fingerprints(),
         "cosine_topk": oracle_cosine_topk(),

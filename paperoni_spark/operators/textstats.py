@@ -55,6 +55,46 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+# Gopher-style rule thresholds (Rae et al. 2021, §A1.1-style heuristics,
+# re-parameterized for this corpus); applied to the ROUNDED quality_scores
+# columns so engine comparisons never sit on an unrounded FP boundary
+QF_MIN_TOKENS = 50
+QF_MAX_TOKENS = 100_000
+QF_MIN_MEAN_TOKEN_LEN = 3.0
+QF_MAX_MEAN_TOKEN_LEN = 12.0
+QF_MAX_PUNCT_RATIO = 0.2
+QF_MIN_STOPWORD_RATIO = 0.01  # english-only rule (stoplist is english)
+
+
+def quality_filter(documents: DataFrame) -> DataFrame:
+    """Rule-based document quality filter with per-rule reject attribution
+    (fixed evaluation order — first failing rule wins).  Pure map-side over
+    the quality_scores projection; the reject_reason breakdown is what a
+    corpus-build dashboard tracks per snapshot."""
+    q = quality_scores(documents)
+    reason = (
+        F.when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("n_tokens") > QF_MAX_TOKENS, F.lit("too_long"))
+        .when(
+            (F.col("mean_token_len") < QF_MIN_MEAN_TOKEN_LEN)
+            | (F.col("mean_token_len") > QF_MAX_MEAN_TOKEN_LEN),
+            F.lit("token_len"),
+        )
+        .when(F.col("punct_ratio") > QF_MAX_PUNCT_RATIO, F.lit("high_punct"))
+        .when(
+            (F.col("lang") == "en")
+            & (F.col("stopword_ratio") < QF_MIN_STOPWORD_RATIO),
+            F.lit("low_stopword"),
+        )
+    )
+    return q.select(
+        "doc_id",
+        "lang",
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Stopword-presence language-ID heuristic; confusion counts against the
     corpus's labeled ``lang`` column."""

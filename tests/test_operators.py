@@ -351,3 +351,33 @@ def test_hash_sampling(spark, docs, ddb):
     strat = stratified_hash_sample(docs, {"en": 1.0, "zh": 0.0}, 0.0)
     langs = {r["lang"] for r in strat.collect()}
     assert langs == {"en"}
+
+
+def test_quality_filter(spark, docs, ddb):
+    from paperoni_spark.operators.textstats import quality_filter
+
+    result = quality_filter(docs)
+    rows = result.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r["keep"] == (r["reject_reason"] is None)
+    assert_matches_oracle(result, ddb, contract.oracle_quality_filter())
+    # adversarial rows hit each rule in the documented order
+    adv = spark.createDataFrame(
+        [
+            (1, "en", "tiny doc"),  # too_short
+            (2, "en", " ".join(["superlongtokenxxxxxxxxxx"] * 60)),  # token_len
+            (3, "en", " ".join(["a.b,c!d?e;f:"] * 60)),  # high_punct (punct>0.2)
+            (4, "en", " ".join(["word"] * 60)),  # low_stopword (en, no stops)
+            (5, "zh", " ".join(["word"] * 60)),  # kept: stopword rule is en-only
+        ],
+        "doc_id: long, lang: string, text: string",
+    )
+    got = {r["doc_id"]: r["reject_reason"] for r in quality_filter(adv).collect()}
+    assert got == {
+        1: "too_short",
+        2: "token_len",
+        3: "high_punct",
+        4: "low_stopword",
+        5: None,
+    }
