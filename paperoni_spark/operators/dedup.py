@@ -264,13 +264,20 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     blocked = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = blocked.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    pairs = (
+    # ONE self-join with a <= b: the diagonal (a == b) yields each doc's
+    # capped shingle count for free, so no separate per-doc sizes pass over
+    # the (expensive) shingle pipeline — and the two consumers below share
+    # the aggregation's exchange (ReusedExchange)
+    paircounts = (
         blocked.alias("a")
         .join(blocked.alias("b"), on="shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(F.col("a.doc_id") <= F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("common"))
+    )
+    pairs = paircounts.where(F.col("doc_a") < F.col("doc_b"))
+    sizes = paircounts.where(F.col("doc_a") == F.col("doc_b")).select(
+        F.col("doc_a").alias("doc_id"), F.col("common").alias("n_sh")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
