@@ -53,3 +53,65 @@ def corpus_dedup_stats(documents: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_images").alias("total_images"),
     )
+
+
+def build_training_corpus(
+    documents: DataFrame, base_url: str = "http://example.com/"
+) -> tuple[DataFrame, DataFrame]:
+    """The full training-data funnel as one lazy program:
+
+    extract → flatten → language guess → quality filter → exact dedup
+    (fingerprint survivors, min-doc_id canonical) → corpus rows.
+
+    Returns ``(corpus, funnel)``: the surviving corpus rows and a per-stage
+    reject accounting (what a corpus-build dashboard tracks per snapshot).
+    All stages after the extraction UDF are Catalyst expressions; the only
+    shuffles are the fingerprint-survivor window and the funnel aggregation.
+    At cluster scale the survivor window shuffles on the fingerprint key —
+    exact duplicates co-locate, so skew equals the duplicate multiplicity
+    (bounded by crawl frequency, salt if a fixture explodes it).
+    """
+    from ..operators.textstats import quality_filter
+
+    flat = extracted_text(run_extract(documents, base_url))
+    lower = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    lang_guess = F.when(
+        lower.contains(" the ") | lower.contains(" and ") | lower.contains(" of "),
+        F.lit("en"),
+    ).otherwise(F.lit("und"))
+    flat = flat.withColumn("lang", lang_guess)
+
+    qf = quality_filter(flat.select("doc_id", "lang", "text"))
+    judged = flat.join(qf.select("doc_id", "keep", "reject_reason"), "doc_id")
+    kept = judged.where(F.col("keep")).drop("keep", "reject_reason")
+
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    with_fp = kept.select(
+        "doc_id",
+        "title",
+        "lang",
+        "text",
+        "n_images",
+        F.md5(normalized).alias("fingerprint"),
+        F.size(toks).alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    corpus = (
+        with_fp.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    funnel = (
+        judged.select(
+            F.when(F.col("keep"), F.lit("kept")).otherwise(
+                F.concat(F.lit("rejected:"), F.col("reject_reason"))
+            ).alias("stage")
+        )
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return corpus, funnel

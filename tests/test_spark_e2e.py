@@ -324,3 +324,34 @@ print("RETRY_TEST_OK")
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
     )
     assert "RETRY_TEST_OK" in proc.stdout, proc.stderr[-2000:]
+
+
+def test_build_training_corpus_funnel(spark):
+    """Full training-corpus funnel: exact duplicates collapse to the
+    min-doc_id survivor and quality rejects are attributed per rule."""
+    from paperoni_spark.pipeline.compose import build_training_corpus
+
+    base = synth_corpus(4)
+    dup = dict(base[0])
+    dup["doc_id"] = "doc-zzzzduplicate"  # sorts after the original
+    # extractable (>500 bytes) but under 50 tokens -> rejected: too_short
+    words = " ".join(["wordwordwordword"] * 39)
+    short_html = f"<html><body><article><p>{words}</p></article></body></html>"
+    short = {
+        "doc_id": "doc-shorty",
+        "spans": [{"kind": "text", "text": short_html, "media_ref": None, "offset": 0}],
+    }
+    docs = make_documents_df(spark, base + [dup, short])
+
+    corpus, funnel = build_training_corpus(docs)
+    rows = corpus.collect()
+    ids = {r["doc_id"] for r in rows}
+    assert "doc-zzzzduplicate" not in ids  # collapsed into base[0]
+    assert base[0]["doc_id"] in ids
+    assert "doc-shorty" not in ids  # quality-rejected
+    stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    assert stages["rejected:too_short"] == 1
+    assert stages["kept"] == 5  # 4 originals + the duplicate (pre-dedup)
+    # survivors are unique by fingerprint
+    fps = [r["fingerprint"] for r in rows]
+    assert len(fps) == len(set(fps))
