@@ -35,8 +35,11 @@ def main(argv: list[str] | None = None) -> None:
 
     from paperoni_spark.contract import DOCUMENTS_SPANS_SCHEMA
     from paperoni_spark.pipeline.compose import build_training_corpus
+    from paperoni_spark.pipeline.session import apply_engine_confs
 
-    spark = SparkSession.builder.appName("paperoni-corpus-build").getOrCreate()
+    spark = apply_engine_confs(
+        SparkSession.builder.appName("paperoni-corpus-build").getOrCreate()
+    )
 
     if args.input.startswith("synthetic:"):
         n = int(args.input.split(":", 1)[1])

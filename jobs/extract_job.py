@@ -37,8 +37,11 @@ def main(argv: list[str] | None = None) -> None:
 
     from paperoni_spark.contract import DOCUMENTS_SPANS_SCHEMA
     from paperoni_spark.pipeline.job import extract_pipeline, write_output
+    from paperoni_spark.pipeline.session import apply_engine_confs
 
-    spark = SparkSession.builder.appName("paperoni-extract").getOrCreate()
+    spark = apply_engine_confs(
+        SparkSession.builder.appName("paperoni-extract").getOrCreate()
+    )
 
     if args.input.startswith("synthetic:"):
         n = int(args.input.split(":", 1)[1])

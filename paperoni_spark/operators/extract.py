@@ -70,8 +70,12 @@ EXTRACT_RESULT_SCHEMA = StructType(
 )
 
 # flush accumulated results once this much input HTML has been processed;
-# bounds both input reassembly and output span memory per yielded chunk
-_MAX_BATCH_BYTES = 16 * 1024 * 1024
+# bounds both input reassembly and output span memory per yielded chunk.
+# Sized so that max-concurrency × a-few-in-flight Arrow messages fits even
+# a default 1g-driver local[32] spark-submit: 16 MB chunks measurably blow
+# netty's direct-memory pool there (500k-doc repro); 4 MB keeps the whole
+# transfer under ~400 MB with no measurable throughput cost.
+_MAX_BATCH_BYTES = 4 * 1024 * 1024
 
 
 def _span_bytes(spans: list[dict[str, Any]]) -> int:

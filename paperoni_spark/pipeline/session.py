@@ -19,6 +19,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+# SQL confs that are settable AFTER session creation — spark-submit jobs
+# receive an externally-built session (the submitter owns JVM-start confs
+# like driver memory) and must still get the engine's Arrow bounds
+RUNTIME_ENGINE_CONFS = {
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # bound the JVM→Python Arrow transfer: with heavy-tailed span rows the
+    # 10,000-record default produces multi-GB direct buffers and kills the
+    # job with an Arrow OutOfMemoryException at high task concurrency
+    # (reproduced at 500k synthetic docs on local[32] with a 1g driver)
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def apply_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable confs to an existing session
+    (the spark-submit path, where the session is built by the submitter)."""
+    for k, v in RUNTIME_ENGINE_CONFS.items():
+        spark.conf.set(k, v)
+    return spark
+
+
 def build_spark(
     master: str | None = None,
     app_name: str = "paperoni-spark",
@@ -37,13 +60,11 @@ def build_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in RUNTIME_ENGINE_CONFS.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

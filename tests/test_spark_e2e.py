@@ -355,3 +355,24 @@ def test_build_training_corpus_funnel(spark):
     # survivors are unique by fingerprint
     fps = [r["fingerprint"] for r in rows]
     assert len(fps) == len(set(fps))
+
+
+def test_malformed_span_inputs_never_crash(spark):
+    """input_hint-schema edge cases (null spans, empty arrays, null text,
+    media-only, null kind) must flow through as error rows, never task
+    failures — at 10^12 docs a poison row must not kill a partition."""
+    rows = [
+        ("d-null-spans", None),
+        ("d-empty-spans", []),
+        ("d-null-text", [{"kind": "text", "text": None, "media_ref": None, "offset": 0}]),
+        ("d-media-only", [{"kind": "media", "text": None, "media_ref": "http://x/y.png", "offset": 0}]),
+        ("d-null-kind", [{"kind": None, "text": "<p>hi</p>", "media_ref": None, "offset": 0}]),
+    ]
+    df = make_documents_df(spark, [
+        {"doc_id": d, "spans": s} for d, s in rows
+    ])
+    got = {r["doc_id"]: (r["status"], r["spans_emitted"]) for r in run_extract(df).collect()}
+    assert len(got) == 5
+    for doc_id, (status, emitted) in got.items():
+        assert status == "error:ReadabilityError", (doc_id, status)
+        assert emitted == 0
