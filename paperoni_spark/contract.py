@@ -402,6 +402,61 @@ _STRATA_FRACTIONS = {"en": 0.5, "zh": 0.25, "de": 0.1}
 _STRATA_DEFAULT = 0.05
 
 
+_TOKEN_BUDGETS = {"en": 20_000, "es": 8_000}
+_TOKEN_BUDGET_DEFAULT = 2_000
+
+
+def q_streaming_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming extraction (file source, 3 files → 3
+    availableNow triggers through foreachBatch) over the fixture corpus,
+    verified against the same golden-spans VALUES oracle as the batch
+    path — streaming and batch must be span-identical."""
+    import tempfile
+
+    from .streaming.extract_stream import run_streaming_extraction
+
+    base = tempfile.mkdtemp(prefix="stream_extract_")
+    docs_dir = os.path.join(base, "docs")
+    out_dir = os.path.join(base, "out")
+    ck_dir = os.path.join(base, "ck")
+    fixture_documents_df(spark).repartition(3).write.parquet(docs_dir)
+    run_streaming_extraction(
+        spark, docs_dir, out_dir, ck_dir, max_files_per_trigger=1
+    )
+    extracted = spark.read.parquet(out_dir)
+    return extracted.select(
+        "doc_id", F.posexplode_outer("extracted").alias("pos", "span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("span_kind"),
+        F.col("span.text").alias("span_text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.order").alias("span_order"),
+    ).where(F.col("span_kind").isNotNull())
+
+
+def oracle_token_budget_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {b}" for lang, b in sorted(_TOKEN_BUDGETS.items())
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, len({_TOKENS})::INT AS n_tokens,
+         md5('{sampling.SAMPLE_SALT}' || doc_id::VARCHAR) AS key
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY key, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, cum_tokens::BIGINT AS cum_tokens
+FROM cum
+WHERE cum_tokens <= (CASE lang {cases} ELSE {_TOKEN_BUDGET_DEFAULT} END)
+"""
+
+
 def oracle_dedup_clusters() -> str:
     """Recursive-CTE twin of dedup.dedup_clusters: same jaccard edge set
     (shared with oracle_ngram_jaccard), true connected-component fixpoint,
@@ -905,6 +960,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled")),
+        "token_budget_sample": lambda spark, sf: sampling.token_budget_sample(
+            load(spark, sf, "documents"), _TOKEN_BUDGETS, _TOKEN_BUDGET_DEFAULT
+        ),
+        # streaming extraction (foreachBatch over a multi-trigger file
+        # source) against the same golden oracle as the batch path
+        "streaming_extract_spans": q_streaming_extract_spans,
         # text analysis family
         "token_stats": lambda spark, sf: textstats.token_stats(load(spark, sf, "documents")),
         "quality_scores": lambda spark, sf: textstats.quality_scores(load(spark, sf, "documents")),
@@ -961,6 +1022,8 @@ def build_oracles() -> dict[str, str]:
         "dedup_clusters": oracle_dedup_clusters(),
         "hash_sample": oracle_hash_sample(),
         "stratified_sample": oracle_stratified_sample(),
+        "token_budget_sample": oracle_token_budget_sample(),
+        "streaming_extract_spans": golden_spans_values_sql(),
         "token_stats": oracle_token_stats(),
         "quality_scores": oracle_quality_scores(),
         "quality_filter": oracle_quality_filter(),

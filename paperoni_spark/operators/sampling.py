@@ -34,6 +34,41 @@ def hash_sample(
     return documents.where(key < F.lit(_cutoff_hex(fraction)))
 
 
+def token_budget_sample(
+    documents: DataFrame,
+    budget_per_lang: dict[str, int],
+    default_budget: int = 0,
+    salt: str = SAMPLE_SALT,
+) -> DataFrame:
+    """Take documents per language until a token budget is filled — the
+    training-mix primitive ("20B English tokens, 5B code tokens, ...").
+
+    Selection order is the md5 hash of the doc id (deterministic,
+    shuffle-independent, salt-rotatable), with doc_id as the tie-break;
+    a cumulative token sum per language cuts at the budget.  One window
+    shuffle partitioned by language; at cluster scale strata are large, so
+    pre-aggregate per (lang, key-prefix) ranges or use an approximate
+    quantile cut if a single stratum exceeds one executor's window."""
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    key = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(key.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(default_budget)
+    for lang, b in sorted(budget_per_lang.items()):
+        budget = F.when(F.col("lang") == lang, F.lit(b)).otherwise(budget)
+    return (
+        documents.select("doc_id", "lang", toks.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
 def stratified_hash_sample(
     documents: DataFrame,
     fractions: dict[str, float],

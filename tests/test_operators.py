@@ -381,3 +381,24 @@ def test_quality_filter(spark, docs, ddb):
         4: "low_stopword",
         5: None,
     }
+
+
+def test_token_budget_sample(spark, docs, ddb):
+    from paperoni_spark.operators.sampling import token_budget_sample
+
+    budgets = {"en": 5_000, "zh": 1_000}
+    result = token_budget_sample(docs, budgets, default_budget=500)
+    rows = result.collect()
+    assert len(rows) > 0
+    per_lang_max = {}
+    for r in rows:
+        assert r["cum_tokens"] <= budgets.get(r["lang"], 500)
+        per_lang_max[r["lang"]] = max(per_lang_max.get(r["lang"], 0), r["cum_tokens"])
+    # deterministic under repartitioning
+    again = token_budget_sample(docs.repartition(7), budgets, default_budget=500)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    assert_matches_oracle(
+        token_budget_sample(docs, contract._TOKEN_BUDGETS, contract._TOKEN_BUDGET_DEFAULT),
+        ddb,
+        contract.oracle_token_budget_sample(),
+    )

@@ -376,3 +376,30 @@ def test_malformed_span_inputs_never_crash(spark):
     for doc_id, (status, emitted) in got.items():
         assert status == "error:ReadabilityError", (doc_id, status)
         assert emitted == 0
+
+
+def test_streaming_extraction_matches_golden(spark, tmp_path_factory):
+    """Structured Streaming extraction (3 files -> 3 availableNow triggers
+    through foreachBatch) is span-identical to the batch path / goldens."""
+    import json
+
+    from paperoni_spark.streaming.extract_stream import run_streaming_extraction
+
+    base = tmp_path_factory.mktemp("stream_extract")
+    docs_dir, out_dir, ck_dir = (str(base / d) for d in ("docs", "out", "ck"))
+    make_documents_df(spark, fixture_corpus()).repartition(3).write.parquet(docs_dir)
+    run_streaming_extraction(spark, docs_dir, out_dir, ck_dir, max_files_per_trigger=1)
+    got = spark.read.parquet(out_dir)
+    with open("tests/golden/fixture_spans.json") as f:
+        golden = json.load(f)
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert set(rows) == set(golden)
+    for doc_id, g in golden.items():
+        spans = [
+            {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "order": s["order"]}
+            for s in (rows[doc_id]["extracted"] or [])
+        ]
+        assert spans == g["extracted"], doc_id
+    # three triggers -> three run_ids in the lineage-stamped output
+    run_ids = {r["run_id"] for r in got.select("run_id").distinct().collect()}
+    assert len(run_ids) == 3
