@@ -62,7 +62,10 @@ def main(argv: list[str] | None = None) -> None:
     else:
         documents = spark.read.parquet(args.input)
 
-    corpus, funnel = build_training_corpus(documents, base_url=args.base_url)
+    # persist=True: both sinks share one extraction pass
+    corpus, funnel = build_training_corpus(
+        documents, base_url=args.base_url, persist=True
+    )
     corpus.write.mode("overwrite").parquet(args.output)
     if args.funnel is not None:
         funnel.write.mode("overwrite").parquet(args.funnel)

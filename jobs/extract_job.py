@@ -75,7 +75,10 @@ def main(argv: list[str] | None = None) -> None:
             # OTHER read error (corrupt/partial checkpoint) must fail loudly:
             # silently ignoring it would re-extract everything and, in
             # append mode, write duplicate rows for completed doc_ids.
-            if "PATH_NOT_FOUND" not in str(e):
+            # (Spark >=3.4 raises error class PATH_NOT_FOUND; older builds
+            # word it "Path does not exist".)
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
                 raise
             done = None
 

@@ -411,11 +411,17 @@ def q_streaming_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow triggers through foreachBatch) over the fixture corpus,
     verified against the same golden-spans VALUES oracle as the batch
     path — streaming and batch must be span-identical."""
+    import atexit
+    import shutil
     import tempfile
 
     from .streaming.extract_stream import run_streaming_extraction
 
     base = tempfile.mkdtemp(prefix="stream_extract_")
+    # out_dir must outlive this call (the caller collects lazily); the
+    # whole tree is reaped at interpreter exit, and the inputs/checkpoint
+    # are dropped as soon as the stream has drained
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     docs_dir = os.path.join(base, "docs")
     out_dir = os.path.join(base, "out")
     ck_dir = os.path.join(base, "ck")
@@ -424,6 +430,8 @@ def q_streaming_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs_dir, out_dir, ck_dir, max_files_per_trigger=1
     )
     extracted = spark.read.parquet(out_dir)
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    shutil.rmtree(ck_dir, ignore_errors=True)
     return extracted.select(
         "doc_id", F.posexplode_outer("extracted").alias("pos", "span")
     ).select(

@@ -196,42 +196,52 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.1) -> DataFrame:
 
     The component algorithm is iterative min-label propagation — each round
     is one equi-join + partial-agg shuffle, converging in O(log diameter)
-    rounds (the driver loop is control-plane only: one count() per round on
-    the tiny changed-set).  Near-dup cluster diameters are small in
-    practice, so this is the standard large-scale CC recipe; the DuckDB
-    oracle computes the same fixpoint with a recursive CTE."""
+    rounds.  The (expensive) edge derivation is persisted once and each
+    round's labels are localCheckpoint-ed, so round r never re-executes the
+    shingle self-join or the r−1 prior rounds — without this the lineage
+    grows a join per round and the loop is O(R²) in recomputation.
+    Near-dup cluster diameters are small in practice, so this is the
+    standard large-scale CC recipe; the DuckDB oracle computes the same
+    fixpoint with a recursive CTE."""
+    from pyspark import StorageLevel
+
     pairs = ngram_jaccard_pairs(documents, threshold=threshold).select(
         "doc_a", "doc_b"
     )
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     labels = documents.select("doc_id", F.col("doc_id").alias("cluster"))
-    while True:
-        neighbor_min = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("doc_a"), F.col("cluster").alias("nc")
-                ),
-                "doc_a",
+    try:
+        while True:
+            neighbor_min = (
+                edges.join(
+                    labels.select(
+                        F.col("doc_id").alias("doc_a"), F.col("cluster").alias("nc")
+                    ),
+                    "doc_a",
+                )
+                .groupBy(F.col("doc_b").alias("doc_id"))
+                .agg(F.min("nc").alias("nmin"))
             )
-            .groupBy(F.col("doc_b").alias("doc_id"))
-            .agg(F.min("nc").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("cluster"), F.coalesce("nmin", "cluster")).alias(
-                    "new_cluster"
-                ),
-                "cluster",
-            )
-        )
-        changed = updated.where(F.col("new_cluster") != F.col("cluster")).count()
-        labels = updated.select("doc_id", F.col("new_cluster").alias("cluster"))
-        if changed == 0:
-            break
+            updated = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("cluster"), F.coalesce("nmin", "cluster")).alias(
+                        "new_cluster"
+                    ),
+                    "cluster",
+                )
+            ).localCheckpoint()  # truncate lineage; one materialization/round
+            changed = updated.where(
+                F.col("new_cluster") != F.col("cluster")
+            ).count()
+            labels = updated.select("doc_id", F.col("new_cluster").alias("cluster"))
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
     return labels.select(
         "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("is_survivor")
     )
@@ -247,9 +257,11 @@ def ngram_jaccard_pairs(
 
     A shingle shared by 10^8 documents (boilerplate) makes its join bucket
     quadratic — the classic hot-key blowup.  Shingles with document
-    frequency > ``df_cap`` are excluded from the similarity space
-    entirely: the over-cap set is tiny by construction and ships as a
-    broadcast anti-join, so the big side never shuffles for the cap.  The
+    frequency > ``df_cap`` are excluded from the similarity space entirely
+    via an anti-join on the over-cap set (no broadcast hint: the hot set
+    scales with corpus diversity, so AQE picks broadcast only when it is
+    actually small — forcing it would be a driver-OOM cliff on the
+    boilerplate-heavy corpora the cap exists for).  The
     result is *boilerplate-insensitive* Jaccard — intersection and union
     both range over the capped shingle space, which both bounds the join
     and stops boilerplate from inflating similarity between unrelated
@@ -263,7 +275,7 @@ def ngram_jaccard_pairs(
         .where(F.col("df") > df_cap)
         .select("shingle")
     )
-    blocked = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    blocked = sh.join(hot, "shingle", "left_anti")
     # ONE self-join with a <= b: the diagonal (a == b) yields each doc's
     # capped shingle count for free, so no separate per-doc sizes pass over
     # the (expensive) shingle pipeline — and the two consumers below share

@@ -19,10 +19,23 @@ SAMPLE_SALT = "sample:"
 
 
 def _cutoff_hex(fraction: float) -> str:
-    """fraction -> 8-hex-digit lexicographic cutoff (floor(f * 16^8))."""
+    """fraction -> lexicographic cutoff for an 8-hex-char key (strict <).
+    fraction >= 1.0 returns 'g', which every hex key sorts below — a plain
+    'ffffffff' cutoff would silently drop keys equal to it (~1 in 4.3e9
+    docs, ~233 at 10^12 scale)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction out of range: {fraction}")
-    return format(min(int(fraction * 16**8), 16**8 - 1), "08x")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * 16**8), "08x")
+
+
+def sample_key(salt: str = SAMPLE_SALT):
+    """The 8-hex-char membership key: md5(salt || doc_id).  Single source
+    of truth — the DuckDB oracles mirror this expression verbatim."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8
+    )
 
 
 def hash_sample(
@@ -30,8 +43,7 @@ def hash_sample(
 ) -> DataFrame:
     """Keep each document iff the first 8 hex chars of ``md5(salt||doc_id)``
     fall below the fraction cutoff."""
-    key = F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8)
-    return documents.where(key < F.lit(_cutoff_hex(fraction)))
+    return documents.where(sample_key(salt) < F.lit(_cutoff_hex(fraction)))
 
 
 def token_budget_sample(
@@ -49,7 +61,9 @@ def token_budget_sample(
     shuffle partitioned by language; at cluster scale strata are large, so
     pre-aggregate per (lang, key-prefix) ranges or use an approximate
     quantile cut if a single stratum exceeds one executor's window."""
-    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    from .textstats import tokens_col
+
+    toks = F.size(tokens_col(F.col("text")))
     key = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
     from pyspark.sql.window import Window
 
@@ -79,7 +93,7 @@ def stratified_hash_sample(
     """Per-stratum hash sampling (e.g. language rebalancing for a training
     mix): each stratum gets its own cutoff; unknown strata fall back to
     ``default_fraction``.  Still pure map-side."""
-    key = F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8)
+    key = sample_key(salt)
     cutoff = F.lit(_cutoff_hex(default_fraction))
     for stratum, fraction in sorted(fractions.items()):
         cutoff = F.when(

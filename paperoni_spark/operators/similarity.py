@@ -168,16 +168,21 @@ def banded_buckets(base: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 
 
 def capped_bands(bands: DataFrame, cap: int = MAX_BUCKET) -> DataFrame:
-    """Drop rows in over-cap buckets.  The over-cap set is tiny by
-    construction (few degenerate buckets), so it ships as a broadcast
-    anti-join — the 10^12-row side never shuffles for the cap."""
+    """Drop rows in over-cap buckets via anti-join on the over-cap set.
+
+    The over-cap set is usually a handful of degenerate buckets, but its
+    size scales with corpus diversity, not with the cap — a forced
+    broadcast would be a driver-OOM cliff on exactly the boilerplate-heavy
+    corpora the cap exists for.  No hint: AQE broadcasts it at runtime
+    when it is actually small and falls back to a shuffled anti-join when
+    it is not."""
     hot = (
         bands.groupBy("band", "bkey")
         .agg(F.count("*").alias("n_in_bucket"))
         .where(F.col("n_in_bucket") > cap)
         .select("band", "bkey")
     )
-    return bands.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+    return bands.join(hot, ["band", "bkey"], "left_anti")
 
 
 def lsh_sign_buckets(embeddings: DataFrame, n_bands: int = N_BANDS) -> DataFrame:

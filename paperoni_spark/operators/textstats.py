@@ -34,9 +34,10 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(documents: DataFrame) -> DataFrame:
-    """Per-document quality signals: length, punctuation ratio, stopword
-    ratio, mean token length — the standard cheap quality filters."""
+def quality_score_cols() -> dict[str, Column]:
+    """The quality-signal expressions over a ``text`` column, by name —
+    reusable on any frame carrying ``text`` (see quality_filter and
+    compose.build_training_corpus) without a join."""
     text = F.col("text")
     toks = tokens_col(text)
     n_tokens = F.size(toks)
@@ -44,14 +45,21 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     punct = n_chars - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     n_stop = F.expr(f"size(filter(split(trim(text), '\\\\s+'), t -> t in ({stop_list})))")
+    return {
+        "n_chars_m": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(punct / n_chars, 6),
+        "stopword_ratio": F.round(n_stop / n_tokens, 6),
+        "mean_token_len": F.round((n_chars - n_tokens + 1) / n_tokens, 4),
+    }
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Per-document quality signals: length, punctuation ratio, stopword
+    ratio, mean token length — the standard cheap quality filters."""
+    cols = quality_score_cols()
     return documents.select(
-        "doc_id",
-        "lang",
-        n_chars.alias("n_chars_m"),
-        n_tokens.alias("n_tokens"),
-        F.round(punct / n_chars, 6).alias("punct_ratio"),
-        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
-        F.round((n_chars - n_tokens + 1) / n_tokens, 4).alias("mean_token_len"),
+        "doc_id", "lang", *[c.alias(n) for n, c in cols.items()]
     )
 
 
@@ -66,13 +74,13 @@ QF_MAX_PUNCT_RATIO = 0.2
 QF_MIN_STOPWORD_RATIO = 0.01  # english-only rule (stoplist is english)
 
 
-def quality_filter(documents: DataFrame) -> DataFrame:
-    """Rule-based document quality filter with per-rule reject attribution
-    (fixed evaluation order — first failing rule wins).  Pure map-side over
-    the quality_scores projection; the reject_reason breakdown is what a
-    corpus-build dashboard tracks per snapshot."""
-    q = quality_scores(documents)
-    reason = (
+def quality_reject_reason() -> Column:
+    """The reject-reason expression over quality_scores' columns — exposed
+    separately so pipelines that already carry those columns (or compute
+    them inline) can attach the verdict WITHOUT a self-join back through
+    their upstream stages (compose.build_training_corpus does this to keep
+    the extraction kernel single-pass)."""
+    return (
         F.when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("too_short"))
         .when(F.col("n_tokens") > QF_MAX_TOKENS, F.lit("too_long"))
         .when(
@@ -87,7 +95,15 @@ def quality_filter(documents: DataFrame) -> DataFrame:
             F.lit("low_stopword"),
         )
     )
-    return q.select(
+
+
+def quality_filter(documents: DataFrame) -> DataFrame:
+    """Rule-based document quality filter with per-rule reject attribution
+    (fixed evaluation order — first failing rule wins).  Pure map-side over
+    the quality_scores projection; the reject_reason breakdown is what a
+    corpus-build dashboard tracks per snapshot."""
+    reason = quality_reject_reason()
+    return quality_scores(documents).select(
         "doc_id",
         "lang",
         reason.isNull().alias("keep"),

@@ -56,22 +56,29 @@ def corpus_dedup_stats(documents: DataFrame) -> DataFrame:
 
 
 def build_training_corpus(
-    documents: DataFrame, base_url: str = "http://example.com/"
+    documents: DataFrame,
+    base_url: str = "http://example.com/",
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The full training-data funnel as one lazy program:
 
-    extract → flatten → language guess → quality filter → exact dedup
+    extract → flatten → language guess → quality verdict → exact dedup
     (fingerprint survivors, min-doc_id canonical) → corpus rows.
 
     Returns ``(corpus, funnel)``: the surviving corpus rows and a per-stage
     reject accounting (what a corpus-build dashboard tracks per snapshot).
-    All stages after the extraction UDF are Catalyst expressions; the only
-    shuffles are the fingerprint-survivor window and the funnel aggregation.
-    At cluster scale the survivor window shuffles on the fingerprint key —
-    exact duplicates co-locate, so skew equals the duplicate multiplicity
+    The quality verdict is attached as a column expression on the flattened
+    frame — NOT a self-join back through the extraction UDF — so each
+    action runs the kernel exactly once; all stages after the UDF are
+    Catalyst expressions and the only shuffles are the fingerprint-survivor
+    window and the funnel aggregation.  ``persist=True`` caches the judged
+    frame (MEMORY_AND_DISK) so consuming BOTH outputs costs one kernel pass
+    total — callers own the unpersist (corpus_job sets it).  At cluster
+    scale the survivor window shuffles on the fingerprint key — exact
+    duplicates co-locate, so skew equals the duplicate multiplicity
     (bounded by crawl frequency, salt if a fixture explodes it).
     """
-    from ..operators.textstats import quality_filter
+    from ..operators.textstats import quality_reject_reason, quality_score_cols
 
     flat = extracted_text(run_extract(documents, base_url))
     lower = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
@@ -81,12 +88,15 @@ def build_training_corpus(
     ).otherwise(F.lit("und"))
     flat = flat.withColumn("lang", lang_guess)
 
-    qf = quality_filter(flat.select("doc_id", "lang", "text"))
-    judged = flat.join(qf.select("doc_id", "keep", "reject_reason"), "doc_id")
-    kept = judged.where(F.col("keep")).drop("keep", "reject_reason")
+    scored = flat.withColumns(quality_score_cols())
+    judged = scored.withColumn("reject_reason", quality_reject_reason())
+    if persist:
+        from pyspark import StorageLevel
+
+        judged = judged.persist(StorageLevel.MEMORY_AND_DISK)
+    kept = judged.where(F.col("reject_reason").isNull())
 
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
     with_fp = kept.select(
         "doc_id",
         "title",
@@ -94,7 +104,7 @@ def build_training_corpus(
         "text",
         "n_images",
         F.md5(normalized).alias("fingerprint"),
-        F.size(toks).alias("n_tokens"),
+        "n_tokens",
     )
     from pyspark.sql.window import Window
 
@@ -107,7 +117,7 @@ def build_training_corpus(
 
     funnel = (
         judged.select(
-            F.when(F.col("keep"), F.lit("kept")).otherwise(
+            F.when(F.col("reject_reason").isNull(), F.lit("kept")).otherwise(
                 F.concat(F.lit("rejected:"), F.col("reject_reason"))
             ).alias("stage")
         )

@@ -146,8 +146,12 @@ def write_output(
     stamped = extracted.withColumn("run_id", F.lit(run_id))
     stamped.write.mode(mode).parquet(output_path)
     if metrics_path is not None:
+        # mergeSchema: an output dir appended by a pre-run_id build has
+        # files without the column — merged reads give those rows a null
+        # run_id, so the filter cleanly selects only this run's rows
         written = (
-            extracted.sparkSession.read.parquet(output_path)
+            extracted.sparkSession.read.option("mergeSchema", "true")
+            .parquet(output_path)
             .where(F.col("run_id") == run_id)
         )
         lineage_metrics(written, run_id).write.mode(mode).parquet(metrics_path)

@@ -343,6 +343,8 @@ def test_hash_sampling(spark, docs, ddb):
     # salt rotation draws a different subset
     other = {r["doc_id"] for r in hash_sample(docs, fraction=0.2, salt="v2:").collect()}
     assert other != small
+    # fraction=1.0 keeps EVERY document (keys equal to 'ffffffff' included)
+    assert hash_sample(docs, fraction=1.0).count() == total
     assert_matches_oracle(
         hash_sample(docs, fraction=0.2).select("doc_id", "lang"),
         ddb,
