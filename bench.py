@@ -134,6 +134,7 @@ def main() -> None:
 
     qfns = build_queries()
     for name in (
+        # round-1 keys (kept stable for cross-round comparability)
         "exact_dedup",
         "minhash_signatures",
         "simhash",
@@ -142,6 +143,13 @@ def main() -> None:
         "ann_lsh_topk",
         "windowed_events",
         "quality_scores",
+        # round-2 operators (new keys; absent from BENCH_r01 by design)
+        "ann_ivf_topk",
+        "embedding_near_dup",
+        "dedup_clusters",
+        "quality_filter",
+        "hash_sample",
+        "token_budget_sample",
     ):
         t0 = time.time()
         qfns[name](spark_full, SF_DIR).count()
