@@ -222,6 +222,110 @@ FX_PHRASING = _article(
 FX_MEGA_REPEATS = 150  # fixed, not sampled (FIXTURES.md §3)
 FX_MEGA = _article((_PARA + '<img src="https://example.com/images/m.png">') * FX_MEGA_REPEATS)
 
+# ---- round-2 additions: kernel paths the e2e corpus did not yet reach
+# (found by line-tracing readability.py under fixture+synthetic extraction;
+# each cites the operator it pins)
+
+# replace_brs double-<br> collapse + trailing-whitespace swallow (mod.rs:257-332)
+FX_DOUBLE_BR = _article(
+    _PARA * 6
+    + "line one<br><br>line two continues with enough words to matter<br> <br>line three"
+    + _PARA * 4
+)
+
+# <font> → <span> rename during prep_document (mod.rs:234-250)
+FX_FONT = _article(
+    _PARA * 6
+    + '<p>Styled <font color="red">legacy font content</font> inline.</p>'
+    + _PARA * 4
+)
+
+# <base href> participates in relative-URI resolution (mod.rs:647-700)
+FX_BASE_HREF = (
+    "<!DOCTYPE html><html><head><title>Base href fixture</title>"
+    '<base href="https://cdn.example.net/sub/dir/">'
+    '</head><body><article id="main-content">'
+    + _PARA * 6
+    + '<img src="./images/base-rel.jpg"><img src="../up.png">'
+    + '<p><a href="doc.html">relative link</a></p>'
+    + _PARA * 4
+    + "</article></body></html>"
+)
+
+# article dir attribute capture (mod.rs:2122-2128)
+FX_RTL = (
+    "<!DOCTYPE html><html><head><title>RTL fixture</title></head>"
+    '<body><article id="main-content" dir="rtl">'
+    + _PARA * 10
+    + "</article></body></html>"
+)
+
+# byline via rel="author" (mod.rs:887-910)
+FX_BYLINE_REL = _article(
+    '<p><a rel="author" href="/about/jane">Jane Doe</a></p>' + _PARA * 10
+)
+
+# lone-h2-matches-title removal (mod.rs:1517-1537)
+FX_LONE_H2 = _article(
+    "<h2>Lone Heading Fixture</h2>" + _PARA * 10, title="Lone Heading Fixture"
+)
+
+# clean_matched_nodes: share/social children under the char threshold
+FX_SHARE = _article(
+    _PARA * 6
+    + '<div class="share-tools">Share on <a href="https://social.example/x">X</a></div>'
+    + '<div class="social buttons">Like</div>'
+    + _PARA * 4
+)
+
+# sibling merge: scored div siblings + a long link-free <p> sibling of the
+# top candidate (append paths mod.rs:2036-2072)
+_P_LONG_TEXT = (
+    "This loose paragraph sits beside the main content and carries more than "
+    "eighty characters of plain prose with no links at all, so the sibling "
+    "merge adopts it."
+)
+FX_SIBLINGS = (
+    "<!DOCTYPE html><html><head><title>Sibling merge fixture</title></head><body>"
+    + '<div class="post body">' + _PARA * 10 + "</div>"
+    + '<div class="post body">' + _PARA * 3 + "</div>"
+    + "<p>" + _P_LONG_TEXT + "</p>"
+    + "</body></html>"
+)
+
+# javascript: link unwrap — single text child vs multi-child span wrap
+# (mod.rs:712-745)
+FX_JS_LINKS = _article(
+    _PARA * 6
+    + '<p>Go <a href="javascript:void(0)">plain text link</a> now.</p>'
+    + '<p>Or <a href="javascript:run()">click <b>this</b> rich link</a>.</p>'
+    + _PARA * 4
+)
+
+# <video poster> made absolute (mod.rs:747-757)
+FX_VIDEO_POSTER = _article(
+    _PARA * 6
+    + '<video poster="./poster.jpg" src="./clip.mp4"></video>'
+    + _PARA * 4
+)
+
+# quoted inline-CSS declarations through the hand-rolled scanner
+# (mod.rs:785-854) feeding is_probably_visible
+FX_CSS_QUOTES = _article(
+    '<p style="font-family: \'serif;x\'; visibility: visible">Quoted style content survives.</p>'
+    + '<div style="content: &quot;a;b&quot;; display: none"><p>hidden by quoted-decl style</p></div>'
+    + _PARA * 10
+)
+
+# title separator heuristics: dash-separated title longer than the h1
+# (mod.rs:562-621)
+FX_TITLE_SEP = (
+    "<!DOCTYPE html><html><head><title>Deep Dive into Distributed Extraction - Foo Developer Blog</title></head>"
+    "<body><h1>A different heading entirely</h1>"
+    + _PARA * 8
+    + "</body></html>"
+)
+
 
 def fixture_corpus() -> list[dict[str, Any]]:
     """All fixture documents as ``documents``-table rows."""
@@ -243,6 +347,18 @@ def fixture_corpus() -> list[dict[str, Any]]:
         ("fx-classweight", FX_CLASSWEIGHT),
         ("fx-phrasing", FX_PHRASING),
         ("fx-mega", FX_MEGA),
+        ("fx-double-br", FX_DOUBLE_BR),
+        ("fx-font", FX_FONT),
+        ("fx-base-href", FX_BASE_HREF),
+        ("fx-rtl", FX_RTL),
+        ("fx-byline-rel", FX_BYLINE_REL),
+        ("fx-lone-h2", FX_LONE_H2),
+        ("fx-share", FX_SHARE),
+        ("fx-siblings", FX_SIBLINGS),
+        ("fx-js-links", FX_JS_LINKS),
+        ("fx-video-poster", FX_VIDEO_POSTER),
+        ("fx-css-quotes", FX_CSS_QUOTES),
+        ("fx-title-sep", FX_TITLE_SEP),
     ]
     docs += [(f"fx-title-{i}", h) for i, h in enumerate(FX_TITLES)]
     docs += [(f"fx-meta-{i}", h) for i, h in enumerate(FX_META)]
