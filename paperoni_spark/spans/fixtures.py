@@ -326,6 +326,58 @@ FX_TITLE_SEP = (
     + "</body></html>"
 )
 
+# hierarchical separator (»): keeps the leading parts (mod.rs:569-584)
+FX_TITLE_HIER = (
+    "<!DOCTYPE html><html><head><title>The Publication Network » Long Reads » A Story About Parsers</title></head>"
+    "<body><h1>Totally unrelated heading</h1>" + _PARA * 8 + "</body></html>"
+)
+
+# colon-separated title with no matching heading (mod.rs:585-599)
+FX_TITLE_COLON = (
+    "<!DOCTYPE html><html><head><title>Engine Weekly: Building Extraction Pipelines That Scale</title></head>"
+    "<body><h1>Another heading</h1>" + _PARA * 8 + "</body></html>"
+)
+
+# initialize_node tag priors: blockquote/pre ancestors of scored <p>s
+# (mod.rs:1120-1131)
+FX_BLOCKQUOTE = _article(
+    _PARA * 5
+    + "<blockquote>" + _PARA * 2 + "</blockquote>"
+    + "<pre>" + _PARA + "</pre>"
+    + _PARA * 4
+)
+
+# fix_lazy_images: tiny base64-gif placeholder replaced from data-src, and
+# the <figure> descendant branch (mod.rs:1250-1305)
+FX_LAZY_B64 = _article(
+    _PARA * 6
+    + '<img src="data:image/gif;base64,R0lGODlhAQABAAD/ACwAAAAAAQABAAACADs=" data-src="./real-image.jpg">'
+    + '<figure class="lazy" data-src="./figure-image.jpg"><img alt="inner"></figure>'
+    + _PARA * 4
+)
+
+# single-cell table unwrapped to <p> at the end of prep_article
+# (mod.rs:1559-1589) — cell text is comma-rich so clean_conditionally keeps
+# the table alive until the unwrap step
+FX_SINGLE_CELL = _article(
+    _PARA * 6
+    + "<table><tbody><tr><td>A single cell, quite full of commas, clauses, "
+    "and phrases, keeps this table, despite the ladder, alive, intact, and "
+    "unwrappable, into a paragraph, at the very end.</td></tr></tbody></table>"
+    + _PARA * 4
+)
+
+# alternative-ancestor promotion: >=3 runner-up candidates sharing a parent
+# with >=75% of the top score promote that parent (mod.rs:1900-1933)
+FX_PROMOTION = (
+    "<!DOCTYPE html><html><head><title>Promotion fixture</title></head><body>"
+    + "<div id='wrapper'>"
+    + ("<div class='entry'>" + _PARA * 3 + "</div>") * 4
+    + "</div>"
+    + "<div id='unrelated'><p>tiny</p></div>"
+    + "</body></html>"
+)
+
 
 def fixture_corpus() -> list[dict[str, Any]]:
     """All fixture documents as ``documents``-table rows."""
@@ -359,6 +411,12 @@ def fixture_corpus() -> list[dict[str, Any]]:
         ("fx-video-poster", FX_VIDEO_POSTER),
         ("fx-css-quotes", FX_CSS_QUOTES),
         ("fx-title-sep", FX_TITLE_SEP),
+        ("fx-title-hier", FX_TITLE_HIER),
+        ("fx-title-colon", FX_TITLE_COLON),
+        ("fx-blockquote", FX_BLOCKQUOTE),
+        ("fx-lazy-b64", FX_LAZY_B64),
+        ("fx-single-cell", FX_SINGLE_CELL),
+        ("fx-promotion", FX_PROMOTION),
     ]
     docs += [(f"fx-title-{i}", h) for i, h in enumerate(FX_TITLES)]
     docs += [(f"fx-meta-{i}", h) for i, h in enumerate(FX_META)]
