@@ -308,6 +308,46 @@ SELECT doc_id, lang, (reject_reason IS NULL) AS keep, reject_reason FROM flagged
 """
 
 
+def oracle_unigram_logprob() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+counts AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+total AS (SELECT sum(tf) AS total FROM counts),
+scored AS (
+  SELECT t.doc_id, log2(c.tf) - log2(total.total) AS lp
+  FROM toks t JOIN counts c USING (tok) CROSS JOIN total
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(lp), 6) AS avg_log2_prob
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, avg_log2_prob,
+       round(pow(2.0, -avg_log2_prob), 4) AS perplexity
+FROM agg
+"""
+
+
+def oracle_repetition_stats() -> str:
+    return f"""
+WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
+  FROM (SELECT doc_id, toks AS arr FROM base),
+       unnest(generate_series(1, len(arr) - 1)) AS t(i)
+  WHERE len(arr) >= 2
+),
+per_doc AS (
+  SELECT doc_id, max(n) AS top_bg, sum(n) AS n_bigrams
+  FROM (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2) GROUP BY doc_id
+)
+SELECT b.doc_id, len(b.toks)::INT AS n_tokens,
+       coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(coalesce(p.top_bg::DOUBLE / p.n_bigrams, 0.0), 6) AS top_bigram_frac,
+       round((len(b.toks) - len(list_distinct(b.toks)))::DOUBLE / len(b.toks), 6) AS dup_token_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def oracle_lang_id() -> str:
     return """
 SELECT lang,
@@ -978,6 +1018,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": lambda spark, sf: textstats.token_stats(load(spark, sf, "documents")),
         "quality_scores": lambda spark, sf: textstats.quality_scores(load(spark, sf, "documents")),
         "quality_filter": lambda spark, sf: textstats.quality_filter(load(spark, sf, "documents")),
+        "unigram_logprob": lambda spark, sf: textstats.unigram_logprob(load(spark, sf, "documents")),
+        "repetition_stats": lambda spark, sf: textstats.repetition_stats(load(spark, sf, "documents")),
         "lang_id": lambda spark, sf: textstats.lang_id(load(spark, sf, "documents")),
         "fingerprints": lambda spark, sf: textstats.fingerprints(load(spark, sf, "documents")),
         # similarity family
@@ -1035,6 +1077,8 @@ def build_oracles() -> dict[str, str]:
         "token_stats": oracle_token_stats(),
         "quality_scores": oracle_quality_scores(),
         "quality_filter": oracle_quality_filter(),
+        "unigram_logprob": oracle_unigram_logprob(),
+        "repetition_stats": oracle_repetition_stats(),
         "lang_id": oracle_lang_id(),
         "fingerprints": oracle_fingerprints(),
         "cosine_topk": oracle_cosine_topk(),

@@ -130,6 +130,83 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-LM document scoring (the CCNet-style perplexity proxy): each
+    document's mean log2 probability of its tokens under the corpus's own
+    unigram distribution.  Low scores flag out-of-distribution documents
+    (wrong language, gibberish, boilerplate soup).
+
+    Plan shape: one token count aggregation (partial-agg shuffle on token),
+    then an equi-join of exploded doc tokens against the counts and a
+    per-doc aggregation.  At 10^12 docs the vocab side is zipf-headed —
+    AQE's skew split handles the hot-token join buckets, or broadcast the
+    top-K head vocabulary and join only the tail.  Rounded for engine
+    portability."""
+    toks = documents.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = counts.agg(F.sum("tf").alias("total"))  # one-row, broadcast
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.log2(F.col("tf")) - F.log2(F.col("total"))).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_log2_prob"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_log2_prob",
+            F.round(F.pow(F.lit(2.0), -F.col("avg_log2_prob")), 4).alias("perplexity"),
+        )
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals: the fraction of tokens covered by
+    the most frequent bigram, and the duplicate-token fraction.  High
+    values flag degenerate/templated text.  One bigram-count shuffle keyed
+    by doc_id — bounded by document size, no cross-document join."""
+    toks_arr = tokens_col(F.col("text"))
+    base = documents.select("doc_id", toks_arr.alias("toks"))
+    bigram_expr = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2))) "
+        "ELSE array() END"
+    )
+    bigrams = base.select("doc_id", F.explode(bigram_expr).alias("bg"))
+    per_doc = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bg"), F.sum("n").alias("n_bigrams"))
+    )
+    token_side = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    return token_side.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.coalesce(F.col("top_bg") / F.col("n_bigrams"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens"), 6
+        ).alias("dup_token_frac"),
+    )
+
+
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 

@@ -404,3 +404,40 @@ def test_token_budget_sample(spark, docs, ddb):
         ddb,
         contract.oracle_token_budget_sample(),
     )
+
+
+def test_unigram_logprob(spark, docs, ddb):
+    from paperoni_spark.operators.textstats import unigram_logprob
+
+    result = unigram_logprob(docs)
+    rows = result.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r["avg_log2_prob"] < 0  # probabilities < 1
+        assert r["perplexity"] > 1
+    assert_matches_oracle(result, ddb, contract.oracle_unigram_logprob())
+    # a gibberish doc (all-unique tokens) scores lower than a common-word doc
+    adv = spark.createDataFrame(
+        [(900001, "en", "the of and the of and the of and " * 10),
+         (900002, "en", " ".join(f"zzqx{i}gibber" for i in range(90)))],
+        "doc_id: long, lang: string, text: string",
+    )
+    scored = {r["doc_id"]: r["avg_log2_prob"] for r in unigram_logprob(docs.select("doc_id", "lang", "text").union(adv)).collect()}
+    assert scored[900002] < scored[900001]
+
+
+def test_repetition_stats(spark, docs, ddb):
+    from paperoni_spark.operators.textstats import repetition_stats
+
+    result = repetition_stats(docs)
+    assert_matches_oracle(result, ddb, contract.oracle_repetition_stats())
+    adv = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "all tokens here are fully distinct words"),
+         (3, "single")],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(adv).collect()}
+    assert got[1]["top_bigram_frac"] == 1.0 and got[1]["dup_token_frac"] > 0.8
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[3]["n_bigrams"] == 0 and got[3]["top_bigram_frac"] == 0.0
