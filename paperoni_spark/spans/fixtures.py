@@ -367,6 +367,36 @@ FX_SINGLE_CELL = _article(
     + _PARA * 4
 )
 
+# double-escaped numeric entities in metadata: the tokenizer unescapes one
+# level, the kernel's unescape_html_entities (mod.rs:531-559) handles the
+# surviving &#...; references, incl. the named-escape map
+FX_META_DOUBLE_ESC = (
+    "<!DOCTYPE html><html><head>"
+    '<meta name="description" content="Caf&amp;#233; piece about &amp;#x00e9;clairs &amp;amp; butter"/>'
+    '<meta name="author" content="R&amp;#233;my l&amp;quot;Auteur"/>'
+    "<title>Entity Fixture Long Title Here</title></head><body>"
+    + _PARA * 8
+    + "</body></html>"
+)
+
+# colon-title fallbacks (mod.rs:585-599): (a) last-colon tail under 3 words
+# falls back to the FIRST colon; (b) a >5-word prefix keeps the whole title
+FX_TITLE_COLON_TAIL = (
+    "<!DOCTYPE html><html><head><title>Site News: Read This Part: Now</title></head>"
+    "<body><h1>Other</h1>" + _PARA * 8 + "</body></html>"
+)
+FX_TITLE_COLON_LONGPRE = (
+    "<!DOCTYPE html><html><head><title>One Two Three Four Five Six: The Post Title Here</title></head>"
+    "<body><h1>Other</h1>" + _PARA * 8 + "</body></html>"
+)
+
+# negative tag priors: scored <p> under <ul>/<li> ancestors (mod.rs:1125-1131)
+FX_LIST_CONTENT = _article(
+    _PARA * 5
+    + "<ul><li>" + _PARA + "</li><li>" + _PARA + "</li></ul>"
+    + _PARA * 4
+)
+
 # alternative-ancestor promotion: >=3 runner-up candidates sharing a parent
 # with >=75% of the top score promote that parent (mod.rs:1900-1933)
 FX_PROMOTION = (
@@ -417,6 +447,10 @@ def fixture_corpus() -> list[dict[str, Any]]:
         ("fx-lazy-b64", FX_LAZY_B64),
         ("fx-single-cell", FX_SINGLE_CELL),
         ("fx-promotion", FX_PROMOTION),
+        ("fx-meta-double-esc", FX_META_DOUBLE_ESC),
+        ("fx-title-colon-tail", FX_TITLE_COLON_TAIL),
+        ("fx-title-colon-longpre", FX_TITLE_COLON_LONGPRE),
+        ("fx-list-content", FX_LIST_CONTENT),
     ]
     docs += [(f"fx-title-{i}", h) for i, h in enumerate(FX_TITLES)]
     docs += [(f"fx-meta-{i}", h) for i, h in enumerate(FX_META)]
