@@ -75,7 +75,11 @@ _MEDIA_TAGS = frozenset(["img", "embed", "object", "iframe"])
 
 
 def blen(s: str) -> int:
-    """Rust ``str::len`` — UTF-8 byte length."""
+    """Rust ``str::len`` — UTF-8 byte length.  ASCII fast path: isascii()
+    is an O(n) C scan with no allocation, vs encode()'s bytes allocation —
+    and for ASCII the byte length IS the char length."""
+    if s.isascii():
+        return len(s)
     return len(s.encode("utf-8"))
 
 
