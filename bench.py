@@ -150,6 +150,8 @@ def main() -> None:
         "quality_filter",
         "hash_sample",
         "token_budget_sample",
+        "unigram_logprob",
+        "repetition_stats",
     ):
         t0 = time.time()
         qfns[name](spark_full, SF_DIR).count()

@@ -310,15 +310,20 @@ SELECT doc_id, lang, (reject_reason IS NULL) AS keep, reject_reason FROM flagged
 
 def oracle_unigram_logprob() -> str:
     return f"""
-WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
-counts AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+WITH doc_tf AS (
+  SELECT doc_id, tok, count(*) AS tf_dt
+  FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+counts AS (SELECT tok, sum(tf_dt) AS tf FROM doc_tf GROUP BY tok),
 total AS (SELECT sum(tf) AS total FROM counts),
 scored AS (
-  SELECT t.doc_id, log2(c.tf) - log2(total.total) AS lp
-  FROM toks t JOIN counts c USING (tok) CROSS JOIN total
+  SELECT d.doc_id, d.tf_dt, log2(c.tf) - log2(total.total) AS lp
+  FROM doc_tf d JOIN counts c USING (tok) CROSS JOIN total
 ),
 agg AS (
-  SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(lp), 6) AS avg_log2_prob
+  SELECT doc_id, sum(tf_dt)::BIGINT AS n_tokens,
+         round(sum(tf_dt * lp) / sum(tf_dt), 6) AS avg_log2_prob
   FROM scored GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, avg_log2_prob,

@@ -136,30 +136,39 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     unigram distribution.  Low scores flag out-of-distribution documents
     (wrong language, gibberish, boilerplate soup).
 
-    Plan shape: one token count aggregation (partial-agg shuffle on token),
-    then an equi-join of exploded doc tokens against the counts and a
-    per-doc aggregation.  At 10^12 docs the vocab side is zipf-headed —
+    Plan shape: tokenize ONCE into per-document term frequencies (doc_id,
+    tok, tf_dt); corpus counts re-aggregate that table, and the vocab join
+    runs over distinct (doc, token) pairs — several-fold fewer rows than
+    per-instance joins on natural text.  The per-doc mean is the
+    tf-weighted average.  At 10^12 docs the vocab side is zipf-headed —
     AQE's skew split handles the hot-token join buckets, or broadcast the
     top-K head vocabulary and join only the tail.  Rounded for engine
     portability."""
-    toks = documents.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    doc_tf = (
+        documents.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf_dt"))
     )
-    counts = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    counts = doc_tf.groupBy("tok").agg(F.sum("tf_dt").alias("tf"))
     total = counts.agg(F.sum("tf").alias("total"))  # one-row, broadcast
     scored = (
-        toks.join(counts, "tok")
+        doc_tf.join(counts, "tok")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
+            "tf_dt",
             (F.log2(F.col("tf")) - F.log2(F.col("total"))).alias("lp"),
         )
     )
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg("lp"), 6).alias("avg_log2_prob"),
+            F.sum("tf_dt").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf_dt") * F.col("lp")) / F.sum("tf_dt"), 6
+            ).alias("avg_log2_prob"),
         )
         .select(
             "doc_id",
@@ -171,8 +180,10 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
 
 
 def repetition_stats(documents: DataFrame) -> DataFrame:
-    """Gopher-style repetition signals: the fraction of tokens covered by
-    the most frequent bigram, and the duplicate-token fraction.  High
+    """Gopher-style repetition signals: the fraction of bigram INSTANCES
+    taken by the most frequent bigram (top_bg / n_bigrams — note Gopher's
+    own metric is fraction of characters, a different denominator), and
+    the duplicate-token fraction.  High
     values flag degenerate/templated text.  One bigram-count shuffle keyed
     by doc_id — bounded by document size, no cross-document join."""
     toks_arr = tokens_col(F.col("text"))
