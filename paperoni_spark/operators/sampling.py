@@ -46,39 +46,81 @@ def hash_sample(
     return documents.where(sample_key(salt) < F.lit(_cutoff_hex(fraction)))
 
 
+BUDGET_PREFIX_LEN = 2  # hex chars → 16^2 = 256 sub-ranges per stratum
+
+
 def token_budget_sample(
     documents: DataFrame,
     budget_per_lang: dict[str, int],
     default_budget: int = 0,
     salt: str = SAMPLE_SALT,
+    prefix_len: int = BUDGET_PREFIX_LEN,
 ) -> DataFrame:
     """Take documents per language until a token budget is filled — the
     training-mix primitive ("20B English tokens, 5B code tokens, ...").
 
     Selection order is the md5 hash of the doc id (deterministic,
-    shuffle-independent, salt-rotatable), with doc_id as the tie-break;
-    a cumulative token sum per language cuts at the budget.  One window
-    shuffle partitioned by language; at cluster scale strata are large, so
-    pre-aggregate per (lang, key-prefix) ranges or use an approximate
-    quantile cut if a single stratum exceeds one executor's window."""
+    shuffle-independent, salt-rotatable), with doc_id as the tie-break.
+
+    Two-phase cut (the scale-safe plan): a single-stratum cumulative window
+    puts an entire language through one task — at 10^12 docs the English
+    stratum IS the corpus.  Instead: (1) aggregate token sums per
+    (lang, key-prefix) — a tiny summary of 16^prefix_len rows per stratum —
+    and turn it into per-prefix running offsets with a window over that
+    summary only; (2) broadcast the offsets back, drop every prefix whose
+    range starts past the budget map-side, and run the cumulative window
+    partitioned by (lang, prefix), so each window task sees 1/256th of a
+    stratum (prefix ordering == key ordering because the prefix is the
+    key's first chars, so the rows kept — and their cum_tokens — are
+    IDENTICAL to the single-window plan).  At 10^12 docs widen
+    ``prefix_len`` to 4 (65,536 sub-ranges).  The offsets table is
+    16^prefix_len rows per stratum by construction — bounded independent of
+    corpus size — so the forced broadcast cannot OOM the driver."""
     from .textstats import tokens_col
+    from pyspark.sql.window import Window
 
     toks = F.size(tokens_col(F.col("text")))
     key = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(key.asc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     budget = F.lit(default_budget)
     for lang, b in sorted(budget_per_lang.items()):
         budget = F.when(F.col("lang") == lang, F.lit(b)).otherwise(budget)
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        toks.alias("n_tokens"),
+        key.alias("key"),
+        F.substring(key, 1, prefix_len).alias("pfx"),
+        budget.alias("budget"),
+    )
+    # phase 1: per-(lang, prefix) token totals → running offsets.  The
+    # window here runs over the 256-rows-per-stratum summary, not the data.
+    pfx_w = (
+        Window.partitionBy("lang")
+        .orderBy("pfx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        scored.groupBy("lang", "pfx")
+        .agg(F.sum("n_tokens").alias("pfx_tokens"))
+        .select(
+            "lang",
+            "pfx",
+            F.coalesce(F.sum("pfx_tokens").over(pfx_w), F.lit(0)).alias("offset"),
+        )
+    )
+    # phase 2: map-side prune prefixes that start past the budget (<= not <:
+    # a zero-token row exactly at the boundary must survive, matching the
+    # single-window plan row-for-row), then window only within a prefix
+    w = (
+        Window.partitionBy("lang", "pfx")
+        .orderBy(F.col("key").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        documents.select("doc_id", "lang", toks.alias("n_tokens"))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .where(F.col("cum_tokens") <= budget)
+        scored.join(F.broadcast(offsets), ["lang", "pfx"])
+        .where(F.col("offset") <= F.col("budget"))
+        .withColumn("cum_tokens", F.col("offset") + F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= F.col("budget"))
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )
 

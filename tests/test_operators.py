@@ -399,6 +399,23 @@ def test_token_budget_sample(spark, docs, ddb):
     # deterministic under repartitioning
     again = token_budget_sample(docs.repartition(7), budgets, default_budget=500)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # scale shape: the data-side cumulative window must be partitioned by
+    # (lang, pfx) — never a whole stratum through one task — and the offsets
+    # summary must come back as a broadcast join
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    data_windows = [
+        m for m in re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    ]
+    assert any("pfx" in w for w in data_windows)
+    # the only per-lang-alone window partitions the 256-row summary: its
+    # frame is the offsets running sum (unboundedpreceding, -1), not the
+    # data-side cumulative frame (ends at currentrow)
+    for w in data_windows:
+        if "pfx" not in w:
+            assert "-1" in w
     assert_matches_oracle(
         token_budget_sample(docs, contract._TOKEN_BUDGETS, contract._TOKEN_BUDGET_DEFAULT),
         ddb,
