@@ -381,6 +381,14 @@ def oracle_minhash_signatures() -> str:
 
 
 def oracle_lsh_candidate_pairs() -> str:
+    return (
+        f"WITH {_SIG_CTE}, bands AS ({_minhash_bands_sql()}) "
+        "SELECT band::INT AS band, bucket, count(*)::BIGINT AS n_docs "
+        "FROM bands GROUP BY band, bucket HAVING count(*) > 1"
+    )
+
+
+def _minhash_bands_sql() -> str:
     rows_per_band = dedup.MINHASH_K // dedup.LSH_BANDS
     band_selects = []
     for b in range(dedup.LSH_BANDS):
@@ -390,12 +398,22 @@ def oracle_lsh_candidate_pairs() -> str:
         band_selects.append(
             f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig"
         )
-    union = " UNION ALL ".join(band_selects)
-    return (
-        f"WITH {_SIG_CTE}, bands AS ({union}) "
-        "SELECT band::INT AS band, bucket, count(*)::BIGINT AS n_docs "
-        "FROM bands GROUP BY band, bucket HAVING count(*) > 1"
-    )
+    return " UNION ALL ".join(band_selects)
+
+
+def oracle_lsh_candidate_doc_pairs() -> str:
+    return f"""
+WITH {_SIG_CTE}, bands AS ({_minhash_bands_sql()}),
+capped AS (
+  SELECT b.* FROM bands b
+  JOIN (SELECT band, bucket FROM bands GROUP BY 1, 2
+        HAVING count(*) <= {dedup.MINHASH_BUCKET_CAP}) ok USING (band, bucket)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_bands
+FROM capped a JOIN capped b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
 
 
 def oracle_simhash() -> str:
@@ -1000,6 +1018,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": lambda spark, sf: dedup.exact_dedup_stats(load(spark, sf, "documents")),
         "minhash_signatures": lambda spark, sf: dedup.minhash_signatures(load(spark, sf, "documents")),
         "lsh_candidate_pairs": lambda spark, sf: dedup.lsh_candidate_pairs(load(spark, sf, "documents")),
+        "lsh_candidate_doc_pairs": lambda spark, sf: dedup.lsh_candidate_doc_pairs(load(spark, sf, "documents")),
         "simhash": lambda spark, sf: dedup.simhash(load(spark, sf, "documents")),
         "ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(load(spark, sf, "documents")),
         "winnow_fingerprints": lambda spark, sf: dedup.winnow_fingerprints(load(spark, sf, "documents")),
@@ -1071,6 +1090,7 @@ def build_oracles() -> dict[str, str]:
         "exact_dedup": oracle_exact_dedup(),
         "minhash_signatures": oracle_minhash_signatures(),
         "lsh_candidate_pairs": oracle_lsh_candidate_pairs(),
+        "lsh_candidate_doc_pairs": oracle_lsh_candidate_doc_pairs(),
         "simhash": oracle_simhash(),
         "ngram_jaccard": oracle_ngram_jaccard(),
         "winnow_fingerprints": oracle_winnow_fingerprints(),

@@ -132,12 +132,13 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
+def _minhash_band_rows(
     documents: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
 ) -> DataFrame:
-    """MinHash-LSH banding: docs sharing a band key are near-dup candidates.
-    Returns (band, bucket, n_docs) for buckets with >1 member — the shuffle
-    moves only band-key rows, never documents."""
+    """(doc_id, band, bucket): one row per (document, band), where bucket is
+    the md5 of that band's signature slice — the LSH banding key.  Derived
+    map-side from the signature table; each doc contributes exactly
+    ``bands`` rows of a few bytes each."""
     rows_per_band = k // bands
     sig = minhash_signatures(documents, k)
     band_rows = []
@@ -153,10 +154,63 @@ def lsh_candidate_pairs(
     all_bands = band_rows[0]
     for br in band_rows[1:]:
         all_bands = all_bands.union(br)
+    return all_bands
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """MinHash-LSH banding: docs sharing a band key are near-dup candidates.
+    Returns (band, bucket, n_docs) for buckets with >1 member — the shuffle
+    moves only band-key rows, never documents.  This histogram is also the
+    skew probe for :func:`lsh_candidate_doc_pairs`: bucket sizes here tell
+    you whether MINHASH_BUCKET_CAP will bite."""
     return (
-        all_bands.groupBy("band", "bucket")
+        _minhash_band_rows(documents, k, bands)
+        .groupBy("band", "bucket")
         .agg(F.count("*").alias("n_docs"))
         .where(F.col("n_docs") > 1)
+    )
+
+
+MINHASH_BUCKET_CAP = 64
+
+
+def lsh_candidate_doc_pairs(
+    documents: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    cap: int = MINHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Enumerate MinHash-LSH candidate pairs: (doc_a, doc_b, n_shared_bands)
+    for every pair colliding in >=1 under-cap bucket (doc_a < doc_b).
+
+    Pair enumeration is where banding goes quadratic: a bucket of B docs
+    yields B² pairs, and one boilerplate cluster of 10^6 identical pages
+    is 10^12 rows from a single bucket.  Buckets larger than ``cap`` are
+    excluded via an anti-join on the over-cap set — same guard (and same
+    no-broadcast-hint rationale: the hot set scales with corpus diversity,
+    AQE decides) as similarity.capped_bands.  Oversize clusters are not
+    lost: they are exactly-equal families the cheap exact/fingerprint dedup
+    already collapses, and the bucket histogram (:func:`lsh_candidate_pairs`)
+    still reports them.  The self-join is per (band, bucket) equi-key, never
+    a cross join; n_shared_bands is a free collision-strength signal (a doc
+    has one bucket per band, so count(*) == count(distinct band))."""
+    rows = _minhash_band_rows(documents, k, bands)
+    hot = (
+        rows.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_in_bucket"))
+        .where(F.col("n_in_bucket") > cap)
+        .select("band", "bucket")
+    )
+    capped = rows.join(hot, ["band", "bucket"], "left_anti")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
     )
 
 

@@ -83,6 +83,37 @@ def test_minhash_matches_oracle(spark, docs, ddb):
     )
 
 
+def test_lsh_candidate_doc_pairs(spark, docs, ddb):
+    assert_matches_oracle(
+        dedup.lsh_candidate_doc_pairs(docs),
+        ddb,
+        contract.oracle_lsh_candidate_doc_pairs(),
+    )
+    # pairs must be consistent with the bucket histogram: every pair shares
+    # at least one band-bucket, and exact-duplicate docs collide in ALL bands
+    pairs = dedup.lsh_candidate_doc_pairs(docs).collect()
+    assert len(pairs) > 0
+    assert all(r["doc_a"] < r["doc_b"] for r in pairs)
+    assert all(1 <= r["n_shared_bands"] <= dedup.LSH_BANDS for r in pairs)
+
+
+def test_lsh_candidate_doc_pairs_degenerate_bucket_capped(spark):
+    """An identical-signature cluster larger than the cap must yield ZERO
+    pairs — the guard against the one-bucket O(B²) blowup — while a small
+    cluster still enumerates."""
+    n_big = dedup.MINHASH_BUCKET_CAP + 8
+    rows = [(i, "boiler plate page " * 10) for i in range(n_big)]
+    rows += [(1000 + i, "a rare unique document body here " * 5) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = dedup.lsh_candidate_doc_pairs(df).collect()
+    small = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert small == {(1000, 1001), (1000, 1002), (1001, 1002)}
+    assert all(r["n_shared_bands"] == dedup.LSH_BANDS for r in got)
+    # with the cap lifted the degenerate cluster explodes into B(B-1)/2 pairs
+    uncapped = dedup.lsh_candidate_doc_pairs(df, cap=10_000).count()
+    assert uncapped == n_big * (n_big - 1) // 2 + 3
+
+
 def test_quality_scores_matches_oracle(spark, docs, ddb):
     assert_matches_oracle(
         textstats.quality_scores(docs), ddb, contract.oracle_quality_scores()
