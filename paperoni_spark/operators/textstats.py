@@ -130,20 +130,31 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def unigram_logprob(documents: DataFrame) -> DataFrame:
+HEAD_VOCAB_K = 4096  # top-K tokens broadcast map-side (K × ~16 B — bounded)
+
+
+def unigram_logprob(
+    documents: DataFrame, head_k: int = HEAD_VOCAB_K
+) -> DataFrame:
     """Corpus-LM document scoring (the CCNet-style perplexity proxy): each
     document's mean log2 probability of its tokens under the corpus's own
     unigram distribution.  Low scores flag out-of-distribution documents
     (wrong language, gibberish, boilerplate soup).
 
     Plan shape: tokenize ONCE into per-document term frequencies (doc_id,
-    tok, tf_dt); corpus counts re-aggregate that table, and the vocab join
-    runs over distinct (doc, token) pairs — several-fold fewer rows than
-    per-instance joins on natural text.  The per-doc mean is the
-    tf-weighted average.  At 10^12 docs the vocab side is zipf-headed —
-    AQE's skew split handles the hot-token join buckets, or broadcast the
-    top-K head vocabulary and join only the tail.  Rounded for engine
-    portability."""
+    tok, tf_dt); corpus counts re-aggregate that table (partial-agg absorbs
+    the hot keys map-side), and the vocab join runs over distinct
+    (doc, token) pairs — several-fold fewer rows than per-instance joins on
+    natural text.  The vocab key is zipf-headed: 'the' alone is ~5% of all
+    join rows, so a plain equi-join puts the whole head through a handful
+    of reducers.  The head/tail split fixes that structurally: the top-K
+    head vocabulary (K tokens exactly — driver memory bounded by
+    construction, unlike a frequency cutoff whose set size scales with the
+    corpus) broadcasts and matches map-side; only tail tokens — bounded
+    per-key frequency by the K-th head count — take the shuffled join.
+    Per-token lp depends only on (tf, total), so the branch routing cannot
+    change values.  The per-doc mean is the tf-weighted average.  Rounded
+    for engine portability."""
     doc_tf = (
         documents.select(
             "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
@@ -153,15 +164,24 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
     counts = doc_tf.groupBy("tok").agg(F.sum("tf_dt").alias("tf"))
     total = counts.agg(F.sum("tf").alias("total"))  # one-row, broadcast
-    scored = (
-        doc_tf.join(counts, "tok")
+    head = counts.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(head_k)
+    lp_cols = [
+        "doc_id",
+        "tf_dt",
+        (F.log2(F.col("tf")) - F.log2(F.col("total"))).alias("lp"),
+    ]
+    scored_head = (
+        doc_tf.join(F.broadcast(head), "tok")
         .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            "tf_dt",
-            (F.log2(F.col("tf")) - F.log2(F.col("total"))).alias("lp"),
-        )
+        .select(*lp_cols)
     )
+    scored_tail = (
+        doc_tf.join(F.broadcast(head.select("tok")), "tok", "left_anti")
+        .join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(*lp_cols)
+    )
+    scored = scored_head.unionByName(scored_tail)
     return (
         scored.groupBy("doc_id")
         .agg(

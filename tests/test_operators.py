@@ -472,6 +472,14 @@ def test_unigram_logprob(spark, docs, ddb):
     )
     scored = {r["doc_id"]: r["avg_log2_prob"] for r in unigram_logprob(docs.select("doc_id", "lang", "text").union(adv)).collect()}
     assert scored[900002] < scored[900001]
+    # head/tail split: with a tiny head_k that genuinely routes hot tokens
+    # map-side and cold tokens through the shuffled join, values must be
+    # IDENTICAL (lp depends only on (tf, total), not the branch)
+    split = unigram_logprob(docs, head_k=3)
+    assert sorted(map(tuple, split.collect())) == sorted(map(tuple, rows))
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # head matches map-side
+    assert "LeftAnti" in plan  # tail routing is the anti-join on head keys
 
 
 def test_repetition_stats(spark, docs, ddb):
