@@ -307,6 +307,31 @@ def ivf_assignments(
     return base.withColumn("centroid", assign_col(centroids)), centroids
 
 
+def write_ivf_index(assigned: DataFrame, path: str) -> None:
+    """Materialize the IVF index: the assigned table written PARTITIONED BY
+    centroid.  Probing then prunes at the source — a query touching nprobe
+    clusters reads nprobe directories out of n_centroids, never scanning
+    the other (n_centroids - nprobe)/n_centroids of the corpus.  (Iceberg
+    equivalent: ``writeTo(tbl).partitionedBy(col("centroid")).create()`` —
+    parquet directory partitioning stands in, same pruning semantics.)
+    tests/test_operators.py::test_ivf_probe_scan_partition_pruned asserts
+    the pruned plan and that only the probed partitions' files are read."""
+    assigned.write.partitionBy("centroid").mode("overwrite").parquet(path)
+
+
+def ivf_probe_scan(
+    spark, path: str, probe_centroids: list[int]
+) -> DataFrame:
+    """Read back only the probed clusters.  ``centroid`` is a partition
+    column, so the IN-filter becomes a PartitionFilter: Catalyst prunes
+    the file listing to ``len(probe_centroids)`` directories before any IO
+    (check ``PartitionFilters`` in the scan node — NOT PushedFilters,
+    which still opens every file)."""
+    return spark.read.parquet(path).where(
+        F.col("centroid").isin([int(c) for c in probe_centroids])
+    )
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 10,
@@ -316,8 +341,9 @@ def ann_ivf_topk(
 ) -> DataFrame:
     """IVF ANN: rank candidates only within the query's ``nprobe`` nearest
     clusters.  The corpus side is assigned map-side and joined on the
-    cluster id — at scale the assigned table is written bucketed by
-    centroid so probes become partition-pruned scans."""
+    cluster id — at scale the assigned table is written partitioned by
+    centroid (:func:`write_ivf_index`) so probes become partition-pruned
+    scans (:func:`ivf_probe_scan`)."""
     from pyspark.sql.window import Window
 
     assigned, centroids = ivf_assignments(embeddings, n_centroids)

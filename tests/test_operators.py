@@ -482,6 +482,34 @@ def test_unigram_logprob(spark, docs, ddb):
     assert "LeftAnti" in plan  # tail routing is the anti-join on head keys
 
 
+def test_ivf_probe_scan_partition_pruned(spark, embeds, tmp_path_factory):
+    """The IVF scale path, demonstrated: the assigned table written
+    partitioned by centroid yields probe scans that prune to exactly the
+    nprobe probed partitions — a partition filter, not a row filter over
+    the full corpus."""
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    assigned, centroids = similarity.ivf_assignments(embeds, n_centroids=16)
+    similarity.write_ivf_index(assigned.select("vec_id", "centroid"), path)
+    probes = [3, 7]
+    scan = similarity.ivf_probe_scan(spark, path, probes)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the IN-filter must land in PartitionFilters (listing-time pruning);
+    # a PushedFilter would still open every partition's files
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "centroid" in pf and "IN" in pf.upper()
+    # only the probed directories are actually read
+    files = {
+        r[0]
+        for r in scan.select(
+            F.regexp_extract(F.input_file_name(), r"centroid=(\d+)", 1)
+        ).distinct().collect()
+    }
+    assert files == {"3", "7"}
+    # and the pruned scan returns exactly the probed clusters' rows
+    expected = assigned.where(F.col("centroid").isin(probes)).count()
+    assert scan.count() == expected > 0
+
+
 def test_repetition_stats(spark, docs, ddb):
     from paperoni_spark.operators.textstats import repetition_stats
 
