@@ -34,6 +34,7 @@ from .operators.extract import run_extract
 from .pipeline.job import extract_pipeline
 from .spans import fixture_corpus, synth_corpus
 from .streaming import run_streaming_window_counts, windowed_event_counts
+from .streaming.sessions import run_streaming_sessionization
 from .streaming.stateful import running_user_totals
 
 _GOLDEN_DIR = os.path.join(
@@ -1077,6 +1078,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": lambda spark, sf: windowed_event_counts(load(_utc(spark), sf, "events")),
         "streaming_windowed_events": lambda spark, sf: run_streaming_window_counts(_utc(spark), sf),
         "stateful_user_totals": lambda spark, sf: running_user_totals(spark, sf),
+        # streaming gap-sessionization: applyInPandasWithState, verified
+        # against the SAME oracle as the batch session_stats window plan
+        "streaming_session_stats": lambda spark, sf: run_streaming_sessionization(_utc(spark), sf),
     }
 
 
@@ -1120,4 +1124,5 @@ def build_oracles() -> dict[str, str]:
         "windowed_events": oracle_windowed_events(),
         "streaming_windowed_events": oracle_windowed_events(),
         "stateful_user_totals": oracle_user_totals(),
+        "streaming_session_stats": oracle_session_stats(),
     }

@@ -1,0 +1,188 @@
+"""Streaming gap-sessionization: ``applyInPandasWithState`` over events.
+
+The batch shape (operators/sessionize.py) is two windows over a user_id
+shuffle; the streaming twin keeps per-user event state across micro-batches
+and re-derives that user's sessions on every update.  Sessions are NOT
+append-only under late/out-of-order arrivals — a bridging event can merge
+two previously-separate sessions — so each update emits the user's full
+current session list tagged with a monotone update counter, and the reader
+takes each user's latest emission (same last-write-wins readback as
+stateful.running_user_totals).  With an ``availableNow`` trigger over a
+static directory the final state must equal the batch ``session_stats``
+row-for-row — which is exactly what the driver's oracle asserts.
+
+At production scale the state should not hold a user's full history: set an
+event-time timeout (GroupStateTimeout.EventTimeTimeout + watermark) and
+evict sessions older than the watermark minus the gap — they can never
+merge with future events, so they are emitted once as final and dropped
+from state.  The availableNow test path keeps full state because the static
+corpus is finite and the contract is exact batch parity.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.sessionize import DEFAULT_GAP_MINUTES
+from .windowed import EVENTS_SCHEMA
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("n_updates", LongType()),
+        StructField("ts_us", ArrayType(LongType())),
+        StructField("event_ids", ArrayType(LongType())),
+        StructField("values", ArrayType(DoubleType())),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_idx", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_start", StringType()),
+        StructField("session_end", StringType()),
+        StructField("duration_us", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("n_updates", LongType()),
+    ]
+)
+
+
+def _sessions_from_events(
+    user_id: int, ts_us: list, event_ids: list, values: list, gap_us: int, n_upd: int
+) -> pd.DataFrame:
+    """Re-derive the session list from the user's full event set: sort by
+    (ts, event_id) — the batch window's exact ordering — break on gaps."""
+    order = sorted(range(len(ts_us)), key=lambda i: (ts_us[i], event_ids[i]))
+    rows = []
+    cur = None  # [start_us, end_us, n, total]
+    idx = 0
+
+    def close(c):
+        rows.append(
+            {
+                "user_id": user_id,
+                "session_idx": idx,
+                "n_events": c[2],
+                "session_start": pd.Timestamp(c[0], unit="us").strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                ),
+                "session_end": pd.Timestamp(c[1], unit="us").strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                ),
+                "duration_us": c[1] - c[0],
+                "total_value": round(c[3], 6),
+                "n_updates": n_upd,
+            }
+        )
+
+    for i in order:
+        if cur is None or ts_us[i] - cur[1] > gap_us:
+            if cur is not None:
+                close(cur)
+            idx += 1
+            cur = [ts_us[i], ts_us[i], 1, values[i]]
+        else:
+            cur[1] = ts_us[i]
+            cur[2] += 1
+            cur[3] += values[i]
+    if cur is not None:
+        close(cur)
+    return pd.DataFrame(rows)
+
+
+def _make_update_fn(gap_minutes: int):
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n_upd, ts_us, event_ids, values = state.get
+            ts_us, event_ids, values = list(ts_us), list(event_ids), list(values)
+        else:
+            n_upd, ts_us, event_ids, values = 0, [], [], []
+        for pdf in pdfs:
+            ts_us.extend((pdf["ts"].astype("int64") // 1000).tolist())
+            event_ids.extend(pdf["event_id"].astype("int64").tolist())
+            values.extend(pdf["value"].astype("float64").tolist())
+        n_upd += 1
+        state.update((n_upd, ts_us, event_ids, values))
+        yield _sessions_from_events(
+            user_id, ts_us, event_ids, values, gap_us, n_upd
+        )
+
+    return update
+
+
+def run_streaming_sessionization(
+    spark: SparkSession,
+    events_dir: str,
+    gap_minutes: int = DEFAULT_GAP_MINUTES,
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "events.parquet",
+) -> DataFrame:
+    """Run gap-sessionization as a Structured Streaming query (availableNow)
+    and return the final per-session rows — the batch session_stats shape."""
+    table = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "pathGlobFilter", path_glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(events_dir)
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _make_update_fn(gap_minutes),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # last-write-wins readback: a user's latest emission (max n_updates) is
+    # its complete session list — earlier emissions may contain sessions
+    # that later MERGED (update mode appends in the memory sink)
+    from pyspark.sql.window import Window
+
+    sink = spark.table(table)
+    return (
+        sink.withColumn(
+            "max_upd", F.max("n_updates").over(Window.partitionBy("user_id"))
+        )
+        .where(F.col("n_updates") == F.col("max_upd"))
+        .select(
+            "user_id",
+            "session_idx",
+            "n_events",
+            "session_start",
+            "session_end",
+            "duration_us",
+            "total_value",
+        )
+    )

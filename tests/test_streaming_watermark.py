@@ -137,3 +137,55 @@ def test_watermark_update_mode_late_rows(spark, tmp_path_factory):
     # re-opens its (already-evicted) window and emits — pinned so an engine
     # upgrade that starts dropping late rows is caught deliberately
     assert rows.get(("2024-01-01 00:00:00", "too-late")) == 1
+
+
+def test_streaming_sessionization_matches_batch(spark, tmp_path_factory):
+    """Gap-sessionization via applyInPandasWithState: fed the same events
+    split across THREE micro-batches in a session-hostile order (a later
+    batch delivers the bridging event that MERGES two sessions already
+    emitted as separate), the final read-back must equal the batch
+    session_stats rows exactly."""
+    from paperoni_spark.operators.sessionize import session_stats
+    from paperoni_spark.streaming.sessions import run_streaming_sessionization
+
+    base_dir = tmp_path_factory.mktemp("sess")
+    events_dir = str(base_dir / "events")
+    os.makedirs(events_dir)
+    # user 1: events at 0min and 50min (gap 50 > 30 → two sessions) plus a
+    # 25min bridge arriving LAST (merges them into one); user 2: one session
+    batches = [
+        [(0, 1), (50, 1), (100, 2)],
+        [(105, 2), (120, 2)],
+        [(25, 1)],  # the bridge — arrives after both sessions were emitted
+    ]
+    eid = 0
+    batch_dt = dt.datetime(2024, 3, 1)
+    all_rows = []
+    for bi, batch in enumerate(batches):
+        rows = [
+            (
+                (eid := eid + 1),
+                batch_dt + dt.timedelta(minutes=m),
+                uid,
+                "click",
+                float(eid),
+                "{}",
+            )
+            for m, uid in batch
+        ]
+        all_rows.extend(rows)
+        spark.createDataFrame(rows, schema=EVENTS_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(events_dir, f"b{bi}")
+        )
+        time.sleep(2.1)  # file source orders batches by modification time
+
+    streamed = run_streaming_sessionization(
+        spark, events_dir + "/*", max_files_per_trigger=1, path_glob="*.parquet"
+    )
+    batch = session_stats(spark.createDataFrame(all_rows, schema=EVENTS_SCHEMA))
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+    # the merge actually happened: user 1 ends with ONE session of 3 events
+    u1 = [r for r in streamed.collect() if r["user_id"] == 1]
+    assert len(u1) == 1 and u1[0]["n_events"] == 3
