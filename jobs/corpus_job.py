@@ -69,6 +69,12 @@ def main(argv: list[str] | None = None) -> None:
     corpus.write.mode("overwrite").parquet(args.output)
     if args.funnel is not None:
         funnel.write.mode("overwrite").parquet(args.funnel)
+    # both sinks consumed — release the shared extraction cache.  The
+    # persisted frame is internal to build_training_corpus, so drop it via
+    # the catalog; this job owns the whole session, so the blanket clear is
+    # exact (redundant before spark.stop() here, load-bearing if this main
+    # is ever embedded in a longer-lived session)
+    spark.catalog.clearCache()
     spark.stop()
 
 

@@ -66,21 +66,19 @@ def main(argv: list[str] | None = None) -> None:
 
     done = None
     if args.resume_from:
-        from pyspark.errors import AnalysisException
-
-        try:
+        # A missing checkpoint means "first run" — probe existence explicitly
+        # through the Hadoop FileSystem (works for any scheme the cluster
+        # mounts: hdfs://, s3a://, file://) rather than sniffing exception
+        # wording, which shifts across Spark versions/locales and would turn
+        # a corrupt checkpoint back into a silent full re-extract.  Any read
+        # error on an EXISTING path (corrupt/partial checkpoint) propagates
+        # loudly: silently ignoring it would re-extract everything and, in
+        # append mode, write duplicate rows for completed doc_ids.
+        jvm = spark._jvm
+        ck_path = jvm.org.apache.hadoop.fs.Path(args.resume_from)
+        fs = ck_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(ck_path):
             done = spark.read.parquet(args.resume_from)
-        except AnalysisException as e:
-            # A missing checkpoint means "first run" — start fresh.  Any
-            # OTHER read error (corrupt/partial checkpoint) must fail loudly:
-            # silently ignoring it would re-extract everything and, in
-            # append mode, write duplicate rows for completed doc_ids.
-            # (Spark >=3.4 raises error class PATH_NOT_FOUND; older builds
-            # word it "Path does not exist".)
-            msg = str(e)
-            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-                raise
-            done = None
 
     extracted = extract_pipeline(
         documents, base_url=args.base_url, mode=args.mode, done=done

@@ -167,9 +167,15 @@ def update_imgs_base64(root_node: Node, img_urls, read_bytes) -> None:
 def update_img_urls(root_node: Node, img_urls, imgs_dir_path: str, copy_file=None) -> None:
     """html.rs:288-307 — repoint each spooled image's ``src`` at the export
     images directory (and copy the payload there via ``copy_file``, a
-    (img_url, dest_path) callable; None skips IO for table-sink use)."""
+    (img_url, dest_path) callable; None skips IO for table-sink use).
+
+    ``os.path.join`` is bug-faithful to Rust ``Path::join``: an ABSOLUTE
+    img_url replaces the base directory instead of being appended under it
+    (a plain f-string concat would produce a doubled path)."""
+    import os.path
+
     for img_url, _ in img_urls:
-        dest = f"{imgs_dir_path}/{img_url}"
+        dest = os.path.join(imgs_dir_path, img_url)
         if copy_file is not None:
             copy_file(img_url, dest)
         for img in root_node.select_list("img"):

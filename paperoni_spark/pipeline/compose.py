@@ -73,7 +73,8 @@ def build_training_corpus(
     Catalyst expressions and the only shuffles are the fingerprint-survivor
     window and the funnel aggregation.  ``persist=True`` caches the judged
     frame (MEMORY_AND_DISK) so consuming BOTH outputs costs one kernel pass
-    total — callers own the unpersist (corpus_job sets it).  At cluster
+    total — callers own the unpersist after consuming both outputs
+    (corpus_job does).  At cluster
     scale the survivor window shuffles on the fingerprint key — exact
     duplicates co-locate, so skew equals the duplicate multiplicity
     (bounded by crawl frequency, salt if a fixture explodes it).
@@ -115,6 +116,9 @@ def build_training_corpus(
         .drop("_rn")
     )
 
+    # funnel reconciliation: 'kept' counts quality survivors PRE-dedup;
+    # 'rejected:duplicate' counts the fingerprint-window losers, so
+    # kept - rejected:duplicate == written corpus rows exactly
     funnel = (
         judged.select(
             F.when(F.col("reject_reason").isNull(), F.lit("kept")).otherwise(
@@ -124,4 +128,8 @@ def build_training_corpus(
         .groupBy("stage")
         .agg(F.count("*").alias("n_docs"))
     )
+    dup_row = with_fp.agg(
+        (F.count("*") - F.countDistinct("fingerprint")).alias("n_docs")
+    ).select(F.lit("rejected:duplicate").alias("stage"), "n_docs")
+    funnel = funnel.unionByName(dup_row)
     return corpus, funnel

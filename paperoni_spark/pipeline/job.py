@@ -141,17 +141,18 @@ def write_output(
     this run's id), never from re-evaluating ``extracted`` — re-running the
     kernel would double job cost and describe a different physical run than
     the data on disk.  On Iceberg this is the snapshot read of the append
-    that just committed."""
+    that just committed.
+
+    The output is PARTITIONED BY run_id, so the read-back is a
+    partition-pruned scan of exactly this run's directory — O(this run),
+    not O(all appends ever) — and the run_id filter never opens historical
+    files (previously a mergeSchema read of the full history; on Iceberg
+    the equivalent is the snapshot read, which prunes the same way)."""
     run_id = run_id or uuid.uuid4().hex
     stamped = extracted.withColumn("run_id", F.lit(run_id))
-    stamped.write.mode(mode).parquet(output_path)
+    stamped.write.mode(mode).partitionBy("run_id").parquet(output_path)
     if metrics_path is not None:
-        # mergeSchema: an output dir appended by a pre-run_id build has
-        # files without the column — merged reads give those rows a null
-        # run_id, so the filter cleanly selects only this run's rows
-        written = (
-            extracted.sparkSession.read.option("mergeSchema", "true")
-            .parquet(output_path)
-            .where(F.col("run_id") == run_id)
+        written = extracted.sparkSession.read.parquet(output_path).where(
+            F.col("run_id") == run_id
         )
         lineage_metrics(written, run_id).write.mode(mode).parquet(metrics_path)

@@ -282,6 +282,13 @@ def test_update_img_urls():
     update_img_urls(doc, [("abc123", None)], "Article Title", lambda u, d: copied.append((u, d)))
     assert copied == [("abc123", "Article Title/abc123")]
     assert doc.select_first("img").attributes["src"] == "Article Title/abc123"
+    # Path::join semantics (html.rs:292): an absolute img_url REPLACES the
+    # base directory — not a doubled "base//abs" path
+    doc2 = parse_html('<html><body><img src="/abs/pic"/></body></html>')
+    copied2 = []
+    update_img_urls(doc2, [("/abs/pic", None)], "Article Title", lambda u, d: copied2.append((u, d)))
+    assert copied2 == [("/abs/pic", "/abs/pic")]
+    assert doc2.select_first("img").attributes["src"] == "/abs/pic"
 
 
 def test_insert_meta_charset():

@@ -352,6 +352,9 @@ def test_build_training_corpus_funnel(spark):
     stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
     assert stages["rejected:too_short"] == 1
     assert stages["kept"] == 5  # 4 originals + the duplicate (pre-dedup)
+    # funnel reconciles with the written corpus: kept - duplicates == rows
+    assert stages["rejected:duplicate"] == 1
+    assert stages["kept"] - stages["rejected:duplicate"] == len(rows)
     # survivors are unique by fingerprint
     fps = [r["fingerprint"] for r in rows]
     assert len(fps) == len(set(fps))
