@@ -190,6 +190,41 @@ def main() -> None:
     thr_n, thr_4n = legs[SCALE_N], legs[SCALE_N * 4]
     efficiency = (thr_4n / thr_n) / 4
 
+    # scaling legs for the two slowest operator queries (both carry skew
+    # guards — the DF-cap anti-join and the CC label loop — whose overhead
+    # must be seen to scale, not just their full-box wall).  One alternating
+    # pair of sessions, best-of-2 per leg inside each session (warm workers).
+    QSCALE = ("ngram_jaccard", "dedup_clusters")
+    qlegs: dict[str, dict[int, float]] = {q: {} for q in QSCALE}
+
+    def run_query_leg(cores: int) -> None:
+        spark = build(cores, fixed_splits=True)
+        for name in QSCALE:
+            best_q = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                qfns[name](spark, SF_DIR).count()
+                best_q = min(best_q, time.time() - t0)
+            qlegs[name][cores] = min(
+                best_q, qlegs[name].get(cores, float("inf"))
+            )
+        spark.stop()
+
+    run_query_leg(SCALE_N * 4)
+    run_query_leg(SCALE_N)
+    query_scaling = {}
+    for name in QSCALE:
+        t_n, t_4n = qlegs[name][SCALE_N], qlegs[name][SCALE_N * 4]
+        queries[f"{name}_{SCALE_N}_cores"] = round(t_n, 3)
+        queries[f"{name}_{SCALE_N * 4}_cores"] = round(t_4n, 3)
+        query_scaling[name] = {
+            "cores_n": SCALE_N,
+            "cores_4n": SCALE_N * 4,
+            "sec_n": round(t_n, 3),
+            "sec_4n": round(t_4n, 3),
+            "efficiency": round((t_n / t_4n) / 4, 3),
+        }
+
     print(
         json.dumps(
             {
@@ -211,6 +246,7 @@ def main() -> None:
                         "docs_per_sec": round(n_ok_sat / t_sat, 1),
                     },
                 },
+                "query_scaling": query_scaling,
             }
         )
     )
