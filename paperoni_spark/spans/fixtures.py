@@ -409,6 +409,267 @@ FX_PROMOTION = (
 )
 
 
+# ---- round-3 additions: the remaining fixture-reachable kernel lines
+# (tools/kernel_coverage.py under the e2e corpora; each entry names the
+# readability.py lines it pins — see COVERAGE.md for the unreachable rest)
+
+# non-ASCII text through the byte-length math (blen UTF-8 slow path)
+FX_UNICODE = _article(
+    "<p>" + "Élégance déjà-vu — œuvres complètes, naïveté, français garanti. " * 8 + "</p>"
+    + _PARA * 6
+)
+
+# noscript unwrap edge ladder (mod.rs:180-231): text+img inner (not single
+# image), body-first noscript (no prev), comment-led prev chain, div-wrapped
+# prev image, equal-attr skip
+FX_NOSCRIPT_EDGE = (
+    "<!DOCTYPE html><html><head><title>Noscript edge fixture</title></head><body>"
+    '<noscript><img src="first.png"></noscript>'
+    '<div><!-- lead --><noscript><img src="second.png"></noscript></div>'
+    '<noscript><div>caption text <img src="a.png"></div></noscript>'
+    '<div class="parent"><img src="same.png"></div><noscript><img src="same.png"></noscript>'
+    '<article id="main-content">' + _PARA * 8 + "</article></body></html>"
+)
+
+# <style> strip in prep_document + br-chain break on double-br + trailing
+# <br> swallowed as whitespace (mod.rs:225-332)
+FX_STYLE_BRS = _article(
+    "<style>p { color: red }</style>"
+    + _PARA * 6
+    + "<div>alpha<br><br>beta words here<br><br><br>gamma tail</div>"
+    + '<div>x<br><br>y trailing break<br></div>'
+    + _PARA * 4
+)
+
+# replace_brs: trailing whitespace TEXT node trimmed from the swallowing <p>
+FX_BRS_TRAILING = _article(
+    _PARA * 6
+    + "<div>one<br><br>two <b>bold</b> <div>" + _PARA + "</div></div>"
+    + _PARA * 4
+)
+
+# replace_brs: new <p> lands inside a <p> → parent rewritten to <div>
+FX_BRS_P_IN_P = _article(
+    _PARA * 6 + "<p>inner<br><br>rewrite parent paragraph</p>" + _PARA * 4
+)
+
+# lone-surrogate numeric entities → U+FFFD (utf16_lossy, mod.rs:549-556)
+FX_META_SURROGATE = (
+    "<!DOCTYPE html><html><head>"
+    '<meta name="description" content="bad &amp;#xD800; surrogate and &amp;#55296; again"/>'
+    "<title>Surrogate Entity Fixture Title</title></head><body>"
+    + _PARA * 8
+    + "</body></html>"
+)
+
+# hierarchical separator leaves a ≤4-word title: the word-count revert
+# condition's second leg evaluates (mod.rs:612-620)
+FX_TITLE_SHORT_HIER = (
+    "<!DOCTYPE html><html><head><title>One » Four Word End Part</title></head>"
+    "<body><h1>Unrelated</h1>" + _PARA * 8 + "</body></html>"
+)
+
+# byline via itemprop (mod.rs:891-898)
+FX_BYLINE_ITEMPROP = _article(
+    '<p itemprop="author">Janet Writer</p>' + _PARA * 10
+)
+
+# role=complementary removal + empty h2/section blocks; the whitespace-only
+# div sits LAST because its div→p rewrite ends the walk (mod.rs:1734 quirk)
+FX_EMPTY_COMPLEMENTARY = _article(
+    _PARA * 3
+    + '<div role="complementary">related reading box</div>'
+    + "<h2></h2><section></section>"
+    + _PARA * 7
+    + "<div>   </div>"
+)
+
+# unlikely-candidate nodes inside a table: kept at ancestor depth ≤3,
+# removed beyond max_depth (mod.rs:947-975 + walk guard mod.rs:1694)
+FX_TABLE_UNLIKELY_DEPTH = _article(
+    _PARA * 6
+    + '<table><tbody><tr><td><span class="sidebar">kept inside table</span></td></tr>'
+    + '<tr><td><div><div><div><span class="sidebar">too deep, removed</span></div></div></div></td></tr></tbody></table>'
+    + _PARA * 4
+)
+
+# grab's div→p rewrite trims the trailing whitespace text from the new <p>
+FX_GRAB_TRAILING_WS = _article(
+    _PARA * 6
+    + "<div>loose phrasing run <b>bold words</b> <div>" + _PARA + "</div></div>"
+    + _PARA * 3
+)
+
+# negative class/id weights ("promo" is negative but NOT unlikely, so it
+# survives into prep_article): clean_conditionally weight<0 detach +
+# clean_headers negative-h2 detach (mod.rs:1322-1327, :1430-1442)
+FX_NEG_WEIGHT_PROMO = _article(
+    _PARA * 6
+    + '<div id="promo"><span>Buy the promo thing</span><ul><li>a</li><li>b</li></ul></div>'
+    + '<h2 class="promo">Promotional heading</h2>'
+    + _PARA * 4
+)
+
+# <th> ancestor of a scored <p>: the h1-h6/th −5 prior (mod.rs:1130-1131)
+FX_TH_PRIOR = _article(
+    _PARA * 6
+    + "<table><tbody><tr><th><p>A header cell paragraph long enough to be scored by the kernel here.</p></th>"
+    + "<td><p>A data cell paragraph long enough to be scored by the kernel too.</p></td></tr></tbody></table>"
+    + _PARA * 4
+)
+
+# fix_lazy_images: svg data-URI skip, data-srcset copy, figure-with-img
+# append branch (mod.rs:1255-1305)
+FX_LAZY_VARIANTS = _article(
+    _PARA * 6
+    + '<img class="lazy" src="data:image/svg+xml;base64,PHN2Zy8+" data-src="./real.jpg">'
+    + '<img class="lazy" src="ph.jpg" data-srcset="./a.jpg 1x, ./b.jpg 2x">'
+    + '<figure data-src="./fig.jpg"><img src="inner.jpg"></figure>'
+    + _PARA * 4
+)
+
+# clean_conditionally's video-embed exemption: object + embed with video
+# URLs shield their list-heavy containers (mod.rs:1331-1345)
+FX_EMBED_SKIP = _article(
+    _PARA * 6
+    + '<div><object data="https://www.youtube.com/embed/xyz"></object><ul><li>x</li><li>y</li><li>z</li></ul></div>'
+    + '<div><embed src="https://player.vimeo.com/video/1"><ul><li>x</li><li>y</li><li>z</li></ul></div>'
+    + _PARA * 4
+)
+
+# <svg> skipped by presentational-attribute cleanup (mod.rs:1448-1452)
+FX_SVG_ATTRS = _article(
+    _PARA * 6
+    + '<svg align="left" width="10" height="10"><circle cx="5" cy="5" r="4"></circle></svg>'
+    + _PARA * 4
+)
+
+# lone h2 LONGER than the title within +50%: the rate>0 containment branch
+# (mod.rs:1521-1529)
+FX_LONE_H2_LONGER = _article(
+    "<h2>Lone Heading Fixture Plus</h2>" + _PARA * 10,
+    title="Lone Heading Fixture",
+)
+
+# <br> directly preceding a <p> is removed in prep_article (mod.rs:1546-1557)
+FX_BR_BEFORE_P = _article(_PARA * 5 + "loose run of text<br>" + _PARA * 5)
+
+# single-cell table whose cell holds a BLOCK child → unwrapped to <div>
+# (mod.rs:1575-1585)
+FX_SINGLE_CELL_DIV = _article(
+    _PARA * 6
+    + "<table><tbody><tr><td><div>A single cell, quite full of commas, clauses, "
+    "and phrases, keeps this table, despite the ladder, alive, intact, and "
+    "block-level, into a div, at the very end.</div></td></tr></tbody></table>"
+    + _PARA * 4
+)
+
+# sibling merge: short link-free <p> without sentence punctuation appended;
+# a scored <blockquote> sibling is renamed to <div> (mod.rs:2034-2052)
+FX_SIBLING_SHORT = (
+    "<!DOCTYPE html><html><head><title>Sibling short fixture</title></head><body>"
+    '<div class="post body">' + _PARA * 6 + "</div>"
+    + "<p>Adopt me now</p>"
+    + "<blockquote>" + _PARA * 3 + "</blockquote>"
+    + "</body></html>"
+)
+
+# URI edges: relative <base href>, IPv6-malformed href (urljoin ValueError
+# passthrough), srcset rewrite (mod.rs:666-700, :727-757)
+FX_URI_EDGES = (
+    "<!DOCTYPE html><html><head><title>URI edge fixture</title>"
+    '<base href="relative/dir/">'
+    '</head><body><article id="main-content">'
+    + _PARA * 6
+    + '<img srcset="img-1x.jpg 1x, img-2x.jpg 2x" src="img.jpg">'
+    + '<p><a href="//[bad-ipv6">busted link</a> and <a href="ok.html">fine</a></p>'
+    + _PARA * 4
+    + "</article></body></html>"
+)
+
+# absolute <base href> with NO path: normalization inserts "/" (mod.rs:651)
+FX_BASE_NOPATH = (
+    "<!DOCTYPE html><html><head><title>Base nopath fixture</title>"
+    '<base href="https://cdn.example.net">'
+    '</head><body><article id="main-content">'
+    + _PARA * 6
+    + '<img src="images/rel.jpg"><p><a href="page.html">rel link</a></p>'
+    + _PARA * 4
+    + "</article></body></html>"
+)
+
+# common-ancestor promotion that must CLIMB a level first (top candidate one
+# level deeper than the ≥3 runners-up's shared parent, mod.rs:1916-1923)
+_BALLAST_LINKS = "<ul>" + "".join(
+    f'<li><a href="https://example.com/{i}">a very long chain of anchor text '
+    f"keeps the bucket link density high number {i}</a></li>"
+    for i in range(12)
+) + "</ul>"
+FX_PROMOTION_CLIMB = (
+    "<!DOCTYPE html><html><head><title>Promotion climb fixture</title></head><body>"
+    "<div id='wrap'>"
+    "<div id='groupA'><div class='entry'>" + _PARA * 4 + "</div></div>"
+    + ("<div class='entry'>" + _PARA * 3 + "</div>") * 3
+    + _BALLAST_LINKS
+    + "</div></body></html>"
+)
+
+# promotion to an UNSCORED ancestor (runners-up are level-2 candidates whose
+# shared parent sits outside the 3-ancestor scoring depth): link-crushed
+# inner candidates + plain ballast per branch (mod.rs:1925-1933)
+_LINKP = (
+    '<p><a href="https://example.com/l">a rather long anchor text chain that '
+    "dominates, byte for byte, the paragraph body here</a> tail.</p>"
+)
+_PLAIN_BALLAST = "<ul>" + "".join(
+    f"<li>plain unlinked filler prose item number {i} with several extra words of padding</li>"
+    for i in range(8)
+) + "</ul>"
+_DEEP_BRANCH = (
+    "<div class='a'>" + _PLAIN_BALLAST
+    + "<div class='b'><div class='c'>" + _LINKP * 2 + "</div></div></div>"
+)
+FX_DEEP_PROMOTION = (
+    "<!DOCTYPE html><html><head><title>Deep promotion fixture</title></head><body>"
+    "<div id='outer'><div id='wrap'>" + _DEEP_BRANCH * 4 + "</div></div></body></html>"
+)
+
+# is_probably_visible: aria-hidden present but not "true" (mod.rs:871-874)
+FX_ARIA_FALSE = _article(
+    '<div aria-hidden="false"><p>visible aria content paragraph that stays.</p></div>'
+    + _PARA * 8
+)
+
+# hrefless <base> skipped before the real one (mod.rs:656-659)
+FX_BASE_HREFLESS = (
+    "<!DOCTYPE html><html><head><title>Hrefless base fixture</title>"
+    '<base target="_blank"><base href="https://cdn.example.net/sub/">'
+    '</head><body><article id="main-content">'
+    + _PARA * 6
+    + '<img src="rel.jpg">'
+    + _PARA * 4
+    + "</article></body></html>"
+)
+
+# single-child chain over scored levels: parent-climb break at score/3,
+# then the chain climb reaches an unscored node → late initialize
+# (mod.rs:1947-1971)
+FX_DEEP_CHAIN = (
+    "<!DOCTYPE html><html><head><title>Deep chain fixture</title></head><body>"
+    "<div id='l1'><div id='l2'><div id='l3'><div id='inner'>" + _PARA * 3 + "</div></div></div></div>"
+    "</body></html>"
+)
+
+# parent climb UP: ancestor scores dip then rise above the running last
+# score, moving the top candidate upward (mod.rs:1942-1945)
+FX_CLIMB_UP = (
+    "<!DOCTYPE html><html><head><title>Climb up fixture</title></head><body>"
+    "<div id='a2'>" + _PARA * 3
+    + "<div id='a1'><div id='t'>" + _PARA * 4 + "</div></div>"
+    "</div></body></html>"
+)
+
+
 def fixture_corpus() -> list[dict[str, Any]]:
     """All fixture documents as ``documents``-table rows."""
     docs: list[tuple[str, str]] = [
@@ -451,6 +712,34 @@ def fixture_corpus() -> list[dict[str, Any]]:
         ("fx-title-colon-tail", FX_TITLE_COLON_TAIL),
         ("fx-title-colon-longpre", FX_TITLE_COLON_LONGPRE),
         ("fx-list-content", FX_LIST_CONTENT),
+        ("fx-unicode", FX_UNICODE),
+        ("fx-noscript-edge", FX_NOSCRIPT_EDGE),
+        ("fx-style-brs", FX_STYLE_BRS),
+        ("fx-brs-trailing", FX_BRS_TRAILING),
+        ("fx-brs-p-in-p", FX_BRS_P_IN_P),
+        ("fx-meta-surrogate", FX_META_SURROGATE),
+        ("fx-title-short-hier", FX_TITLE_SHORT_HIER),
+        ("fx-byline-itemprop", FX_BYLINE_ITEMPROP),
+        ("fx-empty-complementary", FX_EMPTY_COMPLEMENTARY),
+        ("fx-table-unlikely-depth", FX_TABLE_UNLIKELY_DEPTH),
+        ("fx-grab-trailing-ws", FX_GRAB_TRAILING_WS),
+        ("fx-neg-weight-promo", FX_NEG_WEIGHT_PROMO),
+        ("fx-th-prior", FX_TH_PRIOR),
+        ("fx-lazy-variants", FX_LAZY_VARIANTS),
+        ("fx-embed-skip", FX_EMBED_SKIP),
+        ("fx-svg-attrs", FX_SVG_ATTRS),
+        ("fx-lone-h2-longer", FX_LONE_H2_LONGER),
+        ("fx-br-before-p", FX_BR_BEFORE_P),
+        ("fx-single-cell-div", FX_SINGLE_CELL_DIV),
+        ("fx-sibling-short", FX_SIBLING_SHORT),
+        ("fx-uri-edges", FX_URI_EDGES),
+        ("fx-base-nopath", FX_BASE_NOPATH),
+        ("fx-promotion-climb", FX_PROMOTION_CLIMB),
+        ("fx-deep-promotion", FX_DEEP_PROMOTION),
+        ("fx-deep-chain", FX_DEEP_CHAIN),
+        ("fx-climb-up", FX_CLIMB_UP),
+        ("fx-aria-false", FX_ARIA_FALSE),
+        ("fx-base-hrefless", FX_BASE_HREFLESS),
     ]
     docs += [(f"fx-title-{i}", h) for i, h in enumerate(FX_TITLES)]
     docs += [(f"fx-meta-{i}", h) for i, h in enumerate(FX_META)]

@@ -1227,6 +1227,12 @@ def test_get_article_metadata():
     assert meta.excerpt == "A post on how hard it is to work with text."
     assert meta.title == "Blog on the difficulty of using utf-8"
     assert meta.site_name is None
+    assert meta.as_dict() == {
+        "title": "Blog on the difficulty of using utf-8",
+        "byline": "Foo Coder",
+        "excerpt": "A post on how hard it is to work with text.",
+        "site_name": None,
+    }
 
     html_str = """
         <!DOCTYPE html>
