@@ -77,7 +77,11 @@ def main(argv: list[str] | None = None) -> None:
         jvm = spark._jvm
         ck_path = jvm.org.apache.hadoop.fs.Path(args.resume_from)
         fs = ck_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(ck_path):
+        # globStatus (not exists): --resume-from may be a glob pattern,
+        # which spark.read.parquet resolves but exists() would treat as a
+        # missing literal path — silently re-extracting everything
+        matches = fs.globStatus(ck_path)
+        if matches is not None and len(matches) > 0:
             done = spark.read.parquet(args.resume_from)
 
     extracted = extract_pipeline(

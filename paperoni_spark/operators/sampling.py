@@ -74,8 +74,11 @@ def token_budget_sample(
     key's first chars, so the rows kept — and their cum_tokens — are
     IDENTICAL to the single-window plan).  At 10^12 docs widen
     ``prefix_len`` to 4 (65,536 sub-ranges).  The offsets table is
-    16^prefix_len rows per stratum by construction — bounded independent of
-    corpus size — so the forced broadcast cannot OOM the driver."""
+    16^prefix_len rows PER STRATUM — bounded in corpus size but not in
+    stratum cardinality (dirty lang data can carry millions of distinct
+    values), so no broadcast hint: AQE broadcasts the runtime-small case
+    and falls back to a shuffled join when the stratum space explodes —
+    the same no-forced-broadcast rule as the dedup hot-set anti-joins."""
     from .textstats import tokens_col
     from pyspark.sql.window import Window
 
@@ -117,7 +120,7 @@ def token_budget_sample(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        scored.join(F.broadcast(offsets), ["lang", "pfx"])
+        scored.join(offsets, ["lang", "pfx"])
         .where(F.col("offset") <= F.col("budget"))
         .withColumn("cum_tokens", F.col("offset") + F.sum("n_tokens").over(w))
         .where(F.col("cum_tokens") <= F.col("budget"))

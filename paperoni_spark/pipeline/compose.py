@@ -118,18 +118,32 @@ def build_training_corpus(
 
     # funnel reconciliation: 'kept' counts quality survivors PRE-dedup;
     # 'rejected:duplicate' counts the fingerprint-window losers, so
-    # kept - rejected:duplicate == written corpus rows exactly
+    # kept - rejected:duplicate == written corpus rows exactly.  Both rows
+    # come out of ONE scan of judged (a per-row label array exploded into
+    # stage rows): a second aggregation branch would re-run the extraction
+    # kernel per funnel action when judged is not persisted.  Rejected rows
+    # get a unique window key so the fingerprint window stays a no-op for
+    # them (kept rows shuffle by fingerprint, same key as the corpus dedup).
+    dup_key = F.when(
+        F.col("reject_reason").isNull(), F.md5(normalized)
+    ).otherwise(F.concat(F.lit("r:"), F.col("doc_id").cast("string")))
+    dup_w = Window.partitionBy(dup_key).orderBy("doc_id")
+    stage1 = F.when(F.col("reject_reason").isNull(), F.lit("kept")).otherwise(
+        F.concat(F.lit("rejected:"), F.col("reject_reason"))
+    )
+    is_dup = F.col("reject_reason").isNull() & (
+        F.row_number().over(dup_w) > 1
+    )
+    labels = F.concat(
+        F.array(F.col("_stage1")),
+        F.when(F.col("_is_dup"), F.array(F.lit("rejected:duplicate"))).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
     funnel = (
-        judged.select(
-            F.when(F.col("reject_reason").isNull(), F.lit("kept")).otherwise(
-                F.concat(F.lit("rejected:"), F.col("reject_reason"))
-            ).alias("stage")
-        )
+        judged.select(stage1.alias("_stage1"), is_dup.alias("_is_dup"))
+        .select(F.explode(labels).alias("stage"))
         .groupBy("stage")
         .agg(F.count("*").alias("n_docs"))
     )
-    dup_row = with_fp.agg(
-        (F.count("*") - F.countDistinct("fingerprint")).alias("n_docs")
-    ).select(F.lit("rejected:duplicate").alias("stage"), "n_docs")
-    funnel = funnel.unionByName(dup_row)
     return corpus, funnel

@@ -149,6 +149,24 @@ def write_output(
     files (previously a mergeSchema read of the full history; on Iceberg
     the equivalent is the snapshot read, which prunes the same way)."""
     run_id = run_id or uuid.uuid4().hex
+    spark = extracted.sparkSession
+    # layout guard: appending run_id= partitions into a directory holding
+    # root-level part files (the pre-partitioned flat layout) would pass the
+    # write but fail every subsequent read with Spark's conflicting-
+    # directory-structures error — fail FIRST with a migration message
+    jvm = spark._jvm
+    out = jvm.org.apache.hadoop.fs.Path(output_path)
+    fs = out.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(out):
+        for st in fs.listStatus(out):
+            name = st.getPath().getName()
+            if st.isFile() and name.startswith("part-"):
+                raise ValueError(
+                    f"{output_path} holds a flat (pre-run_id-partitioned) "
+                    "layout; appending partitioned output would corrupt it. "
+                    "Migrate: read the old dir and rewrite it with "
+                    "partitionBy('run_id'), or point --output elsewhere."
+                )
     stamped = extracted.withColumn("run_id", F.lit(run_id))
     stamped.write.mode(mode).partitionBy("run_id").parquet(output_path)
     if metrics_path is not None:

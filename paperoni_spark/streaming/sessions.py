@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 )
 
 from ..operators.sessionize import DEFAULT_GAP_MINUTES
+from .stateful import spark_round
 from .windowed import EVENTS_SCHEMA
 
 SESSION_STATE_SCHEMA = StructType(
@@ -87,7 +88,7 @@ def _sessions_from_events(
                     "%Y-%m-%d %H:%M:%S"
                 ),
                 "duration_us": c[1] - c[0],
-                "total_value": round(c[3], 6),
+                "total_value": spark_round(c[3], 6),
                 "n_updates": n_upd,
             }
         )

@@ -42,6 +42,18 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
+def spark_round(x: float, scale: int) -> float:
+    """Spark's ROUND(double, n): BigDecimal.valueOf(x) (shortest decimal
+    repr, like Python repr) then setScale(n, HALF_UP).  Python's round() is
+    banker's (HALF_EVEN) — on an exact x.xxxxx5 boundary the two differ and
+    the stream would mismatch the batch/oracle gate by one ulp."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), ROUND_HALF_UP)
+    )
+
+
 def _update_user_totals(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
@@ -54,7 +66,7 @@ def _update_user_totals(
         total += float(pdf["value"].sum())
     state.update((n, total))
     yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]}
+        {"user_id": [user_id], "n_events": [n], "total_value": [spark_round(total, 6)]}
     )
 
 

@@ -431,8 +431,8 @@ def test_token_budget_sample(spark, docs, ddb):
     again = token_budget_sample(docs.repartition(7), budgets, default_budget=500)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
     # scale shape: the data-side cumulative window must be partitioned by
-    # (lang, pfx) — never a whole stratum through one task — and the offsets
-    # summary must come back as a broadcast join
+    # (lang, pfx) — never a whole stratum through one task — and AQE must
+    # pick a broadcast for the (here runtime-tiny) unhinted offsets join
     plan = result._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     import re
