@@ -162,7 +162,18 @@ def unigram_logprob(
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf_dt"))
     )
+    # doc_tf fans out to FIVE consumers (head/tail joins, counts → total/
+    # head/tail); without materialization Catalyst re-derives it per branch
+    # — seven scans of the corpus (measured).  localCheckpoint computes the
+    # tokenize+agg once and truncates lineage; the blocks are executor-local
+    # MEMORY_AND_DISK and the ContextCleaner reclaims them when the frame is
+    # GC'd, so the lazy-operator contract keeps no explicit unpersist hook
+    # (same recipe as dedup.dedup_clusters' per-round labels).
+    doc_tf = doc_tf.localCheckpoint(eager=False)
+    # counts likewise feeds total + head + tail — checkpoint the (vocab-
+    # sized, far smaller) aggregate so the tok shuffle runs once, not 3×
     counts = doc_tf.groupBy("tok").agg(F.sum("tf_dt").alias("tf"))
+    counts = counts.localCheckpoint(eager=False)
     total = counts.agg(F.sum("tf").alias("total"))  # one-row, broadcast
     head = counts.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(head_k)
     lp_cols = [
