@@ -614,6 +614,115 @@ FROM agg
 """
 
 
+def oracle_winnow_overlap_pairs() -> str:
+    w = dedup.WINNOW_WINDOW - 1
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS arr FROM documents),
+sh AS (
+  SELECT doc_id, i AS pos, md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]) AS h
+  FROM toks, unnest(generate_series(1, len(arr) - 2)) AS t(i)
+  WHERE len(arr) >= 3
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {w} FOLLOWING) AS fp
+  FROM sh
+),
+blocked AS (
+  SELECT s.* FROM sel s
+  JOIN (SELECT fp FROM sel GROUP BY fp
+        HAVING count(*) <= {dedup.WINNOW_FP_DF_CAP}) ok USING (fp)
+),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM blocked GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM blocked a JOIN blocked b USING (fp)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared::BIGINT AS n_shared,
+       round(n_shared::DOUBLE / least(na.n_fp, nb.n_fp), 6) AS overlap
+FROM pairs
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE n_shared >= 2
+"""
+
+
+_BENCH_N_DOCS = 3
+
+
+PLANT_ID_OFFSET = 2_000_000
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination probe: the 'benchmark' is a deterministic selection
+    of corpus documents (the _BENCH_N_DOCS lowest md5('bench:'||doc_id)
+    keys — no external data per the task rules).  Gate seeding à la
+    planted_embeddings: the probed corpus is additionally unioned with one
+    PLANTED document per benchmark text (its first 20 tokens + a unique
+    tail), so the gate compares real partial-overlap contamination — not
+    just the benchmark docs flagging themselves."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("bench:"), F.col("doc_id").cast("string")))
+    bench = (
+        docs.select("text", key.alias("k"))
+        .orderBy("k")
+        .limit(_BENCH_N_DOCS)
+        .select("text", F.row_number().over(Window.orderBy("k")).alias("i"))
+    )
+    head20 = F.concat_ws(
+        " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 20)
+    )
+    planted = bench.select(
+        (F.lit(PLANT_ID_OFFSET) + F.col("i")).cast("long").alias("doc_id"),
+        F.concat(
+            head20, F.lit(" planted contamination tail "), F.col("i")
+        ).alias("text"),
+    )
+    probed = docs.select("doc_id", "text").union(planted)
+    return textstats.benchmark_contamination(probed, bench.select("text"))
+
+
+def oracle_benchmark_contamination() -> str:
+    n = textstats.CONTAM_NGRAM
+    return f"""
+WITH bench AS (
+  SELECT text, row_number() OVER (ORDER BY md5('bench:' || doc_id::VARCHAR)) AS i
+  FROM documents
+  ORDER BY md5('bench:' || doc_id::VARCHAR) LIMIT {_BENCH_N_DOCS}
+),
+planted AS (
+  SELECT ({PLANT_ID_OFFSET} + i)::BIGINT AS doc_id,
+         array_to_string(arr[1:20], ' ') || ' planted contamination tail ' || i AS text
+  FROM (SELECT i, {_TOKENS} AS arr FROM bench)
+),
+probed AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM planted),
+btoks AS (SELECT {_TOKENS} AS arr FROM bench),
+bngrams AS (
+  SELECT DISTINCT array_to_string(arr[i:i+{n - 1}], ' ') AS ngram
+  FROM btoks, unnest(generate_series(1, len(arr) - {n - 1})) AS t(i)
+  WHERE len(arr) >= {n}
+),
+dtoks AS (SELECT doc_id, {_TOKENS} AS arr FROM probed),
+dngrams AS (
+  SELECT DISTINCT doc_id, array_to_string(arr[i:i+{n - 1}], ' ') AS ngram
+  FROM dtoks, unnest(generate_series(1, len(arr) - {n - 1})) AS t(i)
+  WHERE len(arr) >= {n}
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM dngrams JOIN bngrams USING (ngram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       (coalesce(h.n_contaminated, 0) > 0) AS contaminated
+FROM (SELECT doc_id FROM probed) d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def oracle_cosine_topk() -> str:
     return """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -1023,6 +1132,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": lambda spark, sf: dedup.simhash(load(spark, sf, "documents")),
         "ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(load(spark, sf, "documents")),
         "winnow_fingerprints": lambda spark, sf: dedup.winnow_fingerprints(load(spark, sf, "documents")),
+        "winnow_overlap_pairs": lambda spark, sf: dedup.winnow_overlap_pairs(load(spark, sf, "documents")),
+        "benchmark_contamination": q_benchmark_contamination,
         "dedup_clusters": lambda spark, sf: dedup.dedup_clusters(load(spark, sf, "documents")),
         # deterministic corpus sampling (training-mix construction)
         "hash_sample": lambda spark, sf: sampling.hash_sample(
@@ -1098,6 +1209,8 @@ def build_oracles() -> dict[str, str]:
         "simhash": oracle_simhash(),
         "ngram_jaccard": oracle_ngram_jaccard(),
         "winnow_fingerprints": oracle_winnow_fingerprints(),
+        "winnow_overlap_pairs": oracle_winnow_overlap_pairs(),
+        "benchmark_contamination": oracle_benchmark_contamination(),
         "dedup_clusters": oracle_dedup_clusters(),
         "hash_sample": oracle_hash_sample(),
         "stratified_sample": oracle_stratified_sample(),

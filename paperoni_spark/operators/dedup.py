@@ -69,14 +69,13 @@ def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
 WINNOW_WINDOW = 4
 
 
-def winnow_fingerprints(
+def _winnow_selected(
     documents: DataFrame, n: int = 3, window: int = WINNOW_WINDOW
 ) -> DataFrame:
-    """Rolling-hash document fingerprinting (winnowing): hash every word
-    n-gram in document order, slide a window of ``window`` hashes, keep each
-    window's minimum — the classic local-fingerprint scheme whose selections
-    are stable under edits outside the window.  Hashes are md5 (lexicographic
-    min ≙ integer min, engine-portable); one doc_id-keyed window shuffle."""
+    """(doc_id, fp): each document's DISTINCT winnowing selections — hash
+    every word n-gram in document order, slide a window of ``window``
+    hashes, keep each window's minimum.  Hashes are md5 (lexicographic min
+    ≙ integer min, engine-portable); one doc_id-keyed window shuffle."""
     from pyspark.sql.window import Window
 
     toks_df = documents.select(
@@ -97,14 +96,87 @@ def winnow_fingerprints(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, window - 1)
     )
-    minima = positioned.withColumn("win_min", F.min("h").over(w))
     return (
-        minima.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("win_min")).alias("fps"))
+        positioned.withColumn("fp", F.min("h").over(w))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def winnow_fingerprints(
+    documents: DataFrame, n: int = 3, window: int = WINNOW_WINDOW
+) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): the per-document
+    selection-set summary — the classic local-fingerprint scheme whose
+    selections are stable under edits outside the window."""
+    sel = _winnow_selected(documents, n, window)
+    return (
+        sel.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("fp")).alias("fps"))
         .select(
             "doc_id",
             F.size("fps").alias("n_fingerprints"),
             F.md5(F.concat_ws("|", "fps")).alias("fp_digest"),
+        )
+    )
+
+
+WINNOW_FP_DF_CAP = 100
+
+
+def winnow_overlap_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    window: int = WINNOW_WINDOW,
+    min_shared: int = 2,
+    df_cap: int = WINNOW_FP_DF_CAP,
+) -> DataFrame:
+    """Near-dup candidate pairs from SHARED WINNOWING FINGERPRINTS — the
+    scale path for pairwise overlap: winnowing keeps ~1/window of each
+    document's shingles, so the fingerprint equi-join moves ~window× fewer
+    rows than the full shingle self-join (ngram_jaccard_pairs) while the
+    window-minimum guarantee still catches any match ≥ window+n−1 tokens.
+
+    Same skew armor as the shingle join: fingerprints with document
+    frequency > ``df_cap`` (boilerplate) are excluded from the overlap
+    space via an UNHINTED anti-join (AQE decides — a forced broadcast is a
+    driver-OOM cliff on exactly the corpora the cap exists for), and the
+    a<=b self-join's diagonal yields each doc's capped fingerprint count
+    without a second pass over the (expensive) winnowing pipeline.
+    ``overlap`` is containment: shared / min(|A|, |B|), rounded for engine
+    portability."""
+    sel = _winnow_selected(documents, n, window)
+    hot = (
+        sel.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("fp")
+    )
+    blocked = sel.join(hot, "fp", "left_anti")
+    paircounts = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), on="fp")
+        .where(F.col("a.doc_id") <= F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    pairs = paircounts.where(F.col("doc_a") < F.col("doc_b"))
+    sizes = paircounts.where(F.col("doc_a") == F.col("doc_b")).select(
+        F.col("doc_a").alias("doc_id"), F.col("n_shared").alias("n_fp")
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("n_shared") >= min_shared)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared") / F.least(F.col("na"), F.col("nb")), 6
+            ).alias("overlap"),
         )
     )
 

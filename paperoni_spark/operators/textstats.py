@@ -273,6 +273,59 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+CONTAM_NGRAM = 13  # the standard eval-decontamination n-gram width
+
+
+def benchmark_contamination(
+    documents: DataFrame, benchmark: DataFrame, n: int = CONTAM_NGRAM
+) -> DataFrame:
+    """Eval-set decontamination (the GPT-3/PaLM-style 13-gram rule): flag
+    every training document sharing at least one word ``n``-gram with a
+    benchmark text.  Output is one row per document: the number of distinct
+    contaminated n-grams and the drop verdict.
+
+    Plan: the benchmark side is a FIXED eval suite — bounded by
+    construction (thousands of prompts, not corpus-scaled), unlike the
+    corpus-derived hot sets whose forced broadcasts this repo bans — so its
+    distinct n-gram set is explicitly broadcast and the 10^12-row corpus is
+    probed MAP-SIDE: explode each document's n-grams, hash-join against the
+    broadcast set, partial-agg per doc_id.  Zero shuffle of corpus text;
+    the only exchange carries (doc_id, hit-count) pairs.  ``benchmark`` is
+    any frame with a ``text`` column."""
+    def ngrams(src: DataFrame, key: str) -> DataFrame:
+        toks = src.select(
+            key, F.explode(F.array(tokens_col(F.col("text")))).alias("toks")
+        )
+        arr = F.expr(
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence(0, size(toks) - {n}), "
+            f"i -> concat_ws(' ', slice(toks, i + 1, {n}))) "
+            "ELSE array() END"
+        )
+        return toks.select(key, F.explode(F.array_distinct(arr)).alias("ngram"))
+
+    bench_ngrams = (
+        ngrams(benchmark.select(F.lit(1).alias("bid"), "text"), "bid")
+        .select("ngram")
+        .distinct()
+    )
+    doc_ngrams = ngrams(documents.select("doc_id", "text"), "doc_id")
+    hits = (
+        doc_ngrams.join(F.broadcast(bench_ngrams), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Normalization fingerprint: md5 of lowercased, whitespace-collapsed
     text — the exact-dedup key for near-identical formatting variants."""

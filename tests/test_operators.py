@@ -114,6 +114,51 @@ def test_lsh_candidate_doc_pairs_degenerate_bucket_capped(spark):
     assert uncapped == n_big * (n_big - 1) // 2 + 3
 
 
+def test_winnow_overlap_pairs(spark, docs, ddb):
+    assert_matches_oracle(
+        dedup.winnow_overlap_pairs(docs),
+        ddb,
+        contract.oracle_winnow_overlap_pairs(),
+    )
+    # overlap is containment in (0, 1]; exact duplicates hit 1.0
+    text = "a perfectly ordinary duplicated document body with plenty of words " * 4
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "utterly unrelated content entirely " * 5)],
+        "doc_id: long, text: string",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["overlap"] for r in dedup.winnow_overlap_pairs(df).collect()}
+    assert got == {(1, 2): 1.0}
+    # the hot-fingerprint cap must be an UNHINTED anti-join (AQE decides)
+    plan = dedup.winnow_overlap_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
+def test_benchmark_contamination(spark, docs, ddb):
+    from paperoni_spark.operators.textstats import benchmark_contamination
+
+    assert_matches_oracle(
+        contract.q_benchmark_contamination(spark, SF_DIR),
+        ddb,
+        contract.oracle_benchmark_contamination(),
+    )
+    # a doc sharing one 13-gram with the benchmark is flagged; others not
+    bench_text = " ".join(f"benchword{i}" for i in range(13))
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words " + bench_text + " suffix words"),
+            (2, "entirely clean document with no overlapping grams at all " * 2),
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text: string")
+    got = {r["doc_id"]: (r["n_contaminated"], r["contaminated"]) for r in benchmark_contamination(corpus, bench).collect()}
+    assert got == {1: (1, True), 2: (0, False)}
+    # the benchmark n-gram set is a bounded eval suite: forced broadcast is
+    # the intended plan (map-side probe of the corpus)
+    plan = benchmark_contamination(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_quality_scores_matches_oracle(spark, docs, ddb):
     assert_matches_oracle(
         textstats.quality_scores(docs), ddb, contract.oracle_quality_scores()
