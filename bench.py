@@ -152,6 +152,11 @@ def main() -> None:
         "token_budget_sample",
         "unigram_logprob",
         "repetition_stats",
+        # round-3 operators (new keys; absent from earlier BENCH_r{N})
+        "lsh_candidate_doc_pairs",
+        "winnow_overlap_pairs",
+        "benchmark_contamination",
+        "streaming_session_stats",
     ):
         t0 = time.time()
         qfns[name](spark_full, SF_DIR).count()

@@ -723,6 +723,62 @@ FROM (SELECT doc_id FROM probed) d LEFT JOIN hits h USING (doc_id)
 """
 
 
+_PLANT_SENTENCES = {
+    # deterministic stopword-dense sentences (synthesized in-repo per the
+    # no-external-data rule); one doc per language, id PLANT_ID_OFFSET+1..
+    "de": "der hund und die katze ist nicht mit ein haus von den bergen",
+    "es": "el perro y los gatos es que una casa por las montanas con del se",
+    "fr": "le chien est dans une maison qui est pas des montagnes du au les",
+    "en": "the cat is on a mat of the house and it is for the best in town",
+}
+
+
+def q_lang_id_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-based language ID.  The driver corpus's text is the same
+    English-ish word soup for every labeled lang (no real signal), so the
+    gate unions PLANTED stopword-dense sentences per language — the
+    confusion matrix then checks actual cross-language discrimination."""
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    planted = spark.createDataFrame(
+        sorted(_PLANT_SENTENCES.items()), "lang: string, text: string"
+    )
+    return textstats.lang_id_profile(docs.union(planted))
+
+
+def oracle_lang_id_profile() -> str:
+    plant_rows = ", ".join(
+        f"('p:{lang}', '{lang}', '{text}')"
+        for lang, text in sorted(_PLANT_SENTENCES.items())
+    )
+    score_rows = " UNION ALL ".join(
+        f"SELECT rid, '{lang}' AS cand, "
+        f"len(list_filter(arr, t -> t IN ({', '.join(repr(w) for w in words)}))) AS score"
+        " FROM toks"
+        for lang, words in sorted(textstats.LANG_PROFILES.items())
+    )
+    return f"""
+WITH probed AS (
+  SELECT doc_id::VARCHAR AS rid, lang, text FROM documents
+  UNION ALL SELECT * FROM (VALUES {plant_rows}) v(rid, lang, text)
+),
+toks AS (
+  SELECT rid, lang, {_TOKENS} AS arr FROM probed
+),
+scores AS ({score_rows}),
+best AS (
+  SELECT rid, cand, score,
+         row_number() OVER (PARTITION BY rid ORDER BY score DESC, cand ASC) AS rnk
+  FROM scores
+),
+guessed AS (
+  SELECT t.lang, CASE WHEN b.score = 0 THEN 'und' ELSE b.cand END AS lang_guess
+  FROM toks t JOIN best b ON b.rid = t.rid AND b.rnk = 1
+)
+SELECT lang, lang_guess, count(*)::BIGINT AS n_docs
+FROM guessed GROUP BY 1, 2
+"""
+
+
 def oracle_cosine_topk() -> str:
     return """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -1157,6 +1213,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": lambda spark, sf: textstats.unigram_logprob(load(spark, sf, "documents")),
         "repetition_stats": lambda spark, sf: textstats.repetition_stats(load(spark, sf, "documents")),
         "lang_id": lambda spark, sf: textstats.lang_id(load(spark, sf, "documents")),
+        "lang_id_profile": q_lang_id_profile,
         "fingerprints": lambda spark, sf: textstats.fingerprints(load(spark, sf, "documents")),
         # similarity family
         "cosine_topk": lambda spark, sf: similarity.cosine_topk(load(spark, sf, "embeddings")),
@@ -1222,6 +1279,7 @@ def build_oracles() -> dict[str, str]:
         "unigram_logprob": oracle_unigram_logprob(),
         "repetition_stats": oracle_repetition_stats(),
         "lang_id": oracle_lang_id(),
+        "lang_id_profile": oracle_lang_id_profile(),
         "fingerprints": oracle_fingerprints(),
         "cosine_topk": oracle_cosine_topk(),
         "lsh_sign_buckets": oracle_lsh_sign_buckets(),

@@ -133,6 +133,48 @@ def lang_id(documents: DataFrame) -> DataFrame:
 HEAD_VOCAB_K = 4096  # top-K tokens broadcast map-side (K × ~16 B — bounded)
 
 
+LANG_PROFILES = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "den", "von"),
+    "en": STOPWORDS,
+    "es": ("el", "los", "las", "una", "es", "que", "por", "con", "del", "se"),
+    "fr": ("le", "les", "des", "est", "une", "pas", "dans", "qui", "du", "au"),
+}
+
+
+def lang_id_profile(documents: DataFrame) -> DataFrame:
+    """Stopword-profile language ID: score each document against every
+    language's stopword list (count of matching tokens) and take the
+    argmax; all-zero scores → 'und'.  Ties break to the alphabetically
+    first language (deterministic, engine-portable).
+
+    Plan: one map-side ``filter``-count per language over the single token
+    array, argmax via ``greatest`` on (score, reverse-rank) structs — no
+    per-row Python, no shuffle beyond the final confusion-count partial
+    agg.  The profile lists are engine constants, mirrored verbatim in the
+    DuckDB oracle."""
+    langs = sorted(LANG_PROFILES)  # alphabetical; first wins ties
+    structs = []
+    for i, lang in enumerate(langs):
+        stop_list = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        score = F.expr(
+            f"size(filter(split(trim(text), '\\\\s+'), t -> t in ({stop_list})))"
+        )
+        structs.append(
+            F.struct(
+                score.alias("score"),
+                F.lit(len(langs) - i).alias("rk"),  # alpha-first = highest
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.greatest(*structs)
+    guess = F.when(best["score"] == 0, F.lit("und")).otherwise(best["lang"])
+    return (
+        documents.select("lang", guess.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def unigram_logprob(
     documents: DataFrame, head_k: int = HEAD_VOCAB_K
 ) -> DataFrame:

@@ -133,6 +133,21 @@ def test_winnow_overlap_pairs(spark, docs, ddb):
     assert "LeftAnti" in plan
 
 
+def test_lang_id_profile(spark, docs, ddb):
+    assert_matches_oracle(
+        contract.q_lang_id_profile(spark, SF_DIR),
+        ddb,
+        contract.oracle_lang_id_profile(),
+    )
+    # each stopword-dense sentence classifies as its own language; a
+    # no-stopword doc falls back to 'und'
+    rows = [(lang, text) for lang, text in contract._PLANT_SENTENCES.items()]
+    rows.append(("xx", "zzqx gibberish tokens wholly outside every profile"))
+    df = spark.createDataFrame(rows, "lang: string, text: string")
+    got = {(r["lang"], r["lang_guess"]) for r in textstats.lang_id_profile(df).collect()}
+    assert got == {("de", "de"), ("en", "en"), ("es", "es"), ("fr", "fr"), ("xx", "und")}
+
+
 def test_benchmark_contamination(spark, docs, ddb):
     from paperoni_spark.operators.textstats import benchmark_contamination
 
