@@ -135,6 +135,95 @@ def _make_update_fn(gap_minutes: int):
     return update
 
 
+SESSION_FINAL_SCHEMA = StructType(SESSION_OUTPUT_SCHEMA.fields[:-1])  # no n_updates
+
+
+def _make_evicting_update_fn(gap_minutes: int):
+    """Production-path update: per-user event state is EVICTED once the
+    watermark passes last_event + gap — no future on-time event can merge
+    with the buffered sessions, so they are emitted exactly once as final
+    and the state is dropped.  Open sessions emit nothing."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            _, ts_us, event_ids, values = state.get
+            state.remove()
+            out = _sessions_from_events(
+                user_id, list(ts_us), list(event_ids), list(values), gap_us, 0
+            )
+            yield out.drop(columns=["n_updates"]) if len(out) else pd.DataFrame(
+                columns=[f.name for f in SESSION_FINAL_SCHEMA.fields]
+            )
+            return
+        if state.exists:
+            _, ts_us, event_ids, values = state.get
+            ts_us, event_ids, values = list(ts_us), list(event_ids), list(values)
+        else:
+            ts_us, event_ids, values = [], [], []
+        for pdf in pdfs:
+            ts_us.extend((pdf["ts"].astype("int64") // 1000).tolist())
+            event_ids.extend(pdf["event_id"].astype("int64").tolist())
+            values.extend(pdf["value"].astype("float64").tolist())
+        state.update((0, ts_us, event_ids, values))
+        # evict once the watermark passes the last possible merge point;
+        # the timeout timestamp must sit strictly beyond the current
+        # watermark or Spark rejects it (all-late groups round up)
+        timeout_ms = max(
+            (max(ts_us) + gap_us) // 1000, state.getCurrentWatermarkMs() + 1
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+        yield pd.DataFrame(columns=[f.name for f in SESSION_FINAL_SCHEMA.fields])
+
+    return update
+
+
+def run_streaming_sessionization_evicting(
+    spark: SparkSession,
+    events_dir: str,
+    gap_minutes: int = DEFAULT_GAP_MINUTES,
+    watermark: str = "0 seconds",
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "events.parquet",
+) -> DataFrame:
+    """The SCALE deployment shape: gap-sessionization with event-time
+    timeout eviction.  State holds only OPEN sessions — a user's events are
+    dropped the moment the watermark passes last_event + gap, bounding
+    state by the number of concurrently-active users instead of corpus
+    history (the availableNow twin, :func:`run_streaming_sessionization`,
+    keeps full history for exact batch parity).  Emissions are final-only:
+    each closed session appears exactly once; sessions still open when the
+    stream ends are never emitted (they are not final)."""
+    table = f"stream_sessions_ev_{uuid.uuid4().hex[:8]}"
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "pathGlobFilter", path_glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(events_dir).withWatermark("ts", watermark)
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _make_evicting_update_fn(gap_minutes),
+        outputStructType=SESSION_FINAL_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(table)
+
+
 def run_streaming_sessionization(
     spark: SparkSession,
     events_dir: str,

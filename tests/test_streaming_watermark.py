@@ -189,3 +189,65 @@ def test_streaming_sessionization_matches_batch(spark, tmp_path_factory):
     # the merge actually happened: user 1 ends with ONE session of 3 events
     u1 = [r for r in streamed.collect() if r["user_id"] == 1]
     assert len(u1) == 1 and u1[0]["n_events"] == 3
+
+
+def test_evicting_sessionization_finals_match_batch(spark, tmp_path_factory):
+    """The eviction path: once the watermark passes last_event + gap, a
+    user's sessions are emitted exactly once as FINAL and the state is
+    dropped; sessions still open at stream end are never emitted.  Closed
+    sessions must equal the batch session_stats rows for those users."""
+    from paperoni_spark.operators.sessionize import session_stats
+    from paperoni_spark.streaming.sessions import (
+        run_streaming_sessionization_evicting,
+    )
+
+    base_dir = tmp_path_factory.mktemp("sessev")
+    events_dir = str(base_dir / "events")
+    os.makedirs(events_dir)
+    # b1: user1 two events 5min apart, user2 one event (watermark -> 5min)
+    # b2: user3 far-future event advances the watermark past 1h -> users
+    #     1 and 2 time out during b3's processing
+    # b3: one more user3 event creates the third micro-batch
+    batches = [
+        [(0, 1), (5, 1), (0, 2)],
+        [(120, 3)],
+        [(121, 3)],
+    ]
+    eid = 0
+    batch_dt = dt.datetime(2024, 4, 1)
+    all_rows = []
+    for bi, batch in enumerate(batches):
+        rows = [
+            (
+                (eid := eid + 1),
+                batch_dt + dt.timedelta(minutes=m),
+                uid,
+                "click",
+                float(eid),
+                "{}",
+            )
+            for m, uid in batch
+        ]
+        all_rows.extend(rows)
+        spark.createDataFrame(rows, schema=EVENTS_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(events_dir, f"b{bi}")
+        )
+        time.sleep(2.1)
+
+    finals = run_streaming_sessionization_evicting(
+        spark, events_dir + "/*", max_files_per_trigger=1, path_glob="*.parquet"
+    ).collect()
+    batch = {
+        r["user_id"]: r
+        for r in session_stats(
+            spark.createDataFrame(all_rows, schema=EVENTS_SCHEMA)
+        ).collect()
+    }
+    # users 1 and 2 closed (watermark 121min > last_event + 30min); each
+    # emitted exactly once and byte-equal to the batch row
+    got = {r["user_id"]: r for r in finals}
+    assert sorted(got) == [1, 2]
+    for uid in (1, 2):
+        assert tuple(got[uid]) == tuple(batch[uid])
+    # user3's session is still open -> not final, never emitted
+    assert 3 not in got
