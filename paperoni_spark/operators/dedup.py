@@ -140,11 +140,11 @@ def winnow_overlap_pairs(
     Same skew armor as the shingle join: fingerprints with document
     frequency > ``df_cap`` (boilerplate) are excluded from the overlap
     space via an UNHINTED anti-join (AQE decides — a forced broadcast is a
-    driver-OOM cliff on exactly the corpora the cap exists for), and the
-    a<=b self-join's diagonal yields each doc's capped fingerprint count
-    without a second pass over the (expensive) winnowing pipeline.
-    ``overlap`` is containment: shared / min(|A|, |B|), rounded for engine
-    portability."""
+    driver-OOM cliff on exactly the corpora the cap exists for).  Per-doc
+    sizes are a direct aggregation over the capped selection — NOT the
+    self-join diagonal, whose pairs/diagonal filter split destroys
+    exchange reuse (see ngram_jaccard_pairs).  ``overlap`` is containment:
+    shared / min(|A|, |B|), rounded for engine portability."""
     sel = _winnow_selected(documents, n, window)
     hot = (
         sel.groupBy("fp")
@@ -153,17 +153,14 @@ def winnow_overlap_pairs(
         .select("fp")
     )
     blocked = sel.join(hot, "fp", "left_anti")
-    paircounts = (
+    pairs = (
         blocked.alias("a")
         .join(blocked.alias("b"), on="fp")
-        .where(F.col("a.doc_id") <= F.col("b.doc_id"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared"))
     )
-    pairs = paircounts.where(F.col("doc_a") < F.col("doc_b"))
-    sizes = paircounts.where(F.col("doc_a") == F.col("doc_b")).select(
-        F.col("doc_a").alias("doc_id"), F.col("n_shared").alias("n_fp")
-    )
+    sizes = blocked.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb"))
     return (
@@ -402,21 +399,22 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     blocked = sh.join(hot, "shingle", "left_anti")
-    # ONE self-join with a <= b: the diagonal (a == b) yields each doc's
-    # capped shingle count for free, so no separate per-doc sizes pass over
-    # the (expensive) shingle pipeline — and the two consumers below share
-    # the aggregation's exchange (ReusedExchange)
-    paircounts = (
+    # Per-doc sizes are a DIRECT aggregation over blocked — round 2 derived
+    # them from the a<=b self-join's diagonal "for free", but physically the
+    # pairs/diagonal filter split pushes a.doc_id<b.doc_id vs == DOWN into
+    # two now-non-identical subtrees, destroying every ReusedExchange and
+    # re-deriving the whole shingle pipeline per branch (13 scans → 9 and
+    # 0 → 3 reused exchanges with the direct agg; rows identical, measured
+    # equal-or-faster at sf0.1).  The direct agg shares blocked's exchange
+    # with the join sides instead.
+    pairs = (
         blocked.alias("a")
         .join(blocked.alias("b"), on="shingle")
-        .where(F.col("a.doc_id") <= F.col("b.doc_id"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
-    pairs = paircounts.where(F.col("doc_a") < F.col("doc_b"))
-    sizes = paircounts.where(F.col("doc_a") == F.col("doc_b")).select(
-        F.col("doc_a").alias("doc_id"), F.col("common").alias("n_sh")
-    )
+    sizes = blocked.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (

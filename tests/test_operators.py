@@ -83,6 +83,18 @@ def test_minhash_matches_oracle(spark, docs, ddb):
     )
 
 
+def test_selfjoin_pipelines_reuse_exchanges(spark, docs):
+    """The blocked self-join family must physically SHARE its expensive
+    upstream pipeline: direct per-doc sizes keep the subtrees canonical so
+    Spark plans ReusedExchange (round 2's diagonal trick split the filters
+    and re-derived the whole shingle pipeline per branch — 13 scans, zero
+    reuse)."""
+    for df in (dedup.ngram_jaccard_pairs(docs), dedup.winnow_overlap_pairs(docs)):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ReusedExchange") >= 2, plan[:2000]
+
+
 def test_lsh_candidate_doc_pairs(spark, docs, ddb):
     assert_matches_oracle(
         dedup.lsh_candidate_doc_pairs(docs),
