@@ -210,20 +210,35 @@ def _minhash_band_rows(
     ``bands`` rows of a few bytes each."""
     rows_per_band = k // bands
     sig = minhash_signatures(documents, k)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
+    # one EXPLODE of per-band structs, not a 4-way union: the union form
+    # re-derives the (expensive) signature aggregation once per band in
+    # every consumer (measured 20 scans in lsh_candidate_doc_pairs); the
+    # single-subtree explode keeps consumers canonical so the signature
+    # exchange is planned once and reused
+    bands_arr = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{i}")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
             )
-        )
-    all_bands = band_rows[0]
-    for br in band_rows[1:]:
-        all_bands = all_bands.union(br)
-    return all_bands
+            for b in range(bands)
+        ]
+    )
+    rows = sig.select("doc_id", F.explode(bands_arr).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    # band rows are tiny (ids + 2 hashes, no text) and feed up to four
+    # consumers (histogram, anti-join, both self-join sides): materialize
+    # once so the shingle+minhash pipeline never re-derives per consumer
+    return rows.localCheckpoint(eager=False)
 
 
 def lsh_candidate_pairs(

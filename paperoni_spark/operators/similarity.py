@@ -147,8 +147,16 @@ def lsh_code_col(emb_col):
 def banded_buckets(base: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """(vec_id, emb, band, bkey): one row per (vector, band).  Pure
     map-side — one vectorized code per vector, then an explode of (band,
-    substring) structs; no shuffle to bucket 10^12 vectors."""
+    substring) structs; no shuffle to bucket 10^12 vectors.
+
+    The coded frame is localCheckpointed: its consumers (the over-cap
+    histogram, the anti-join side, both self-join sides, the probe side)
+    are all map-side off this frame, so without materialization EACH ONE
+    re-runs the scan + coding UDF — measured 12 ArrowEvalPython evals per
+    near-dup query.  One vector copy in executor storage buys coding the
+    corpus exactly once (ContextCleaner reclaims it with the frame)."""
     coded = base.withColumn("code", lsh_code_col(F.col("emb")))
+    coded = coded.localCheckpoint(eager=False)
     bands = F.explode(
         F.array(
             *[
