@@ -95,6 +95,10 @@ def token_budget_sample(
         F.substring(key, 1, prefix_len).alias("pfx"),
         budget.alias("budget"),
     )
+    # scored feeds both the summary aggregation and the data-side window;
+    # materialize it (ids + a few ints, no text) so the corpus is
+    # tokenized once, not once per consumer
+    scored = scored.localCheckpoint(eager=False)
     # phase 1: per-(lang, prefix) token totals → running offsets.  The
     # window here runs over the 256-rows-per-stratum summary, not the data.
     pfx_w = (
