@@ -312,7 +312,12 @@ def ivf_assignments(
             new_centroids[row["centroid"]][row["dim"]] = round(row["mean"], IVF_ROUND)
         centroids = new_centroids
 
-    return base.withColumn("centroid", assign_col(centroids)), centroids
+    # the assigned frame feeds multiple consumers (query-side filter,
+    # corpus probe join, index write) — materialize so the assignment
+    # matmul runs once, not per consumer (measured 4 ArrowEvalPython evals
+    # in ann_ivf_topk's final plan without this)
+    assigned = base.withColumn("centroid", assign_col(centroids))
+    return assigned.localCheckpoint(eager=False), centroids
 
 
 def write_ivf_index(assigned: DataFrame, path: str) -> None:
