@@ -674,7 +674,7 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("text", F.row_number().over(Window.orderBy("k")).alias("i"))
     )
     head20 = F.concat_ws(
-        " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 20)
+        " ", F.slice(textstats.tokens_col(F.col("text")), 1, 20)
     )
     planted = bench.select(
         (F.lit(PLANT_ID_OFFSET) + F.col("i")).cast("long").alias("doc_id"),

@@ -145,17 +145,19 @@ def lsh_code_col(emb_col):
 
 
 def banded_buckets(base: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """(vec_id, emb, band, bkey): one row per (vector, band).  Pure
-    map-side — one vectorized code per vector, then an explode of (band,
-    substring) structs; no shuffle to bucket 10^12 vectors.
+    """(vec_id, band, bkey): one row per (vector, band).  Pure map-side —
+    one vectorized code per vector, then an explode of (band, substring)
+    structs; no shuffle to bucket 10^12 vectors.
 
     The coded frame is localCheckpointed: its consumers (the over-cap
     histogram, the anti-join side, both self-join sides, the probe side)
     are all map-side off this frame, so without materialization EACH ONE
     re-runs the scan + coding UDF — measured 12 ArrowEvalPython evals per
-    near-dup query.  One vector copy in executor storage buys coding the
-    corpus exactly once (ContextCleaner reclaims it with the frame)."""
-    coded = base.withColumn("code", lsh_code_col(F.col("emb")))
+    near-dup query.  Only (vec_id, code) is materialized — a few dozen
+    bytes per vector, NOT the embeddings (every consumer that scores
+    re-joins the base table for vectors anyway), so the storage cost is
+    negligible even for the single-consumer histogram caller."""
+    coded = base.select("vec_id", lsh_code_col(F.col("emb")).alias("code"))
     coded = coded.localCheckpoint(eager=False)
     bands = F.explode(
         F.array(
@@ -170,8 +172,8 @@ def banded_buckets(base: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
             ]
         )
     )
-    return coded.select("vec_id", "emb", bands.alias("bb")).select(
-        "vec_id", "emb", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    return coded.select("vec_id", bands.alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
 
 

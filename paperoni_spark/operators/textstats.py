@@ -147,18 +147,22 @@ def lang_id_profile(documents: DataFrame) -> DataFrame:
     argmax; all-zero scores → 'und'.  Ties break to the alphabetically
     first language (deterministic, engine-portable).
 
-    Plan: one map-side ``filter``-count per language over the single token
-    array, argmax via ``greatest`` on (score, reverse-rank) structs — no
-    per-row Python, no shuffle beyond the final confusion-count partial
-    agg.  The profile lists are engine constants, mirrored verbatim in the
-    DuckDB oracle."""
+    Plan: the text tokenizes ONCE (tokens_col — the single source of truth
+    the oracles mirror — materialized behind a Generate barrier, same
+    anti-projection-collapse trick as dedup._shingles; without it Catalyst
+    inlines split() into every per-language filter), then one map-side
+    ``filter``-count per language over the shared array, argmax via
+    ``greatest`` on (score, reverse-rank) structs — no per-row Python, no
+    shuffle beyond the final confusion-count partial agg.  The profile
+    lists are engine constants, mirrored verbatim in the DuckDB oracle."""
+    toks_df = documents.select(
+        "lang", F.explode(F.array(tokens_col(F.col("text")))).alias("toks")
+    )
     langs = sorted(LANG_PROFILES)  # alphabetical; first wins ties
     structs = []
     for i, lang in enumerate(langs):
         stop_list = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
-        score = F.expr(
-            f"size(filter(split(trim(text), '\\\\s+'), t -> t in ({stop_list})))"
-        )
+        score = F.expr(f"size(filter(toks, t -> t in ({stop_list})))")
         structs.append(
             F.struct(
                 score.alias("score"),
@@ -169,7 +173,7 @@ def lang_id_profile(documents: DataFrame) -> DataFrame:
     best = F.greatest(*structs)
     guess = F.when(best["score"] == 0, F.lit("und")).otherwise(best["lang"])
     return (
-        documents.select("lang", guess.alias("lang_guess"))
+        toks_df.select("lang", guess.alias("lang_guess"))
         .groupBy("lang", "lang_guess")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -341,25 +345,19 @@ def benchmark_contamination(
     probed MAP-SIDE: explode each document's n-grams, hash-join against the
     broadcast set, partial-agg per doc_id.  Zero shuffle of corpus text;
     the only exchange carries (doc_id, hit-count) pairs.  ``benchmark`` is
-    any frame with a ``text`` column."""
-    def ngrams(src: DataFrame, key: str) -> DataFrame:
-        toks = src.select(
-            key, F.explode(F.array(tokens_col(F.col("text")))).alias("toks")
-        )
-        arr = F.expr(
-            f"CASE WHEN size(toks) >= {n} THEN "
-            f"transform(sequence(0, size(toks) - {n}), "
-            f"i -> concat_ws(' ', slice(toks, i + 1, {n}))) "
-            "ELSE array() END"
-        )
-        return toks.select(key, F.explode(F.array_distinct(arr)).alias("ngram"))
+    any frame with a ``text`` column.  N-gram derivation reuses
+    dedup._shingles — the one implementation carrying the Generate-barrier
+    idiom that keeps the shingle transform O(tokens)."""
+    from .dedup import _shingles
 
     bench_ngrams = (
-        ngrams(benchmark.select(F.lit(1).alias("bid"), "text"), "bid")
-        .select("ngram")
+        _shingles(benchmark.select(F.lit(1).alias("doc_id"), "text"), n)
+        .select(F.col("shingle").alias("ngram"))
         .distinct()
     )
-    doc_ngrams = ngrams(documents.select("doc_id", "text"), "doc_id")
+    doc_ngrams = _shingles(documents.select("doc_id", "text"), n).select(
+        "doc_id", F.col("shingle").alias("ngram")
+    )
     hits = (
         doc_ngrams.join(F.broadcast(bench_ngrams), "ngram")
         .groupBy("doc_id")

@@ -137,12 +137,68 @@ def _make_update_fn(gap_minutes: int):
 
 SESSION_FINAL_SCHEMA = StructType(SESSION_OUTPUT_SCHEMA.fields[:-1])  # no n_updates
 
+EVICT_STATE_SCHEMA = StructType(
+    [
+        StructField("base_idx", LongType()),  # sessions already emitted
+        StructField("ts_us", ArrayType(LongType())),
+        StructField("event_ids", ArrayType(LongType())),
+        StructField("values", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _sweep_closed(
+    user_id, base_idx, ts_us, event_ids, values, gap_us, wm_us
+):
+    """Derive sessions (sorted (ts, event_id) order), split at the
+    watermark: a session is CLOSED iff end < wm − gap (no on-time event,
+    ts ≥ wm, can still merge).  Sessions are time-disjoint, so the closed
+    set is a prefix of the sorted event arrays.  Returns (rows for the
+    closed sessions with batch-identical session_idx = base_idx + i + 1,
+    events of the still-open suffix)."""
+    order = sorted(range(len(ts_us)), key=lambda i: (ts_us[i], event_ids[i]))
+    ts_s = [ts_us[i] for i in order]
+    eid_s = [event_ids[i] for i in order]
+    val_s = [values[i] for i in order]
+    sessions = []  # [start_us, end_us, n, total, first_event_pos]
+    for pos, t in enumerate(ts_s):
+        if not sessions or t - sessions[-1][1] > gap_us:
+            sessions.append([t, t, 1, val_s[pos], pos])
+        else:
+            cur = sessions[-1]
+            cur[1] = t
+            cur[2] += 1
+            cur[3] += val_s[pos]
+    n_closed = 0
+    while n_closed < len(sessions) and sessions[n_closed][1] < wm_us - gap_us:
+        n_closed += 1
+    rows = [
+        {
+            "user_id": user_id,
+            "session_idx": base_idx + i + 1,
+            "n_events": s[2],
+            "session_start": pd.Timestamp(s[0], unit="us").strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+            "session_end": pd.Timestamp(s[1], unit="us").strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+            "duration_us": s[1] - s[0],
+            "total_value": spark_round(s[3], 6),
+        }
+        for i, s in enumerate(sessions[:n_closed])
+    ]
+    cut = sessions[n_closed][4] if n_closed < len(sessions) else len(ts_s)
+    return rows, ts_s[cut:], eid_s[cut:], val_s[cut:]
+
 
 def _make_evicting_update_fn(gap_minutes: int):
-    """Production-path update: per-user event state is EVICTED once the
-    watermark passes last_event + gap — no future on-time event can merge
-    with the buffered sessions, so they are emitted exactly once as final
-    and the state is dropped.  Open sessions emit nothing."""
+    """Production-path update: PER-SESSION eviction — on every invocation
+    (new data or timeout) the sessions whose end has passed watermark−gap
+    are emitted exactly once as final and their events leave the state, so
+    a continuously-active user's closed history drains instead of
+    accumulating.  A tiny residual counter (base_idx) survives eviction to
+    keep session_idx batch-identical across eviction waves."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def update(
@@ -151,34 +207,34 @@ def _make_evicting_update_fn(gap_minutes: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.hasTimedOut:
-            _, ts_us, event_ids, values = state.get
-            state.remove()
-            out = _sessions_from_events(
-                user_id, list(ts_us), list(event_ids), list(values), gap_us, 0
-            )
-            yield out.drop(columns=["n_updates"]) if len(out) else pd.DataFrame(
-                columns=[f.name for f in SESSION_FINAL_SCHEMA.fields]
-            )
-            return
         if state.exists:
-            _, ts_us, event_ids, values = state.get
+            base_idx, ts_us, event_ids, values = state.get
             ts_us, event_ids, values = list(ts_us), list(event_ids), list(values)
         else:
-            ts_us, event_ids, values = [], [], []
-        for pdf in pdfs:
-            ts_us.extend((pdf["ts"].astype("int64") // 1000).tolist())
-            event_ids.extend(pdf["event_id"].astype("int64").tolist())
-            values.extend(pdf["value"].astype("float64").tolist())
-        state.update((0, ts_us, event_ids, values))
-        # evict once the watermark passes the last possible merge point;
-        # the timeout timestamp must sit strictly beyond the current
-        # watermark or Spark rejects it (all-late groups round up)
-        timeout_ms = max(
-            (max(ts_us) + gap_us) // 1000, state.getCurrentWatermarkMs() + 1
+            base_idx, ts_us, event_ids, values = 0, [], [], []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us.extend((pdf["ts"].astype("int64") // 1000).tolist())
+                event_ids.extend(pdf["event_id"].astype("int64").tolist())
+                values.extend(pdf["value"].astype("float64").tolist())
+        wm_ms = state.getCurrentWatermarkMs()
+        rows, ts_us, event_ids, values = _sweep_closed(
+            user_id, base_idx, ts_us, event_ids, values, gap_us, wm_ms * 1000
         )
-        state.setTimeoutTimestamp(timeout_ms)
-        yield pd.DataFrame(columns=[f.name for f in SESSION_FINAL_SCHEMA.fields])
+        state.update((base_idx + len(rows), ts_us, event_ids, values))
+        if ts_us:
+            # fire once the watermark passes the last possible merge point;
+            # CEIL to ms (+1: floor evicts up to 1 ms early, splitting an
+            # exactly-on-the-gap-boundary on-time event from its session)
+            # and strictly beyond the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+                max((max(ts_us) + gap_us) // 1000 + 1, wm_ms + 1)
+            )
+        yield (
+            pd.DataFrame(rows)
+            if rows
+            else pd.DataFrame(columns=[f.name for f in SESSION_FINAL_SCHEMA.fields])
+        )
 
     return update
 
@@ -191,14 +247,18 @@ def run_streaming_sessionization_evicting(
     max_files_per_trigger: int | None = None,
     path_glob: str = "events.parquet",
 ) -> DataFrame:
-    """The SCALE deployment shape: gap-sessionization with event-time
-    timeout eviction.  State holds only OPEN sessions — a user's events are
-    dropped the moment the watermark passes last_event + gap, bounding
-    state by the number of concurrently-active users instead of corpus
-    history (the availableNow twin, :func:`run_streaming_sessionization`,
-    keeps full history for exact batch parity).  Emissions are final-only:
-    each closed session appears exactly once; sessions still open when the
-    stream ends are never emitted (they are not final)."""
+    """The SCALE deployment shape: gap-sessionization with PER-SESSION
+    event-time eviction.  A session leaves the state (and is emitted,
+    exactly once, as final) the moment the watermark passes its end + gap
+    — on data arrival OR on the group's timeout — so state holds only the
+    OPEN sessions of active users plus an 8-byte per-user counter that
+    keeps session_idx batch-identical across eviction waves (deployments
+    keyed on session UUIDs instead of per-user ordinals can drop it).
+    The availableNow twin, :func:`run_streaming_sessionization`, keeps
+    full history for exact batch parity.  Emissions are final-only:
+    sessions still open when the stream ends are never emitted (they are
+    not final), and batch parity assumes no beyond-watermark stragglers —
+    standard watermark semantics."""
     table = f"stream_sessions_ev_{uuid.uuid4().hex[:8]}"
     reader = spark.readStream.schema(EVENTS_SCHEMA).option(
         "pathGlobFilter", path_glob
@@ -209,7 +269,7 @@ def run_streaming_sessionization_evicting(
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         _make_evicting_update_fn(gap_minutes),
         outputStructType=SESSION_FINAL_SCHEMA,
-        stateStructType=SESSION_STATE_SCHEMA,
+        stateStructType=EVICT_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -192,10 +192,11 @@ def test_streaming_sessionization_matches_batch(spark, tmp_path_factory):
 
 
 def test_evicting_sessionization_finals_match_batch(spark, tmp_path_factory):
-    """The eviction path: once the watermark passes last_event + gap, a
-    user's sessions are emitted exactly once as FINAL and the state is
-    dropped; sessions still open at stream end are never emitted.  Closed
-    sessions must equal the batch session_stats rows for those users."""
+    """The per-session eviction path: a session is emitted exactly once as
+    FINAL when the watermark passes its end + gap — via the group timeout
+    for idle users AND on data arrival for continuously-active users (whose
+    closed history must drain, not accumulate).  session_idx stays
+    batch-identical across eviction waves; open sessions never emit."""
     from paperoni_spark.operators.sessionize import session_stats
     from paperoni_spark.streaming.sessions import (
         run_streaming_sessionization_evicting,
@@ -204,14 +205,18 @@ def test_evicting_sessionization_finals_match_batch(spark, tmp_path_factory):
     base_dir = tmp_path_factory.mktemp("sessev")
     events_dir = str(base_dir / "events")
     os.makedirs(events_dir)
-    # b1: user1 two events 5min apart, user2 one event (watermark -> 5min)
-    # b2: user3 far-future event advances the watermark past 1h -> users
-    #     1 and 2 time out during b3's processing
-    # b3: one more user3 event creates the third micro-batch
+    # user1 spans THREE sessions delivered across batches: sessions 1-2
+    # close while user1 is still active (data-path eviction), session 3
+    # closes later via the group timeout (second eviction wave -> the
+    # session_idx counter must carry over).  user2 closes via timeout.
+    # user3 gets one event; user4 only advances the watermark and stays
+    # open (never emitted).
     batches = [
         [(0, 1), (5, 1), (0, 2)],
-        [(120, 3)],
-        [(121, 3)],
+        [(50, 1), (120, 3)],
+        [(125, 1), (121, 3)],
+        [(200, 4)],
+        [(201, 4)],
     ]
     eid = 0
     batch_dt = dt.datetime(2024, 4, 1)
@@ -238,16 +243,18 @@ def test_evicting_sessionization_finals_match_batch(spark, tmp_path_factory):
         spark, events_dir + "/*", max_files_per_trigger=1, path_glob="*.parquet"
     ).collect()
     batch = {
-        r["user_id"]: r
+        (r["user_id"], r["session_idx"]): tuple(r)
         for r in session_stats(
             spark.createDataFrame(all_rows, schema=EVENTS_SCHEMA)
         ).collect()
     }
-    # users 1 and 2 closed (watermark 121min > last_event + 30min); each
-    # emitted exactly once and byte-equal to the batch row
-    got = {r["user_id"]: r for r in finals}
-    assert sorted(got) == [1, 2]
-    for uid in (1, 2):
-        assert tuple(got[uid]) == tuple(batch[uid])
-    # user3's session is still open -> not final, never emitted
-    assert 3 not in got
+    got = {}
+    for r in finals:
+        key = (r["user_id"], r["session_idx"])
+        assert key not in got, f"duplicate final emission for {key}"
+        got[key] = tuple(r)
+    # user1: all three sessions final, idx 1..3 continuous across the two
+    # eviction waves; user2 and user3 one each; user4 open -> absent
+    assert sorted(got) == [(1, 1), (1, 2), (1, 3), (2, 1), (3, 1)]
+    for key, row in got.items():
+        assert row == batch[key], key
