@@ -270,32 +270,32 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2))) "
         "ELSE array() END"
     )
-    # ONE scan: the per-row token stats ride along the bigram explode
-    # (explode_outer keeps bigram-less docs as a null-bg row whose
-    # count('bg') is 0), so there is no second tokenize pass and no join —
-    # two partial-aggregated groupBys on the same doc_id-keyed data
-    exploded = base.select(
+    # Two branches deliberately (a round-3 single-pass rewrite was
+    # measured and REVERTED): carrying (n_tokens, n_distinct) through the
+    # bigram aggregation widens the dominant bigram shuffle by two longs
+    # per row (0.28 s → 0.75 s at sf0.1 even after staging the stats below
+    # the Generate — expressions written alongside a generator re-evaluate
+    # per OUTPUT row, which was 2.1 s).  The only duplicated work here is
+    # the tokenizer in a second corpus scan; the token_side shuffle is
+    # three ints per document.
+    bigrams = base.select("doc_id", F.explode(bigram_expr).alias("bg"))
+    per_doc = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bg"), F.sum("n").alias("n_bigrams"))
+    )
+    token_side = base.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
-        F.explode_outer(bigram_expr).alias("bg"),
     )
-    per_doc = (
-        exploded.groupBy("doc_id", "n_tokens", "n_distinct", "bg")
-        .agg(F.count("bg").alias("n"))
-        .groupBy("doc_id", "n_tokens", "n_distinct")
-        .agg(F.max("n").alias("top_bg"), F.sum("n").alias("n_bigrams"))
-    )
-    return per_doc.select(
+    return token_side.join(per_doc, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
-        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
         F.round(
-            F.coalesce(
-                F.col("top_bg") / F.nullif(F.col("n_bigrams"), F.lit(0)),
-                F.lit(0.0),
-            ),
-            6,
+            F.coalesce(F.col("top_bg") / F.col("n_bigrams"), F.lit(0.0)), 6
         ).alias("top_bigram_frac"),
         F.round(
             (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens"), 6
