@@ -417,23 +417,50 @@ GROUP BY 1, 2
 """
 
 
-def oracle_simhash() -> str:
+def _simhash_cte(bits: int) -> str:
+    """CTE chain ending in ``sh(doc_id, simhash)`` for a given bit width."""
     sums = []
-    for j in range(dedup.SIMHASH_BITS):
+    for j in range(bits):
         char_idx = j // 4 + 1
         bit_in_char = j % 4
         sums.append(
             f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {char_idx}, 1)) - 1) >> {bit_in_char}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
         )
     weight = " + ".join(
-        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END"
-        for j in range(dedup.SIMHASH_BITS)
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""toks AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+sums AS (SELECT doc_id, {', '.join(sums)} FROM hashed GROUP BY doc_id),
+sh AS (SELECT doc_id, ({weight})::BIGINT AS simhash FROM sums)"""
+
+
+def oracle_simhash() -> str:
+    return f"WITH {_simhash_cte(dedup.SIMHASH_BITS)} SELECT doc_id, simhash FROM sh"
+
+
+def oracle_simhash_near_dup_pairs() -> str:
+    bits = dedup.SIMHASH_PAIR_BITS
+    bands = dedup.SIMHASH_BANDS
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * band_bits}) & {mask} AS bkey FROM sh"
+        for b in range(bands)
     )
     return f"""
-WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
-hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
-sums AS (SELECT doc_id, {', '.join(sums)} FROM hashed GROUP BY doc_id)
-SELECT doc_id, ({weight})::BIGINT AS simhash FROM sums
+WITH {_simhash_cte(bits)},
+rows_b AS ({band_rows}),
+capped AS (
+  SELECT r.* FROM rows_b r
+  JOIN (SELECT band, bkey FROM rows_b GROUP BY 1, 2
+        HAVING count(*) <= {dedup.SIMHASH_BAND_CAP}) ok USING (band, bkey)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM capped a JOIN capped b USING (band, bkey)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_HAMMING_MAX}
 """
 
 
@@ -1186,6 +1213,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": lambda spark, sf: dedup.lsh_candidate_pairs(load(spark, sf, "documents")),
         "lsh_candidate_doc_pairs": lambda spark, sf: dedup.lsh_candidate_doc_pairs(load(spark, sf, "documents")),
         "simhash": lambda spark, sf: dedup.simhash(load(spark, sf, "documents")),
+        "simhash_near_dup_pairs": lambda spark, sf: dedup.simhash_near_dup_pairs(load(spark, sf, "documents")),
         "ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(load(spark, sf, "documents")),
         "winnow_fingerprints": lambda spark, sf: dedup.winnow_fingerprints(load(spark, sf, "documents")),
         "winnow_overlap_pairs": lambda spark, sf: dedup.winnow_overlap_pairs(load(spark, sf, "documents")),
@@ -1264,6 +1292,7 @@ def build_oracles() -> dict[str, str]:
         "lsh_candidate_pairs": oracle_lsh_candidate_pairs(),
         "lsh_candidate_doc_pairs": oracle_lsh_candidate_doc_pairs(),
         "simhash": oracle_simhash(),
+        "simhash_near_dup_pairs": oracle_simhash_near_dup_pairs(),
         "ngram_jaccard": oracle_ngram_jaccard(),
         "winnow_fingerprints": oracle_winnow_fingerprints(),
         "winnow_overlap_pairs": oracle_winnow_overlap_pairs(),

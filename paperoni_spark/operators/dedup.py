@@ -323,6 +323,77 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return sums.select("doc_id", weight.cast("long").alias("simhash"))
 
 
+SIMHASH_PAIR_BITS = 32  # 8-bit band keys; at 10^12 docs use 64 bits/6 bands
+SIMHASH_HAMMING_MAX = 3
+SIMHASH_BANDS = 4  # > SIMHASH_HAMMING_MAX → blocking is LOSSLESS (pigeonhole)
+SIMHASH_BAND_CAP = 64
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame,
+    bits: int = SIMHASH_PAIR_BITS,
+    max_hamming: int = SIMHASH_HAMMING_MAX,
+    bands: int = SIMHASH_BANDS,
+    cap: int = SIMHASH_BAND_CAP,
+) -> DataFrame:
+    """All document pairs within ``max_hamming`` SimHash bits — the classic
+    near-dup sweep over the fingerprint space.
+
+    Blocking is EXACT, not approximate: the ``bits``-bit hash splits into
+    ``bands`` bands, and two hashes within Hamming distance < bands must
+    agree on at least one whole band (pigeonhole), so with bands >
+    max_hamming the band equi-join finds every qualifying pair.  Over-cap
+    bands (a degenerate fingerprint shared by a boilerplate cluster) are
+    excluded via the standard unhinted anti-join — the same completeness
+    caveat as exact_dedup already covering identical text; the DuckDB
+    oracle mirrors banding + cap.  The verify step is one xor+bit_count
+    per candidate; only (doc_id, band-key) pairs shuffle."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sh = simhash(documents, bits)
+    band_struct = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bkey"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    rows = sh.select("doc_id", "simhash", band_struct.alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    rows = rows.localCheckpoint(eager=False)  # 4 consumers, tiny rows
+    hot = (
+        rows.groupBy("band", "bkey")
+        .agg(F.count("*").alias("n_in_band"))
+        .where(F.col("n_in_band") > cap)
+        .select("band", "bkey")
+    )
+    capped = rows.join(hot, ["band", "bkey"], "left_anti")
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bkey"
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bkey"
+    )
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("sh_a ^ sh_b")).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 SHINGLE_DF_CAP = 100
 
 

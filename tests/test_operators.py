@@ -95,6 +95,33 @@ def test_selfjoin_pipelines_reuse_exchanges(spark, docs):
         assert plan.count("ReusedExchange") >= 2, plan[:2000]
 
 
+def test_simhash_near_dup_pairs(spark, docs, ddb):
+    assert_matches_oracle(
+        dedup.simhash_near_dup_pairs(docs),
+        ddb,
+        contract.oracle_simhash_near_dup_pairs(),
+    )
+    # pigeonhole exactness: with the cap lifted, the banded join must find
+    # EXACTLY the naive all-pairs Hamming<=3 set (blocking is lossless when
+    # bands > max_hamming)
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(docs, bits=dedup.SIMHASH_PAIR_BITS).collect()
+    }
+    ids = sorted(sh)
+    naive = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= dedup.SIMHASH_HAMMING_MAX
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_near_dup_pairs(docs, cap=10**9).collect()
+    }
+    assert got == naive and len(naive) > 0
+
+
 def test_lsh_candidate_doc_pairs(spark, docs, ddb):
     assert_matches_oracle(
         dedup.lsh_candidate_doc_pairs(docs),
