@@ -323,7 +323,12 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return sums.select("doc_id", weight.cast("long").alias("simhash"))
 
 
-SIMHASH_PAIR_BITS = 32  # 8-bit band keys; at 10^12 docs use 64 bits/6 bands
+# 8-bit band keys at driver scale.  At 10^12 docs widen to 60 bits / 4
+# bands (15-bit keys, 32k buckets/band) and lean on the band cap; >62 bits
+# is NOT supported — the weight construction packs bit j as +2^j into a
+# signed long, so bit 63 would overflow (a 64-bit variant needs two's-
+# complement packing in BOTH engines).  Guarded below.
+SIMHASH_PAIR_BITS = 32
 SIMHASH_HAMMING_MAX = 3
 SIMHASH_BANDS = 4  # > SIMHASH_HAMMING_MAX → blocking is LOSSLESS (pigeonhole)
 SIMHASH_BAND_CAP = 64
@@ -348,6 +353,11 @@ def simhash_near_dup_pairs(
     caveat as exact_dedup already covering identical text; the DuckDB
     oracle mirrors banding + cap.  The verify step is one xor+bit_count
     per candidate; only (doc_id, band-key) pairs shuffle."""
+    if bits > 62 or bits % bands != 0:
+        raise ValueError(
+            f"simhash pair search needs bits % bands == 0 and bits <= 62 "
+            f"(signed-long weight packing), got bits={bits} bands={bands}"
+        )
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     sh = simhash(documents, bits)
@@ -368,13 +378,11 @@ def simhash_near_dup_pairs(
         "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
     rows = rows.localCheckpoint(eager=False)  # 4 consumers, tiny rows
-    hot = (
-        rows.groupBy("band", "bkey")
-        .agg(F.count("*").alias("n_in_band"))
-        .where(F.col("n_in_band") > cap)
-        .select("band", "bkey")
-    )
-    capped = rows.join(hot, ["band", "bkey"], "left_anti")
+    # the hot-band guard is similarity.capped_bands — ONE implementation of
+    # the load-bearing unhinted anti-join (extra columns pass through)
+    from .similarity import capped_bands
+
+    capped = capped_bands(rows, cap)
     a = capped.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bkey"
     )
