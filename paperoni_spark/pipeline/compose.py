@@ -124,10 +124,15 @@ def build_training_corpus(
     # kernel per funnel action when judged is not persisted.  Rejected rows
     # get a unique window key so the fingerprint window stays a no-op for
     # them (kept rows shuffle by fingerprint, same key as the corpus dedup).
+    # project to three tiny columns BEFORE the window: the fingerprint
+    # shuffle must move (doc_id, reason, 32-hex key), never document text
     dup_key = F.when(
         F.col("reject_reason").isNull(), F.md5(normalized)
     ).otherwise(F.concat(F.lit("r:"), F.col("doc_id").cast("string")))
-    dup_w = Window.partitionBy(dup_key).orderBy("doc_id")
+    funnel_src = judged.select(
+        "doc_id", "reject_reason", dup_key.alias("_dup_key")
+    )
+    dup_w = Window.partitionBy("_dup_key").orderBy("doc_id")
     stage1 = F.when(F.col("reject_reason").isNull(), F.lit("kept")).otherwise(
         F.concat(F.lit("rejected:"), F.col("reject_reason"))
     )
@@ -141,7 +146,7 @@ def build_training_corpus(
         ),
     )
     funnel = (
-        judged.select(stage1.alias("_stage1"), is_dup.alias("_is_dup"))
+        funnel_src.select(stage1.alias("_stage1"), is_dup.alias("_is_dup"))
         .select(F.explode(labels).alias("stage"))
         .groupBy("stage")
         .agg(F.count("*").alias("n_docs"))
