@@ -164,6 +164,7 @@ def main() -> None:
         "winnow_overlap_pairs",
         "benchmark_contamination",
         "streaming_session_stats",
+        "simhash_near_dup_pairs",
     ):
         t0 = time.time()
         qfns[name](spark_full, SF_DIR).count()
