@@ -591,6 +591,45 @@ FROM walk GROUP BY doc
 """
 
 
+def oracle_simhash_dedup_clusters() -> str:
+    """Recursive-CTE twin of dedup.simhash_dedup_clusters: simhash pair
+    edges (shared with oracle_simhash_near_dup_pairs), true connected-
+    component fixpoint, min-doc_id cluster labels."""
+    bits = dedup.SIMHASH_PAIR_BITS
+    bands = dedup.SIMHASH_BANDS
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * band_bits}) & {mask} AS bkey FROM sh"
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE {_simhash_cte(bits)},
+rows_b AS ({band_rows}),
+capped AS (
+  SELECT r.* FROM rows_b r
+  JOIN (SELECT band, bkey FROM rows_b GROUP BY 1, 2
+        HAVING count(*) <= {dedup.SIMHASH_BAND_CAP}) ok USING (band, bkey)
+),
+jp AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b USING (band, bkey)
+  WHERE a.doc_id < b.doc_id
+    AND bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_HAMMING_MAX}
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+          UNION ALL SELECT doc_b, doc_a FROM jp),
+walk AS (
+  SELECT doc_id AS doc, doc_id AS reach FROM documents
+  UNION
+  SELECT w.doc, e.b FROM walk w JOIN edges e ON e.a = w.reach
+)
+SELECT doc AS doc_id, min(reach) AS cluster,
+       (doc = min(reach)) AS is_survivor
+FROM walk GROUP BY doc
+"""
+
+
 def _sample_pred_sql(salt: str = sampling.SAMPLE_SALT) -> str:
     return f"substr(md5('{salt}' || doc_id::VARCHAR), 1, 8)"
 
@@ -1219,6 +1258,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_pairs": lambda spark, sf: dedup.winnow_overlap_pairs(load(spark, sf, "documents")),
         "benchmark_contamination": q_benchmark_contamination,
         "dedup_clusters": lambda spark, sf: dedup.dedup_clusters(load(spark, sf, "documents")),
+        "simhash_dedup_clusters": lambda spark, sf: dedup.simhash_dedup_clusters(load(spark, sf, "documents")),
         # deterministic corpus sampling (training-mix construction)
         "hash_sample": lambda spark, sf: sampling.hash_sample(
             load(spark, sf, "documents"), fraction=0.2
@@ -1298,6 +1338,7 @@ def build_oracles() -> dict[str, str]:
         "winnow_overlap_pairs": oracle_winnow_overlap_pairs(),
         "benchmark_contamination": oracle_benchmark_contamination(),
         "dedup_clusters": oracle_dedup_clusters(),
+        "simhash_dedup_clusters": oracle_simhash_dedup_clusters(),
         "hash_sample": oracle_hash_sample(),
         "stratified_sample": oracle_stratified_sample(),
         "token_budget_sample": oracle_token_budget_sample(),

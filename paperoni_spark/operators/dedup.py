@@ -407,28 +407,48 @@ SHINGLE_DF_CAP = 100
 
 def dedup_clusters(documents: DataFrame, threshold: float = 0.1) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the n-gram
-    Jaccard near-dup graph, labeling every document with its cluster's
-    minimum doc_id and marking that minimum as the survivor (the row a
-    dedup pass would keep).
-
-    The component algorithm is iterative min-label propagation — each round
-    is one equi-join + partial-agg shuffle, converging in O(log diameter)
-    rounds.  The (expensive) edge derivation is persisted once and each
-    round's labels are localCheckpoint-ed, so round r never re-executes the
-    shingle self-join or the r−1 prior rounds — without this the lineage
-    grows a join per round and the loop is O(R²) in recomputation.
-    Near-dup cluster diameters are small in practice, so this is the
-    standard large-scale CC recipe; the DuckDB oracle computes the same
-    fixpoint with a recursive CTE."""
-    from pyspark import StorageLevel
-
+    Jaccard near-dup graph — see :func:`connected_components` for the
+    algorithm and its scale properties."""
     pairs = ngram_jaccard_pairs(documents, threshold=threshold).select(
         "doc_a", "doc_b"
     )
+    return connected_components(documents.select("doc_id"), pairs)
+
+
+def simhash_dedup_clusters(
+    documents: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX
+) -> DataFrame:
+    """Duplicate-cluster resolution over the SimHash near-dup graph — the
+    production-typical combo (fingerprint pairs are cheap at 10^12 where
+    shingle joins are not), same component algorithm."""
+    pairs = simhash_near_dup_pairs(documents, max_hamming=max_hamming).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components(documents.select("doc_id"), pairs)
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components over an arbitrary near-dup pair graph: label
+    every node (``doc_id``) with its component's minimum doc_id and mark
+    that minimum as the survivor (the row a dedup pass would keep).
+    ``pairs`` carries (doc_a, doc_b) — any edge source: n-gram Jaccard,
+    SimHash Hamming, winnowing overlap, embedding cosine.
+
+    The algorithm is iterative min-label propagation — each round is one
+    equi-join + partial-agg shuffle, converging in O(log diameter) rounds.
+    The (expensive) edge derivation is persisted once and each round's
+    labels are localCheckpoint-ed, so round r never re-executes the edge
+    pipeline or the r−1 prior rounds — without this the lineage grows a
+    join per round and the loop is O(R²) in recomputation.  Near-dup
+    cluster diameters are small in practice, so this is the standard
+    large-scale CC recipe; the DuckDB oracles compute the same fixpoint
+    with a recursive CTE."""
+    from pyspark import StorageLevel
+
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    labels = documents.select("doc_id", F.col("doc_id").alias("cluster"))
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster"))
     try:
         while True:
             neighbor_min = (

@@ -95,6 +95,27 @@ def test_selfjoin_pipelines_reuse_exchanges(spark, docs):
         assert plan.count("ReusedExchange") >= 2, plan[:2000]
 
 
+def test_connected_components_generic(spark, docs, ddb):
+    """connected_components is edge-source agnostic: a hand-built graph
+    resolves to min-id labels; the simhash-edge clustering matches its
+    recursive-CTE oracle."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id: long")
+    # components: {1,2,3,4} (chain), {5,6}, {7} isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a: long, doc_b: long"
+    )
+    got = {r["doc_id"]: (r["cluster"], r["is_survivor"]) for r in dedup.connected_components(nodes, pairs).collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        5: (5, True), 6: (5, False), 7: (7, True),
+    }
+    assert_matches_oracle(
+        dedup.simhash_dedup_clusters(docs),
+        ddb,
+        contract.oracle_simhash_dedup_clusters(),
+    )
+
+
 def test_simhash_near_dup_pairs(spark, docs, ddb):
     assert_matches_oracle(
         dedup.simhash_near_dup_pairs(docs),
