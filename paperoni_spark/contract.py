@@ -426,8 +426,17 @@ def _simhash_cte(bits: int) -> str:
         sums.append(
             f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {char_idx}, 1)) - 1) >> {bit_in_char}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
         )
+    # two's-complement packing mirrors dedup.simhash: bit 63 contributes
+    # -2^63 (spelled -(2^63-1)-1 — the positive literal alone overflows
+    # BIGINT).  Terms are cast per-CASE so DuckDB sums in BIGINT, matching
+    # Spark's long arithmetic bit-for-bit.
     weight = " + ".join(
-        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+        (
+            f"CASE WHEN s{j} > 0 THEN (-9223372036854775807 - 1)::BIGINT ELSE 0::BIGINT END"
+            if j == 63
+            else f"CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        )
+        for j in range(bits)
     )
     return f"""toks AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
 hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),

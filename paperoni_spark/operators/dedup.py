@@ -318,17 +318,22 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     sums = toks.groupBy("doc_id").agg(*aggs)
     weight = None
     for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        # two's-complement packing: bit 63 is the sign bit, so it
+        # contributes -2^63 — the full 64-bit fingerprint fits a signed
+        # long exactly (bits 0..62 sum to at most 2^63-1 before the sign
+        # term is added, so no intermediate overflow even under ANSI mode)
+        mag = F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j)
+        term = F.when(F.col(f"s{j}") > 0, mag).otherwise(F.lit(0))
         weight = term if weight is None else weight + term
     return sums.select("doc_id", weight.cast("long").alias("simhash"))
 
 
-# 8-bit band keys at driver scale.  At 10^12 docs widen to 60 bits / 4
-# bands (15-bit keys, 32k buckets/band) and lean on the band cap; >62 bits
-# is NOT supported — the weight construction packs bit j as +2^j into a
-# signed long, so bit 63 would overflow (a 64-bit variant needs two's-
-# complement packing in BOTH engines).  Guarded below.
-SIMHASH_PAIR_BITS = 32
+# Production-width 64-bit fingerprints, 16-bit band keys (65k buckets per
+# band).  At 10^12 docs lean on the band cap for degenerate fingerprints.
+# Band extraction is (simhash >> s) & mask — arithmetic shift is safe for
+# negative hashes because s + band_bits <= 64, so the sign-fill bits never
+# overlap the masked band (identical reasoning holds for the DuckDB twin).
+SIMHASH_PAIR_BITS = 64
 SIMHASH_HAMMING_MAX = 3
 SIMHASH_BANDS = 4  # > SIMHASH_HAMMING_MAX → blocking is LOSSLESS (pigeonhole)
 SIMHASH_BAND_CAP = 64
@@ -353,10 +358,19 @@ def simhash_near_dup_pairs(
     caveat as exact_dedup already covering identical text; the DuckDB
     oracle mirrors banding + cap.  The verify step is one xor+bit_count
     per candidate; only (doc_id, band-key) pairs shuffle."""
-    if bits > 62 or bits % bands != 0:
+    if bits > 64 or bits % bands != 0:
         raise ValueError(
-            f"simhash pair search needs bits % bands == 0 and bits <= 62 "
-            f"(signed-long weight packing), got bits={bits} bands={bands}"
+            f"simhash pair search needs bits % bands == 0 and bits <= 64 "
+            f"(two's-complement signed-long packing), got bits={bits} bands={bands}"
+        )
+    if max_hamming >= bands:
+        # pigeonhole only guarantees a shared band when hamming < bands —
+        # with max_hamming >= bands the band join silently turns LOSSY,
+        # contradicting the exactness contract below
+        raise ValueError(
+            f"banded blocking is exact only for max_hamming < bands, got "
+            f"max_hamming={max_hamming} bands={bands} (raise bands or accept "
+            f"approximate recall via a different blocking scheme)"
         )
     band_bits = bits // bands
     mask = (1 << band_bits) - 1

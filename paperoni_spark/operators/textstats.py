@@ -328,10 +328,17 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
 
 
 CONTAM_NGRAM = 13  # the standard eval-decontamination n-gram width
+# the forced broadcast below is justified ONLY because eval suites are
+# bounded by construction; this cap makes handing a corpus-scale frame as
+# `benchmark` fail loudly instead of OOMing the driver mid-broadcast
+CONTAM_MAX_BENCHMARK_ROWS = 1_000_000
 
 
 def benchmark_contamination(
-    documents: DataFrame, benchmark: DataFrame, n: int = CONTAM_NGRAM
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = CONTAM_NGRAM,
+    max_benchmark_rows: int | None = CONTAM_MAX_BENCHMARK_ROWS,
 ) -> DataFrame:
     """Eval-set decontamination (the GPT-3/PaLM-style 13-gram rule): flag
     every training document sharing at least one word ``n``-gram with a
@@ -347,9 +354,22 @@ def benchmark_contamination(
     the only exchange carries (doc_id, hit-count) pairs.  ``benchmark`` is
     any frame with a ``text`` column.  N-gram derivation reuses
     dedup._shingles — the one implementation carrying the Generate-barrier
-    idiom that keeps the shingle transform O(tokens)."""
+    idiom that keeps the shingle transform O(tokens).
+
+    ``max_benchmark_rows`` guards the forced broadcast: a caller passing a
+    corpus-scale frame as the benchmark gets a loud ValueError from a
+    short-circuiting ``limit(cap+1).count()`` probe, never a driver OOM.
+    Pass ``None`` to skip the probe (one extra job) for trusted inputs."""
     from .dedup import _shingles
 
+    if max_benchmark_rows is not None:
+        probed = benchmark.limit(max_benchmark_rows + 1).count()
+        if probed > max_benchmark_rows:
+            raise ValueError(
+                f"benchmark frame exceeds {max_benchmark_rows} rows — it would "
+                "be force-broadcast; decontaminate against a bounded eval "
+                "suite, or raise max_benchmark_rows deliberately"
+            )
     bench_ngrams = (
         _shingles(benchmark.select(F.lit(1).alias("doc_id"), "text"), n)
         .select(F.col("shingle").alias("ngram"))

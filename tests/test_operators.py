@@ -129,18 +129,29 @@ def test_simhash_near_dup_pairs(spark, docs, ddb):
         r["doc_id"]: r["simhash"]
         for r in dedup.simhash(docs, bits=dedup.SIMHASH_PAIR_BITS).collect()
     }
+    # the 64-bit fingerprint is two's-complement packed: bit 63 flips the
+    # sign, and the corpus must exercise BOTH sides of that boundary or the
+    # naive sweep below proves nothing about the sign-bit band/xor math
+    assert any(v < 0 for v in sh.values()) and any(v >= 0 for v in sh.values())
+
+    def hamming64(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
     ids = sorted(sh)
     naive = {
-        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        (a, b, hamming64(sh[a], sh[b]))
         for i, a in enumerate(ids)
         for b in ids[i + 1 :]
-        if bin(sh[a] ^ sh[b]).count("1") <= dedup.SIMHASH_HAMMING_MAX
+        if hamming64(sh[a], sh[b]) <= dedup.SIMHASH_HAMMING_MAX
     }
     got = {
         (r["doc_a"], r["doc_b"], r["hamming"])
         for r in dedup.simhash_near_dup_pairs(docs, cap=10**9).collect()
     }
     assert got == naive and len(naive) > 0
+    # lossy-parameter guard: pigeonhole exactness requires hamming < bands
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_dup_pairs(docs, max_hamming=dedup.SIMHASH_BANDS)
 
 
 def test_lsh_candidate_doc_pairs(spark, docs, ddb):
@@ -232,6 +243,10 @@ def test_benchmark_contamination(spark, docs, ddb):
     # the intended plan (map-side probe of the corpus)
     plan = benchmark_contamination(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    # a corpus-scale frame handed as the benchmark fails LOUDLY before the
+    # forced broadcast can OOM the driver
+    with pytest.raises(ValueError, match="force-broadcast"):
+        benchmark_contamination(corpus, bench, max_benchmark_rows=0)
 
 
 def test_quality_scores_matches_oracle(spark, docs, ddb):
