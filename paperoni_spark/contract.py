@@ -600,6 +600,62 @@ FROM walk GROUP BY doc
 """
 
 
+# incremental dedup's deterministic corpus/delta split: ~3/16 of docs are
+# the "newly crawled" delta, the rest are the indexed corpus.  Same
+# md5-prefix idiom as sampling.sample_key so both engines agree.
+_DELTA_SALT = "delta:"
+_DELTA_PREFIX_CHARS = ("0", "1", "2")
+
+
+def _delta_flag_col():
+    return F.substring(
+        F.md5(F.concat(F.lit(_DELTA_SALT), F.col("doc_id").cast("string"))), 1, 1
+    ).isin(*_DELTA_PREFIX_CHARS)
+
+
+def q_dedup_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurring-crawl shape: build the MinHash band index from the
+    corpus partition ONCE (persisted, partitioned by band), then probe it
+    with only the delta's band rows — the corpus is never re-shingled
+    (dedup.dedup_delta_pairs_against_index; the never-reshingled property
+    is pinned by tests/test_operators.py::test_dedup_delta_never_reshingles,
+    which deletes the corpus source after the index write)."""
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(~_delta_flag_col())
+    delta = docs.where(_delta_flag_col())
+    index_path = tempfile.mkdtemp(prefix="band_index_") + "/index"
+    dedup.write_minhash_band_index(corpus, index_path)
+    return dedup.dedup_delta_pairs_against_index(spark, delta, index_path)
+
+
+def oracle_dedup_delta_pairs() -> str:
+    """Full-recompute twin restricted to delta-touching pairs: band rows
+    over ALL documents, over-cap buckets (counted over index ∪ delta, what
+    the incremental operator sees) excluded, probe side = delta."""
+    delta_pred = (
+        f"substr(md5('{_DELTA_SALT}' || doc_id::VARCHAR), 1, 1) IN "
+        f"({', '.join(repr(c) for c in _DELTA_PREFIX_CHARS)})"
+    )
+    return f"""
+WITH {_SIG_CTE}, bands AS ({_minhash_bands_sql()}),
+flagged AS (SELECT b.*, {delta_pred} AS is_delta FROM bands b),
+capped AS (
+  SELECT f.* FROM flagged f
+  JOIN (SELECT band, bucket FROM flagged GROUP BY 1, 2
+        HAVING count(*) <= {dedup.MINHASH_BUCKET_CAP}) ok USING (band, bucket)
+)
+SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       greatest(a.doc_id, b.doc_id) AS doc_b,
+       count(*)::BIGINT AS n_shared_bands
+FROM capped a JOIN capped b USING (band, bucket)
+WHERE a.is_delta AND a.doc_id != b.doc_id
+  AND (NOT b.is_delta OR a.doc_id < b.doc_id)
+GROUP BY 1, 2
+"""
+
+
 def oracle_simhash_dedup_clusters() -> str:
     """Recursive-CTE twin of dedup.simhash_dedup_clusters: simhash pair
     edges (shared with oracle_simhash_near_dup_pairs), true connected-
@@ -1266,6 +1322,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": lambda spark, sf: dedup.winnow_fingerprints(load(spark, sf, "documents")),
         "winnow_overlap_pairs": lambda spark, sf: dedup.winnow_overlap_pairs(load(spark, sf, "documents")),
         "benchmark_contamination": q_benchmark_contamination,
+        "dedup_delta_pairs": q_dedup_delta_pairs,
         "dedup_clusters": lambda spark, sf: dedup.dedup_clusters(load(spark, sf, "documents")),
         "simhash_dedup_clusters": lambda spark, sf: dedup.simhash_dedup_clusters(load(spark, sf, "documents")),
         # deterministic corpus sampling (training-mix construction)
@@ -1346,6 +1403,7 @@ def build_oracles() -> dict[str, str]:
         "winnow_fingerprints": oracle_winnow_fingerprints(),
         "winnow_overlap_pairs": oracle_winnow_overlap_pairs(),
         "benchmark_contamination": oracle_benchmark_contamination(),
+        "dedup_delta_pairs": oracle_dedup_delta_pairs(),
         "dedup_clusters": oracle_dedup_clusters(),
         "simhash_dedup_clusters": oracle_simhash_dedup_clusters(),
         "hash_sample": oracle_hash_sample(),

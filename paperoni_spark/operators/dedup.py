@@ -298,6 +298,93 @@ def lsh_candidate_doc_pairs(
     )
 
 
+def write_minhash_band_index(
+    documents: DataFrame, path: str, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> None:
+    """Persist the MinHash-LSH band index — (doc_id, band, bucket) written
+    PARTITIONED BY band — so a recurring crawl never re-shingles the
+    corpus: incremental dedup (:func:`dedup_delta_pairs_against_index`)
+    probes this table instead of re-deriving 10^12 documents' signatures.
+    ``mode="append"`` lets each ingestion wave add its own delta's rows
+    after probing, keeping the index current without rewrites (same
+    partitioned-sink pattern as similarity.write_ivf_index; Iceberg
+    equivalent: ``writeTo(tbl).partitionedBy(col("band")).createOrReplace()``
+    / ``.append()``)."""
+    _minhash_band_rows(documents, k, bands).write.partitionBy("band").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def append_to_minhash_band_index(
+    documents: DataFrame, path: str, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> None:
+    """Add a delta's band rows to an existing index (post-probe step of the
+    recurring-crawl loop).  Caller contract: the delta's doc_ids must not
+    already be present (the pipeline's anti-join resume guarantees this)."""
+    _minhash_band_rows(documents, k, bands).write.partitionBy("band").mode(
+        "append"
+    ).parquet(path)
+
+
+def dedup_delta_pairs_against_index(
+    spark,
+    delta_docs: DataFrame,
+    index_path: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    cap: int = MINHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Incremental (delta-vs-corpus) dedup: MinHash-LSH candidate pairs
+    TOUCHING THE DELTA — (doc_a, doc_b, n_shared_bands), doc_a < doc_b —
+    where at least one side is a new document.  Only the delta is shingled
+    and min-hashed; the corpus side comes entirely from the persisted band
+    index (:func:`write_minhash_band_index`), so a daily 50k-doc wave costs
+    O(delta) compute + one equi-join against the index — never a corpus
+    re-shingle (at 10^12 docs the difference between a daily job and an
+    impossible one).
+
+    Semantics match a full :func:`lsh_candidate_doc_pairs` recompute
+    restricted to delta-touching pairs: bucket sizes for the over-cap
+    guard are counted over index ∪ delta (what the full recompute would
+    see), and the same unhinted anti-join excludes over-cap buckets.
+    Delta-delta pairs orient by doc_id; delta-corpus pairs join exactly
+    once (the probe side is always the delta), so ``count(*)`` per ordered
+    pair is the shared-band count.  Caller contract: delta doc_ids are
+    disjoint from the index (the pipeline's anti-join resume —
+    pipeline/job.py — is the standard way to guarantee it)."""
+    delta_rows = _minhash_band_rows(delta_docs, k, bands)
+    index_rows = spark.read.parquet(index_path).select(
+        "doc_id", F.col("band").cast("int").alias("band"), "bucket"
+    )
+    all_rows = index_rows.withColumn("from_delta", F.lit(False)).unionByName(
+        delta_rows.withColumn("from_delta", F.lit(True))
+    )
+    hot = (
+        all_rows.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_in_bucket"))
+        .where(F.col("n_in_bucket") > cap)
+        .select("band", "bucket")
+    )
+    probe = (
+        delta_rows.join(hot, ["band", "bucket"], "left_anti")
+        .select(F.col("doc_id").alias("probe_id"), "band", "bucket")
+    )
+    target = all_rows.join(hot, ["band", "bucket"], "left_anti").select(
+        F.col("doc_id").alias("target_id"), "band", "bucket", "from_delta"
+    )
+    return (
+        probe.join(target, ["band", "bucket"])
+        .where(F.col("probe_id") != F.col("target_id"))
+        # delta-delta pairs appear in both orientations: keep one
+        .where(~F.col("from_delta") | (F.col("probe_id") < F.col("target_id")))
+        .groupBy(
+            F.least("probe_id", "target_id").alias("doc_a"),
+            F.greatest("probe_id", "target_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+
+
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash over whitespace tokens: bit j is the sign of the sum of
     (±1) votes from bit j of each token's hash.  Token hash bits come from

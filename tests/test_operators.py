@@ -168,6 +168,55 @@ def test_lsh_candidate_doc_pairs(spark, docs, ddb):
     assert all(1 <= r["n_shared_bands"] <= dedup.LSH_BANDS for r in pairs)
 
 
+def test_dedup_delta_never_reshingles(spark, docs, ddb, tmp_path):
+    """Incremental delta-vs-corpus dedup: (1) the oracled query matches the
+    DuckDB full-recompute twin, (2) results equal a full
+    lsh_candidate_doc_pairs recompute restricted to delta-touching pairs,
+    and (3) the corpus side is served ENTIRELY from the persisted band
+    index — proven by deleting the corpus source files after the index
+    write: any re-shingle attempt would fail on the missing input."""
+    import shutil
+
+    assert_matches_oracle(
+        contract.q_dedup_delta_pairs(spark, SF_DIR),
+        ddb,
+        contract.oracle_dedup_delta_pairs(),
+    )
+
+    delta = docs.where(contract._delta_flag_col())
+    corpus = docs.where(~contract._delta_flag_col())
+    delta_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    want = {
+        (r["doc_a"], r["doc_b"], r["n_shared_bands"])
+        for r in dedup.lsh_candidate_doc_pairs(docs).collect()
+        if r["doc_a"] in delta_ids or r["doc_b"] in delta_ids
+    }
+    corpus_path = str(tmp_path / "corpus_src")
+    corpus.write.parquet(corpus_path)
+    index_path = str(tmp_path / "band_index")
+    dedup.write_minhash_band_index(spark.read.parquet(corpus_path), index_path)
+    shutil.rmtree(corpus_path)  # corpus text gone — re-shingling impossible
+    got_df = dedup.dedup_delta_pairs_against_index(spark, delta, index_path)
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_shared_bands"]) for r in got_df.collect()
+    }
+    assert got == want and len(want) > 0
+    # the corpus side is the index scan (plan toString truncates long tmp
+    # paths out of the Location field — inputFiles is exact)
+    assert any("band_index" in f for f in got_df.inputFiles())
+
+    # the recurring loop's write-back: append the probed delta, then a
+    # second wave finds its duplicate against a WAVE-1 doc via the index
+    dedup.append_to_minhash_band_index(delta, index_path)
+    seed = delta.orderBy("doc_id").limit(1).collect()[0]
+    wave2 = spark.createDataFrame(
+        [(10_000_001, seed["text"])], "doc_id: long, text: string"
+    )
+    pairs2 = dedup.dedup_delta_pairs_against_index(spark, wave2, index_path).collect()
+    hits = {(r["doc_a"], r["doc_b"]): r["n_shared_bands"] for r in pairs2}
+    assert hits.get((seed["doc_id"], 10_000_001)) == dedup.LSH_BANDS
+
+
 def test_lsh_candidate_doc_pairs_degenerate_bucket_capped(spark):
     """An identical-signature cluster larger than the cap must yield ZERO
     pairs — the guard against the one-bucket O(B²) blowup — while a small
