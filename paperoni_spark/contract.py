@@ -34,7 +34,10 @@ from .operators.extract import run_extract
 from .pipeline.job import extract_pipeline
 from .spans import fixture_corpus, synth_corpus
 from .streaming import run_streaming_window_counts, windowed_event_counts
-from .streaming.sessions import run_streaming_sessionization
+from .streaming.sessions import (
+    run_streaming_sessionization,
+    run_streaming_sessionization_evicting,
+)
 from .streaming.stateful import running_user_totals
 
 _GOLDEN_DIR = os.path.join(
@@ -541,6 +544,53 @@ def q_streaming_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.order").alias("span_order"),
     ).where(F.col("span_kind").isNotNull())
+
+
+def q_streaming_session_stats_evicting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION streaming-sessionization shape under the batch oracle:
+    per-session event-time eviction (state holds only open sessions), with
+    the corpus staged as three mtime-ordered micro-batches — the real
+    events, then two far-future sentinel events whose only job is to march
+    the watermark past every real session's end + gap so all of them drain
+    as exactly-once FINALS before the stream stops.  Sentinel users are
+    negative ids, filtered from the result; the oracle is the same batch
+    session_stats fixpoint as the full-history twin — proving the bounded-
+    state path is row-identical to batch, not just "close"."""
+    import datetime as dt
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    from .streaming.windowed import EVENTS_SCHEMA
+
+    spark = _utc(spark)
+    tmp = tempfile.mkdtemp(prefix="sessev_")
+    events_dir = os.path.join(tmp, "ev")
+    os.makedirs(events_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copyfile(src, os.path.join(events_dir, "b0.parquet"))
+    max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+    for i, days in ((1, 10), (2, 20)):
+        sdf = spark.createDataFrame(
+            [(-i, max_ts + dt.timedelta(days=days), -i, "sentinel", 0.0, "{}")],
+            EVENTS_SCHEMA,
+        )
+        sdir = os.path.join(tmp, f"s{i}")
+        sdf.coalesce(1).write.parquet(sdir)
+        shutil.move(
+            glob.glob(os.path.join(sdir, "part-*.parquet"))[0],
+            os.path.join(events_dir, f"b{i}.parquet"),
+        )
+    now = time.time()
+    for i in range(3):  # file source orders batches by modification time
+        path = os.path.join(events_dir, f"b{i}.parquet")
+        os.utime(path, (now + 10 * i, now + 10 * i))
+    finals = run_streaming_sessionization_evicting(
+        spark, events_dir, max_files_per_trigger=1, path_glob="*.parquet"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return finals.where(F.col("user_id") >= 0)
 
 
 def oracle_token_budget_sample() -> str:
@@ -1383,6 +1433,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming gap-sessionization: applyInPandasWithState, verified
         # against the SAME oracle as the batch session_stats window plan
         "streaming_session_stats": lambda spark, sf: run_streaming_sessionization(_utc(spark), sf),
+        # the production eviction path (bounded state) under the SAME oracle
+        "streaming_session_stats_evicting": q_streaming_session_stats_evicting,
     }
 
 
@@ -1433,4 +1485,5 @@ def build_oracles() -> dict[str, str]:
         "streaming_windowed_events": oracle_windowed_events(),
         "stateful_user_totals": oracle_user_totals(),
         "streaming_session_stats": oracle_session_stats(),
+        "streaming_session_stats_evicting": oracle_session_stats(),
     }
