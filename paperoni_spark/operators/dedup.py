@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 MINHASH_K = 8
 LSH_BANDS = 4  # rows-per-band = MINHASH_K / LSH_BANDS
 SIMHASH_BITS = 16
@@ -238,7 +240,7 @@ def _minhash_band_rows(
     # band rows are tiny (ids + 2 hashes, no text) and feed up to four
     # consumers (histogram, anti-join, both self-join sides): materialize
     # once so the shingle+minhash pipeline never re-derives per consumer
-    return rows.localCheckpoint(eager=False)
+    return materialize(rows)
 
 
 def lsh_candidate_pairs(
@@ -478,7 +480,7 @@ def simhash_near_dup_pairs(
     rows = sh.select("doc_id", "simhash", band_struct.alias("bb")).select(
         "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
-    rows = rows.localCheckpoint(eager=False)  # 4 consumers, tiny rows
+    rows = materialize(rows)  # 4 consumers, tiny rows
     # the hot-band guard is similarity.capped_bands — ONE implementation of
     # the load-bearing unhinted anti-join (extra columns pass through)
     from .similarity import capped_bands
@@ -571,7 +573,8 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
                     ),
                     "cluster",
                 )
-            ).localCheckpoint()  # truncate lineage; one materialization/round
+            )
+            updated = materialize(updated, eager=True)  # truncate lineage; one materialization/round
             changed = updated.where(
                 F.col("new_cluster") != F.col("cluster")
             ).count()

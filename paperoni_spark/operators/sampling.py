@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 SAMPLE_SALT = "sample:"
 
 
@@ -98,7 +100,7 @@ def token_budget_sample(
     # scored feeds both the summary aggregation and the data-side window;
     # materialize it (ids + a few ints, no text) so the corpus is
     # tokenized once, not once per consumer
-    scored = scored.localCheckpoint(eager=False)
+    scored = materialize(scored)
     # phase 1: per-(lang, prefix) token totals → running offsets.  The
     # window here runs over the 256-rows-per-stratum summary, not the data.
     pfx_w = (

@@ -22,6 +22,8 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 EMBED_DIM = 64
 
 # Banded sign-LSH geometry.  Total code = N_BANDS * PLANES_PER_BAND bits;
@@ -158,7 +160,7 @@ def banded_buckets(base: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     re-joins the base table for vectors anyway), so the storage cost is
     negligible even for the single-consumer histogram caller."""
     coded = base.select("vec_id", lsh_code_col(F.col("emb")).alias("code"))
-    coded = coded.localCheckpoint(eager=False)
+    coded = materialize(coded)
     bands = F.explode(
         F.array(
             *[
@@ -319,7 +321,7 @@ def ivf_assignments(
     # matmul runs once, not per consumer (measured 4 ArrowEvalPython evals
     # in ann_ivf_topk's final plan without this)
     assigned = base.withColumn("centroid", assign_col(centroids))
-    return assigned.localCheckpoint(eager=False), centroids
+    return materialize(assigned), centroids
 
 
 def write_ivf_index(assigned: DataFrame, path: str) -> None:

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
 
 
@@ -215,11 +217,11 @@ def unigram_logprob(
     # MEMORY_AND_DISK and the ContextCleaner reclaims them when the frame is
     # GC'd, so the lazy-operator contract keeps no explicit unpersist hook
     # (same recipe as dedup.dedup_clusters' per-round labels).
-    doc_tf = doc_tf.localCheckpoint(eager=False)
+    doc_tf = materialize(doc_tf)
     # counts likewise feeds total + head + tail — checkpoint the (vocab-
     # sized, far smaller) aggregate so the tok shuffle runs once, not 3×
     counts = doc_tf.groupBy("tok").agg(F.sum("tf_dt").alias("tf"))
-    counts = counts.localCheckpoint(eager=False)
+    counts = materialize(counts)
     total = counts.agg(F.sum("tf").alias("total"))  # one-row, broadcast
     head = counts.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(head_k)
     lp_cols = [
