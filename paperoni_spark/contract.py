@@ -1180,6 +1180,42 @@ WHERE round(list_dot_product(ea.emb, eb.emb) /
 """
 
 
+def oracle_embedding_dedup_clusters() -> str:
+    """Recursive-CTE twin of similarity.embedding_dedup_clusters: the
+    cosine near-dup edges (shared with oracle_embedding_near_dup), true
+    connected-component fixpoint, min-vec_id cluster labels."""
+    return f"""
+WITH RECURSIVE planted AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {TWIN_ID_OFFSET}, embedding FROM embeddings WHERE vec_id < {N_PLANTED_TWINS}
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM planted),
+{_bands_cte()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM capped a JOIN capped b USING (band, bkey)
+  WHERE a.vec_id < b.vec_id
+),
+jp AS (
+  SELECT vec_a, vec_b
+  FROM cand JOIN base ea ON ea.vec_id = vec_a JOIN base eb ON eb.vec_id = vec_b
+  WHERE round(list_dot_product(ea.emb, eb.emb) /
+              (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))), 3) >= 0.95
+),
+edges AS (SELECT vec_a AS a, vec_b AS b FROM jp
+          UNION ALL SELECT vec_b, vec_a FROM jp),
+walk AS (
+  SELECT vec_id AS doc, vec_id AS reach FROM planted
+  UNION
+  SELECT w.doc, e.b FROM walk w JOIN edges e ON e.a = w.reach
+)
+SELECT doc AS vec_id, min(reach) AS cluster,
+       (doc = min(reach)) AS is_survivor
+FROM walk GROUP BY doc
+"""
+
+
 def oracle_bpe_token_stats() -> str:
     pattern = textstats.BPE_ISH_PATTERN.replace("\\", "\\\\")
     toks = f"regexp_extract_all(text, '{pattern}', 0)"
@@ -1409,6 +1445,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(
             planted_embeddings(load(spark, sf, "embeddings"))
         ),
+        # semantic dedup: connected components over the cosine-pair edges
+        "embedding_dedup_clusters": lambda spark, sf: similarity.embedding_dedup_clusters(
+            planted_embeddings(load(spark, sf, "embeddings"))
+        ),
         "bpe_token_stats": lambda spark, sf: textstats.bpe_token_stats(load(spark, sf, "documents")),
         "media_resize_sample": lambda spark, sf: multimodal.media_resize_and_sample(
             multimodal.media_table_from_documents(load(spark, sf, "documents"))
@@ -1477,6 +1517,7 @@ def build_oracles() -> dict[str, str]:
         "media_feature_stats": oracle_media_feature_stats(),
         "pdf_page_stats": oracle_pdf_page_stats(),
         "embedding_near_dup": oracle_embedding_near_dup(),
+        "embedding_dedup_clusters": oracle_embedding_dedup_clusters(),
         "bpe_token_stats": oracle_bpe_token_stats(),
         "media_resize_sample": oracle_media_resize_sample(),
         "docs_joined_labels": oracle_docs_joined_labels(),

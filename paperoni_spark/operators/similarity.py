@@ -252,6 +252,29 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_dedup_clusters(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    cap: int = MAX_BUCKET,
+) -> DataFrame:
+    """Duplicate-cluster resolution over the embedding-cosine near-dup
+    graph: semantic dedup — the modern pipeline stage that textual
+    fingerprints can't express (paraphrases, translations, re-renders).
+    Edges come from :func:`embedding_near_dup_pairs` (banded sign-LSH
+    blocked, never all-pairs); components from the edge-agnostic min-label
+    propagation in dedup.connected_components, labeling every vector with
+    its component's minimum vec_id and marking survivors."""
+    from .dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(embeddings, threshold, cap).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = embeddings.select(F.col("vec_id").alias("doc_id"))
+    return connected_components(nodes, pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster", "is_survivor"
+    )
+
+
 IVF_ROUND = 6  # decimals: distances + centroid means (engine portability)
 
 

@@ -466,6 +466,21 @@ def test_embedding_near_dup_blocking(spark, embeds, ddb):
         assert 0.3 <= r["cosine"] <= 1.0
 
 
+def test_embedding_dedup_clusters(spark, embeds, ddb):
+    """Semantic dedup: CC over the cosine near-dup edges; every planted
+    twin lands in its seed's cluster with the seed surviving."""
+    from paperoni_spark.operators.similarity import embedding_dedup_clusters
+
+    planted = contract.planted_embeddings(embeds)
+    result = embedding_dedup_clusters(planted)
+    assert_matches_oracle(result, ddb, contract.oracle_embedding_dedup_clusters())
+    got = {r["vec_id"]: (r["cluster"], r["is_survivor"]) for r in result.collect()}
+    for seed in range(contract.N_PLANTED_TWINS):
+        twin = seed + contract.TWIN_ID_OFFSET
+        assert got[twin][0] == got[seed][0] == seed
+        assert got[seed][1] and not got[twin][1]
+
+
 def test_bpe_token_stats(spark, docs, ddb):
     assert_matches_oracle(
         contract.textstats.bpe_token_stats(docs), ddb, contract.oracle_bpe_token_stats()
