@@ -29,6 +29,12 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--output", required=True)
     parser.add_argument("--funnel", default=None)
     parser.add_argument("--base-url", default="http://example.com/")
+    parser.add_argument(
+        "--near-dup",
+        action="store_true",
+        help="insert the SimHash near-dup cluster stage after exact dedup",
+    )
+    parser.add_argument("--max-hamming", type=int, default=None)
     args = parser.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -64,7 +70,11 @@ def main(argv: list[str] | None = None) -> None:
 
     # persist=True: both sinks share one extraction pass
     corpus, funnel = build_training_corpus(
-        documents, base_url=args.base_url, persist=True
+        documents,
+        base_url=args.base_url,
+        persist=True,
+        near_dup=args.near_dup,
+        max_hamming=args.max_hamming,
     )
     corpus.write.mode("overwrite").parquet(args.output)
     if args.funnel is not None:

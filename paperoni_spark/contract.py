@@ -136,6 +136,66 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_build(synth_documents_df(spark, 150))
 
 
+N_PLANTED_NEAR_DUPS = 3
+
+
+def planted_near_dup_documents(spark: SparkSession, n_docs: int = 150) -> DataFrame:
+    """The synthetic corpus plus ``N_PLANTED_NEAR_DUPS`` near-duplicate
+    variants: each variant re-renders a seed document's HTML with one
+    marker word injected into the last paragraph, so after extraction its
+    text differs (exact dedup keeps it: different fingerprint) yet its
+    64-bit SimHash sits within Hamming 1 of the seed (probed
+    deterministically; the generator is frozen).  Same gate-seeding
+    rationale as planted_embeddings — the near-dup funnel stage must
+    reject a known-nonzero set, not be trivially green on zero."""
+    from .spans.codec import html_to_spans
+    from .spans.synthetic import synth_html
+
+    variants = []
+    for seed in range(N_PLANTED_NEAR_DUPS):
+        html = synth_html(seed)
+        cut = html.rfind("</p>", 0, html.find("</article>"))
+        var_html = html[:cut] + " plantedmarker" + html[cut:]
+        variants.append(
+            {"doc_id": f"near-{seed:010d}", "spans": html_to_spans(var_html)}
+        )
+    # one exact twin (rejected:duplicate) and one 12-token stub
+    # (rejected:too_short) so EVERY funnel stage rejects a nonzero set
+    variants.append(
+        {"doc_id": "dupe-0000000000", "spans": html_to_spans(synth_html(0))}
+    )
+    tiny_html = (
+        '<!DOCTYPE html><html><head><title>Tiny | Synthetic Site</title></head>'
+        '<body><article id="main-content"><p>'
+        + " ".join(f"word{i} filler text here" for i in range(3))
+        + "</p></article></body></html>"
+    )
+    variants.append({"doc_id": "tiny-0000000000", "spans": html_to_spans(tiny_html)})
+    return synth_documents_df(spark, n_docs).union(
+        spark.createDataFrame(variants, schema=DOCUMENTS_SPANS_SCHEMA)
+    )
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production funnel accounting: extract → quality verdict →
+    exact dedup → SimHash near-dup cluster dedup, with every stage's
+    reject count reconciling to the written corpus rows (kept −
+    rejected:duplicate − rejected:near_duplicate == corpus).  Runs over
+    the frozen synthetic corpus + planted near-dup variants; oracle:
+    frozen golden VALUES — see q_corpus_build.  max_hamming=1 (not the
+    production default 3): the synthetic corpus draws from a ~60-word
+    lorem vocabulary, so at Hamming 3 the 64-bit fingerprint honestly
+    collapses half the homogeneous corpus — the tight threshold keeps the
+    stage's reject set meaningful (all planted variants + a handful of
+    organic collisions) for the accounting contract."""
+    from .pipeline.compose import build_training_corpus
+
+    _, funnel = build_training_corpus(
+        planted_near_dup_documents(spark), near_dup=True, persist=True, max_hamming=1
+    )
+    return funnel
+
+
 def q_extract_synthetic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full tiered pipeline over the synthetic heavy-tail corpus, one row
     per document (status + span/node counters).  Oracle: frozen golden
@@ -1397,6 +1457,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_img_urls": q_extract_img_urls,
         "extract_synthetic_stats": q_extract_synthetic_stats,
         "corpus_build": q_corpus_build,
+        "corpus_funnel": q_corpus_funnel,
         # dedup family
         "exact_dedup": lambda spark, sf: dedup.exact_dedup_stats(load(spark, sf, "documents")),
         "minhash_signatures": lambda spark, sf: dedup.minhash_signatures(load(spark, sf, "documents")),
@@ -1485,6 +1546,7 @@ def build_oracles() -> dict[str, str]:
         "extract_img_urls": golden_img_urls_values_sql(),
         "extract_synthetic_stats": synthetic_golden_values_sql("extract_synthetic_stats"),
         "corpus_build": synthetic_golden_values_sql("corpus_build"),
+        "corpus_funnel": synthetic_golden_values_sql("corpus_funnel"),
         "exact_dedup": oracle_exact_dedup(),
         "minhash_signatures": oracle_minhash_signatures(),
         "lsh_candidate_pairs": oracle_lsh_candidate_pairs(),

@@ -59,11 +59,14 @@ def build_training_corpus(
     documents: DataFrame,
     base_url: str = "http://example.com/",
     persist: bool = False,
+    near_dup: bool = False,
+    max_hamming: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The full training-data funnel as one lazy program:
 
     extract → flatten → language guess → quality verdict → exact dedup
-    (fingerprint survivors, min-doc_id canonical) → corpus rows.
+    (fingerprint survivors, min-doc_id canonical) → [optional SimHash
+    near-dup cluster dedup] → corpus rows.
 
     Returns ``(corpus, funnel)``: the surviving corpus rows and a per-stage
     reject accounting (what a corpus-build dashboard tracks per snapshot).
@@ -78,6 +81,15 @@ def build_training_corpus(
     scale the survivor window shuffles on the fingerprint key — exact
     duplicates co-locate, so skew equals the duplicate multiplicity
     (bounded by crawl frequency, salt if a fixture explodes it).
+
+    ``near_dup=True`` inserts the production near-duplicate stage between
+    exact dedup and the sink: 64-bit SimHash pairs (pigeonhole-exact
+    banding) → connected components → cluster survivors only, with a
+    ``rejected:near_duplicate`` funnel row so the accounting reconciles
+    exactly: kept − rejected:duplicate − rejected:near_duplicate ==
+    written corpus rows.  The exact-dedup survivor frame is materialized
+    first (the cut feeds the edge derivation, the survivor semi-join, and
+    the funnel) so the extraction kernel still runs once per action.
     """
     from ..operators.textstats import quality_reject_reason, quality_score_cols
 
@@ -151,4 +163,30 @@ def build_training_corpus(
         .groupBy("stage")
         .agg(F.count("*").alias("n_docs"))
     )
+
+    if near_dup:
+        from ..materialize import materialize
+        from ..operators.dedup import (
+            SIMHASH_HAMMING_MAX,
+            connected_components,
+            simhash_near_dup_pairs,
+        )
+
+        hamming = SIMHASH_HAMMING_MAX if max_hamming is None else max_hamming
+        corpus = materialize(corpus)
+        pairs = simhash_near_dup_pairs(corpus, max_hamming=hamming).select(
+            "doc_a", "doc_b"
+        )
+        clusters = connected_components(corpus.select("doc_id"), pairs)
+        corpus = corpus.join(
+            clusters.where(F.col("is_survivor")).select("doc_id"), "doc_id", "semi"
+        )
+        near_losers = clusters.where(~F.col("is_survivor")).agg(
+            F.count("*").alias("n_docs")
+        )
+        funnel = funnel.unionByName(
+            near_losers.select(
+                F.lit("rejected:near_duplicate").alias("stage"), "n_docs"
+            )
+        )
     return corpus, funnel

@@ -360,6 +360,36 @@ def test_build_training_corpus_funnel(spark):
     assert len(fps) == len(set(fps))
 
 
+def test_build_training_corpus_near_dup_stage(spark):
+    """The near-dup funnel stage (driver-gated via corpus_funnel): planted
+    SimHash near-variants are rejected after surviving exact dedup, and the
+    accounting reconciles exactly: kept − duplicate − near_duplicate ==
+    written rows."""
+    import paperoni_spark.contract as contract
+    from paperoni_spark.pipeline.compose import build_training_corpus
+
+    docs = contract.planted_near_dup_documents(spark, n_docs=30)
+    corpus, funnel = build_training_corpus(
+        docs, near_dup=True, persist=True, max_hamming=1
+    )
+    rows = corpus.collect()
+    ids = {r["doc_id"] for r in rows}
+    stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    # every planted near-variant loses to its seed (min-doc_id survivor)
+    for seed in range(contract.N_PLANTED_NEAR_DUPS):
+        assert f"near-{seed:010d}" not in ids
+        assert f"doc-{seed:010d}" in ids
+    assert "dupe-0000000000" not in ids  # exact twin: earlier stage
+    assert stages["rejected:duplicate"] >= 1
+    assert stages["rejected:near_duplicate"] >= contract.N_PLANTED_NEAR_DUPS
+    assert (
+        stages["kept"]
+        - stages["rejected:duplicate"]
+        - stages["rejected:near_duplicate"]
+        == len(rows)
+    )
+
+
 def test_malformed_span_inputs_never_crash(spark):
     """input_hint-schema edge cases (null spans, empty arrays, null text,
     media-only, null kind) must flow through as error rows, never task
