@@ -165,6 +165,10 @@ def main() -> None:
         "benchmark_contamination",
         "streaming_session_stats",
         "simhash_near_dup_pairs",
+        # round-4 operators (new keys; absent from earlier BENCH_r{N})
+        "dedup_delta_pairs",
+        "embedding_dedup_clusters",
+        "streaming_session_stats_evicting",
     ):
         t0 = time.time()
         qfns[name](spark_full, SF_DIR).count()
@@ -203,11 +207,17 @@ def main() -> None:
     thr_n, thr_4n = legs[SCALE_N], legs[SCALE_N * 4]
     efficiency = (thr_4n / thr_n) / 4
 
-    # scaling legs for the two slowest operator queries (both carry skew
-    # guards — the DF-cap anti-join and the CC label loop — whose overhead
-    # must be seen to scale, not just their full-box wall).  One alternating
-    # pair of sessions, best-of-2 per leg inside each session (warm workers).
-    QSCALE = ("ngram_jaccard", "dedup_clusters")
+    # scaling legs for the four slowest operator queries (skew guards —
+    # DF-cap anti-joins, the CC label loop — and the LSH/IVF checkpoint
+    # materializations, whose overhead must be seen to scale, not just
+    # their full-box wall).  One alternating pair of sessions, best-of-2
+    # per leg inside each session (warm workers).
+    QSCALE = (
+        "ngram_jaccard",
+        "dedup_clusters",
+        "lsh_candidate_doc_pairs",
+        "ann_ivf_topk",
+    )
     qlegs: dict[str, dict[int, float]] = {q: {} for q in QSCALE}
 
     def run_query_leg(cores: int) -> None:

@@ -367,6 +367,12 @@ def dedup_delta_pairs_against_index(
         .where(F.col("n_in_bucket") > cap)
         .select("band", "bucket")
     )
+    # hot feeds BOTH anti-joins (probe + target) with different downstream
+    # column sets, so nothing below it canonicalizes for ReusedExchange —
+    # without this cut each consumer re-scans the whole index for the
+    # bucket histogram (executed-plan audit: 6 index scans → 2).  The
+    # over-cap key set is tiny by construction.
+    hot = materialize(hot)
     probe = (
         delta_rows.join(hot, ["band", "bucket"], "left_anti")
         .select(F.col("doc_id").alias("probe_id"), "band", "bucket")

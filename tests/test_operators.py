@@ -204,6 +204,11 @@ def test_dedup_delta_never_reshingles(spark, docs, ddb, tmp_path):
     # the corpus side is the index scan (plan toString truncates long tmp
     # paths out of the Location field — inputFiles is exact)
     assert any("band_index" in f for f in got_df.inputFiles())
+    # plan shape: the index is scanned at most twice (bucket histogram +
+    # target side); without the materialized over-cap set each anti-join
+    # consumer re-derives the histogram — 6 scans (round-4 plan audit)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 2, plan[:2000]
 
     # the recurring loop's write-back: append the probed delta, then a
     # second wave finds its duplicate against a WAVE-1 doc via the index

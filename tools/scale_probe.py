@@ -1,0 +1,118 @@
+"""Bigger-corpus scaling probe for the two low-efficiency bench legs.
+
+Round 3's query_scaling read 0.378 (ngram_jaccard) and 0.523
+(dedup_clusters) at 1→4 cores on sf0.1 (5k docs) and diagnosed the gap as
+FIXED overhead (DF-cap partial-agg setup, the CC driver convergence loop)
+that does not grow with data volume.  This probe tests that claim: it
+builds a 5× corpus (25k docs, each copy's text interleaved with a
+copy-tag token so shingle spaces are disjoint across copies — per-copy
+pair structure and DF-cap blocking identical to the original) and
+re-measures the same 1→4-core legs.  If the diagnosis is right the
+efficiency rises toward 1 as the per-round fixed cost amortizes; if it is
+wrong the number stays put and names a real serialization.
+
+Usage::
+
+    python tools/scale_probe.py            # prints one JSON line
+    SPARK_GRAFT_SCALE_COPIES=10 python tools/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "5"))
+BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/paperoni_bench")
+QUERIES = ("ngram_jaccard", "dedup_clusters")
+
+
+def build(cores: int):
+    from paperoni_spark.pipeline import build_spark
+
+    return build_spark(
+        master=f"local[{cores}]",
+        app_name=f"paperoni-scale-probe-{cores}",
+        shuffle_partitions=cores,
+        extra_conf={
+            # pin split sizing so both legs see identical partitioning
+            "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.files.maxPartitionBytes": str(1 << 20),
+        },
+    )
+
+
+def ensure_big_corpus(spark) -> str:
+    """COPIES disjoint tagged copies of the sf documents table, written as
+    <dir>/documents.parquet so contract.load() treats it as an sf dir."""
+    sf_dir = os.path.join(BENCH_TMP, f"docs{COPIES}x_{os.path.basename(SF_DIR)}")
+    out = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return sf_dir
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    copies = [
+        docs.select(
+            (F.col("doc_id") + 10_000_000 * c).alias("doc_id"),
+            # interleave a per-copy tag between every token: every 3-gram
+            # shingle contains the tag, so copies share NO shingles (the
+            # pair space is COPIES independent replicas of the original)
+            F.regexp_replace(F.trim("text"), r"\s+", f" c{c}x ").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for c in range(COPIES)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.union(c)
+    big.repartition(64).write.mode("overwrite").parquet(out)
+    return sf_dir
+
+
+def main() -> None:
+    from paperoni_spark.contract import build_queries
+
+    qfns = build_queries()
+    spark = build(8)
+    big_dir = ensure_big_corpus(spark)
+    n_docs = spark.read.parquet(os.path.join(big_dir, "documents.parquet")).count()
+    spark.stop()
+
+    legs: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+
+    def run_leg(cores: int) -> None:
+        spark = build(cores)
+        for name in QUERIES:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                qfns[name](spark, big_dir).count()
+                best = min(best, time.time() - t0)
+            legs[name][cores] = min(best, legs[name].get(cores, float("inf")))
+        spark.stop()
+
+    # alternate to dodge noisy-neighbor windows; best per leg
+    for cores in (4, 1, 4):
+        run_leg(cores)
+
+    result = {"n_docs": n_docs, "copies": COPIES, "sf_dir": SF_DIR, "queries": {}}
+    for name in QUERIES:
+        t1, t4 = legs[name][1], legs[name][4]
+        result["queries"][name] = {
+            "sec_1": round(t1, 3),
+            "sec_4": round(t4, 3),
+            "efficiency": round((t1 / t4) / 4, 3),
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
