@@ -164,6 +164,10 @@ def main() -> None:
         "winnow_overlap_pairs",
         "benchmark_contamination",
         "streaming_session_stats",
+        # DISCONTINUITY at round 4: simhash_near_dup_pairs (and the
+        # simhash side of dedup comparisons) measures 64-bit fingerprints
+        # from BENCH_r04 on (r3 and earlier: 32-bit) — do not read the
+        # r3→r4 delta for this key as a same-query regression/improvement
         "simhash_near_dup_pairs",
         # round-4 operators (new keys; absent from earlier BENCH_r{N})
         "dedup_delta_pairs",

@@ -34,8 +34,15 @@ def main(argv: list[str] | None = None) -> None:
         action="store_true",
         help="insert the SimHash near-dup cluster stage after exact dedup",
     )
-    parser.add_argument("--max-hamming", type=int, default=None)
+    parser.add_argument(
+        "--max-hamming",
+        type=int,
+        default=None,
+        help="near-dup Hamming threshold; implies --near-dup",
+    )
     args = parser.parse_args(argv)
+    if args.max_hamming is not None:
+        args.near_dup = True  # a threshold without the stage is a silent no-op
 
     from pyspark.sql import SparkSession
 

@@ -718,9 +718,11 @@ _DELTA_PREFIX_CHARS = ("0", "1", "2")
 
 
 def _delta_flag_col():
-    return F.substring(
-        F.md5(F.concat(F.lit(_DELTA_SALT), F.col("doc_id").cast("string"))), 1, 1
-    ).isin(*_DELTA_PREFIX_CHARS)
+    # sampling.sample_key is the single source of truth for the
+    # md5(salt || doc_id) membership-key idiom the oracles mirror verbatim
+    return F.substring(sampling.sample_key(_DELTA_SALT), 1, 1).isin(
+        *_DELTA_PREFIX_CHARS
+    )
 
 
 def q_dedup_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,12 +732,19 @@ def q_dedup_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.dedup_delta_pairs_against_index; the never-reshingled property
     is pinned by tests/test_operators.py::test_dedup_delta_never_reshingles,
     which deletes the corpus source after the index write)."""
+    import atexit
+    import shutil
     import tempfile
 
     docs = load(spark, sf_dir, "documents")
     corpus = docs.where(~_delta_flag_col())
     delta = docs.where(_delta_flag_col())
-    index_path = tempfile.mkdtemp(prefix="band_index_") + "/index"
+    # the returned DF reads the index lazily, so the tmp dir must outlive
+    # this call — reaped at interpreter exit (same pattern as
+    # q_streaming_extract_spans), not leaked across gate/bench iterations
+    base = tempfile.mkdtemp(prefix="band_index_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    index_path = os.path.join(base, "index")
     dedup.write_minhash_band_index(corpus, index_path)
     return dedup.dedup_delta_pairs_against_index(spark, delta, index_path)
 
@@ -763,6 +772,58 @@ FROM capped a JOIN capped b USING (band, bucket)
 WHERE a.is_delta AND a.doc_id != b.doc_id
   AND (NOT b.is_delta OR a.doc_id < b.doc_id)
 GROUP BY 1, 2
+"""
+
+
+def q_simhash_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fingerprint sweep: persist the corpus partition's
+    SimHash index (16 B/doc), then probe it with only the delta hashed —
+    the recurring-crawl twin of dedup_delta_pairs on the simhash side."""
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(~_delta_flag_col())
+    delta = docs.where(_delta_flag_col())
+    base = tempfile.mkdtemp(prefix="simhash_index_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    index_path = os.path.join(base, "index")
+    dedup.write_simhash_index(corpus, index_path)
+    return dedup.simhash_delta_pairs_against_index(spark, delta, index_path)
+
+
+def oracle_simhash_delta_pairs() -> str:
+    """Full-recompute twin restricted to delta-touching pairs (see
+    oracle_dedup_delta_pairs for the split/cap semantics)."""
+    bits = dedup.SIMHASH_PAIR_BITS
+    bands = dedup.SIMHASH_BANDS
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * band_bits}) & {mask} AS bkey FROM sh"
+        for b in range(bands)
+    )
+    delta_pred = (
+        f"substr(md5('{_DELTA_SALT}' || doc_id::VARCHAR), 1, 1) IN "
+        f"({', '.join(repr(c) for c in _DELTA_PREFIX_CHARS)})"
+    )
+    return f"""
+WITH {_simhash_cte(bits)},
+rows_b AS ({band_rows}),
+flagged AS (SELECT r.*, {delta_pred} AS is_delta FROM rows_b r),
+capped AS (
+  SELECT f.* FROM flagged f
+  JOIN (SELECT band, bkey FROM flagged GROUP BY 1, 2
+        HAVING count(*) <= {dedup.SIMHASH_BAND_CAP}) ok USING (band, bkey)
+)
+SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       greatest(a.doc_id, b.doc_id) AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM capped a JOIN capped b USING (band, bkey)
+WHERE a.is_delta AND a.doc_id != b.doc_id
+  AND (NOT b.is_delta OR a.doc_id < b.doc_id)
+  AND bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_HAMMING_MAX}
 """
 
 
@@ -1217,35 +1278,18 @@ def planted_embeddings(embeddings: DataFrame) -> DataFrame:
     return base.union(twins)
 
 
-def oracle_embedding_near_dup() -> str:
-    return f"""
-WITH planted AS (
-  SELECT vec_id, embedding FROM embeddings
-  UNION ALL
-  SELECT vec_id + {TWIN_ID_OFFSET}, embedding FROM embeddings WHERE vec_id < {N_PLANTED_TWINS}
-),
-base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM planted),
-{_bands_cte()},
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM capped a JOIN capped b USING (band, bkey)
-  WHERE a.vec_id < b.vec_id
-)
-SELECT vec_a, vec_b,
-       round(list_dot_product(ea.emb, eb.emb) /
-             (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))), 3) AS cosine
-FROM cand JOIN base ea ON ea.vec_id = vec_a JOIN base eb ON eb.vec_id = vec_b
-WHERE round(list_dot_product(ea.emb, eb.emb) /
-            (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))), 3) >= 0.95
-"""
-
-
-def oracle_embedding_dedup_clusters() -> str:
-    """Recursive-CTE twin of similarity.embedding_dedup_clusters: the
-    cosine near-dup edges (shared with oracle_embedding_near_dup), true
-    connected-component fixpoint, min-vec_id cluster labels."""
-    return f"""
-WITH RECURSIVE planted AS (
+def _embedding_edges_cte() -> str:
+    """CTE chain ending in ``jp(vec_a, vec_b, cosine)``: the planted
+    corpus, sign-LSH banding, capped candidate pairs, exact-cosine gate —
+    the near-dup edge derivation SHARED by the pair and cluster oracles
+    (one source of truth for the threshold/rounding, mirroring
+    similarity.EMBED_NEAR_DUP_THRESHOLD)."""
+    cos = (
+        "round(list_dot_product(ea.emb, eb.emb) / "
+        "(sqrt(list_dot_product(ea.emb, ea.emb)) * "
+        "sqrt(list_dot_product(eb.emb, eb.emb))), 3)"
+    )
+    return f"""planted AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + {TWIN_ID_OFFSET}, embedding FROM embeddings WHERE vec_id < {N_PLANTED_TWINS}
@@ -1258,11 +1302,22 @@ cand AS (
   WHERE a.vec_id < b.vec_id
 ),
 jp AS (
-  SELECT vec_a, vec_b
+  SELECT vec_a, vec_b, {cos} AS cosine
   FROM cand JOIN base ea ON ea.vec_id = vec_a JOIN base eb ON eb.vec_id = vec_b
-  WHERE round(list_dot_product(ea.emb, eb.emb) /
-              (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))), 3) >= 0.95
-),
+  WHERE {cos} >= {similarity.EMBED_NEAR_DUP_THRESHOLD}
+)"""
+
+
+def oracle_embedding_near_dup() -> str:
+    return f"WITH {_embedding_edges_cte()} SELECT vec_a, vec_b, cosine FROM jp"
+
+
+def oracle_embedding_dedup_clusters() -> str:
+    """Recursive-CTE twin of similarity.embedding_dedup_clusters: the
+    cosine near-dup edges (shared with oracle_embedding_near_dup), true
+    connected-component fixpoint, min-vec_id cluster labels."""
+    return f"""
+WITH RECURSIVE {_embedding_edges_cte()},
 edges AS (SELECT vec_a AS a, vec_b AS b FROM jp
           UNION ALL SELECT vec_b, vec_a FROM jp),
 walk AS (
@@ -1470,6 +1525,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_pairs": lambda spark, sf: dedup.winnow_overlap_pairs(load(spark, sf, "documents")),
         "benchmark_contamination": q_benchmark_contamination,
         "dedup_delta_pairs": q_dedup_delta_pairs,
+        "simhash_delta_pairs": q_simhash_delta_pairs,
         "dedup_clusters": lambda spark, sf: dedup.dedup_clusters(load(spark, sf, "documents")),
         "simhash_dedup_clusters": lambda spark, sf: dedup.simhash_dedup_clusters(load(spark, sf, "documents")),
         # deterministic corpus sampling (training-mix construction)
@@ -1558,6 +1614,7 @@ def build_oracles() -> dict[str, str]:
         "winnow_overlap_pairs": oracle_winnow_overlap_pairs(),
         "benchmark_contamination": oracle_benchmark_contamination(),
         "dedup_delta_pairs": oracle_dedup_delta_pairs(),
+        "simhash_delta_pairs": oracle_simhash_delta_pairs(),
         "dedup_clusters": oracle_dedup_clusters(),
         "simhash_dedup_clusters": oracle_simhash_dedup_clusters(),
         "hash_sample": oracle_hash_sample(),

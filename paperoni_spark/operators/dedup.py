@@ -204,12 +204,18 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
 
 def _minhash_band_rows(
-    documents: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+    documents: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    materialized: bool = True,
 ) -> DataFrame:
     """(doc_id, band, bucket): one row per (document, band), where bucket is
     the md5 of that band's signature slice — the LSH banding key.  Derived
     map-side from the signature table; each doc contributes exactly
-    ``bands`` rows of a few bytes each."""
+    ``bands`` rows of a few bytes each.  ``materialized=False`` skips the
+    multi-consumer cut for single-consumer callers (the index writers):
+    they stream band rows straight to their sink instead of staging a full
+    extra copy in executor storage first."""
     rows_per_band = k // bands
     sig = minhash_signatures(documents, k)
     # one EXPLODE of per-band structs, not a 4-way union: the union form
@@ -240,7 +246,7 @@ def _minhash_band_rows(
     # band rows are tiny (ids + 2 hashes, no text) and feed up to four
     # consumers (histogram, anti-join, both self-join sides): materialize
     # once so the shingle+minhash pipeline never re-derives per consumer
-    return materialize(rows)
+    return materialize(rows) if materialized else rows
 
 
 def lsh_candidate_pairs(
@@ -312,9 +318,9 @@ def write_minhash_band_index(
     partitioned-sink pattern as similarity.write_ivf_index; Iceberg
     equivalent: ``writeTo(tbl).partitionedBy(col("band")).createOrReplace()``
     / ``.append()``)."""
-    _minhash_band_rows(documents, k, bands).write.partitionBy("band").mode(
-        "overwrite"
-    ).parquet(path)
+    _minhash_band_rows(documents, k, bands, materialized=False).write.partitionBy(
+        "band"
+    ).mode("overwrite").parquet(path)
 
 
 def append_to_minhash_band_index(
@@ -323,9 +329,9 @@ def append_to_minhash_band_index(
     """Add a delta's band rows to an existing index (post-probe step of the
     recurring-crawl loop).  Caller contract: the delta's doc_ids must not
     already be present (the pipeline's anti-join resume guarantees this)."""
-    _minhash_band_rows(documents, k, bands).write.partitionBy("band").mode(
-        "append"
-    ).parquet(path)
+    _minhash_band_rows(documents, k, bands, materialized=False).write.partitionBy(
+        "band"
+    ).mode("append").parquet(path)
 
 
 def dedup_delta_pairs_against_index(
@@ -434,6 +440,48 @@ SIMHASH_BANDS = 4  # > SIMHASH_HAMMING_MAX → blocking is LOSSLESS (pigeonhole)
 SIMHASH_BAND_CAP = 64
 
 
+def _simhash_pair_guard(bits: int, bands: int, max_hamming: int) -> None:
+    if bits > 64 or bits % bands != 0:
+        raise ValueError(
+            f"simhash pair search needs bits % bands == 0 and bits <= 64 "
+            f"(two's-complement signed-long packing), got bits={bits} bands={bands}"
+        )
+    if max_hamming >= bands:
+        # pigeonhole only guarantees a shared band when hamming < bands —
+        # with max_hamming >= bands the band join silently turns LOSSY,
+        # contradicting the exactness contract
+        raise ValueError(
+            f"banded blocking is exact only for max_hamming < bands, got "
+            f"max_hamming={max_hamming} bands={bands} (raise bands or accept "
+            f"approximate recall via a different blocking scheme)"
+        )
+
+
+def _simhash_band_rows_from(sh: DataFrame, bits: int, bands: int) -> DataFrame:
+    """(doc_id, simhash, band, bkey) from a fingerprint frame — a pure
+    map-side explode of (band, masked-shift) structs.  Arithmetic shift +
+    mask extracts every band correctly even for negative (bit-63-set)
+    hashes because shift + band width never exceeds 64 bits."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    band_struct = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bkey"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    return sh.select("doc_id", "simhash", band_struct.alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+
+
 def simhash_near_dup_pairs(
     documents: DataFrame,
     bits: int = SIMHASH_PAIR_BITS,
@@ -453,39 +501,8 @@ def simhash_near_dup_pairs(
     caveat as exact_dedup already covering identical text; the DuckDB
     oracle mirrors banding + cap.  The verify step is one xor+bit_count
     per candidate; only (doc_id, band-key) pairs shuffle."""
-    if bits > 64 or bits % bands != 0:
-        raise ValueError(
-            f"simhash pair search needs bits % bands == 0 and bits <= 64 "
-            f"(two's-complement signed-long packing), got bits={bits} bands={bands}"
-        )
-    if max_hamming >= bands:
-        # pigeonhole only guarantees a shared band when hamming < bands —
-        # with max_hamming >= bands the band join silently turns LOSSY,
-        # contradicting the exactness contract below
-        raise ValueError(
-            f"banded blocking is exact only for max_hamming < bands, got "
-            f"max_hamming={max_hamming} bands={bands} (raise bands or accept "
-            f"approximate recall via a different blocking scheme)"
-        )
-    band_bits = bits // bands
-    mask = (1 << band_bits) - 1
-    sh = simhash(documents, bits)
-    band_struct = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright(F.col("simhash"), b * band_bits)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("bkey"),
-                )
-                for b in range(bands)
-            ]
-        )
-    )
-    rows = sh.select("doc_id", "simhash", band_struct.alias("bb")).select(
-        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
-    )
+    _simhash_pair_guard(bits, bands, max_hamming)
+    rows = _simhash_band_rows_from(simhash(documents, bits), bits, bands)
     rows = materialize(rows)  # 4 consumers, tiny rows
     # the hot-band guard is similarity.capped_bands — ONE implementation of
     # the load-bearing unhinted anti-join (extra columns pass through)
@@ -505,6 +522,85 @@ def simhash_near_dup_pairs(
             "doc_a",
             "doc_b",
             F.bit_count(F.expr("sh_a ^ sh_b")).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def write_simhash_index(
+    documents: DataFrame, path: str, bits: int = SIMHASH_PAIR_BITS
+) -> None:
+    """Persist the SimHash fingerprint index — ONE row per document,
+    (doc_id, 8-byte hash) — the smallest possible dedup index (~16 B/doc;
+    10^12 docs ≈ 16 TB, trivially smaller than re-tokenizing the corpus).
+    Band rows derive MAP-SIDE at probe time from the single fingerprint,
+    so unlike the MinHash band index nothing per-band is stored.
+    ``mode="append"`` via :func:`append_to_simhash_index` closes the
+    recurring-crawl loop."""
+    simhash(documents, bits).write.mode("overwrite").parquet(path)
+
+
+def append_to_simhash_index(
+    documents: DataFrame, path: str, bits: int = SIMHASH_PAIR_BITS
+) -> None:
+    """Add a probed delta's fingerprints to the index.  Caller contract:
+    delta doc_ids are disjoint from the index (anti-join resume)."""
+    simhash(documents, bits).write.mode("append").parquet(path)
+
+
+def simhash_delta_pairs_against_index(
+    spark,
+    delta_docs: DataFrame,
+    index_path: str,
+    bits: int = SIMHASH_PAIR_BITS,
+    max_hamming: int = SIMHASH_HAMMING_MAX,
+    bands: int = SIMHASH_BANDS,
+    cap: int = SIMHASH_BAND_CAP,
+) -> DataFrame:
+    """Incremental SimHash near-dup sweep: (doc_a, doc_b, hamming) pairs
+    within ``max_hamming`` bits TOUCHING THE DELTA — only the delta is
+    tokenized and hashed; the corpus side is the persisted fingerprint
+    index (:func:`write_simhash_index`).  Same pigeonhole-exact banding,
+    over-cap guard counted over index ∪ delta (full-recompute semantics),
+    and disjoint-ids caller contract as the MinHash twin
+    (:func:`dedup_delta_pairs_against_index`)."""
+    _simhash_pair_guard(bits, bands, max_hamming)
+    delta_rows = materialize(
+        _simhash_band_rows_from(simhash(delta_docs, bits), bits, bands)
+    )
+    index_rows = _simhash_band_rows_from(
+        spark.read.parquet(index_path), bits, bands
+    )
+    all_rows = index_rows.withColumn("from_delta", F.lit(False)).unionByName(
+        delta_rows.withColumn("from_delta", F.lit(True))
+    )
+    hot = (
+        all_rows.groupBy("band", "bkey")
+        .agg(F.count("*").alias("n_in_bucket"))
+        .where(F.col("n_in_bucket") > cap)
+        .select("band", "bkey")
+    )
+    hot = materialize(hot)  # feeds both anti-joins (see MinHash twin)
+    probe = delta_rows.join(hot, ["band", "bkey"], "left_anti").select(
+        F.col("doc_id").alias("probe_id"), F.col("simhash").alias("sh_p"), "band", "bkey"
+    )
+    target = all_rows.join(hot, ["band", "bkey"], "left_anti").select(
+        F.col("doc_id").alias("target_id"),
+        F.col("simhash").alias("sh_t"),
+        "band",
+        "bkey",
+        "from_delta",
+    )
+    return (
+        probe.join(target, ["band", "bkey"])
+        .where(F.col("probe_id") != F.col("target_id"))
+        # delta-delta pairs appear in both orientations: keep one
+        .where(~F.col("from_delta") | (F.col("probe_id") < F.col("target_id")))
+        .select(
+            F.least("probe_id", "target_id").alias("doc_a"),
+            F.greatest("probe_id", "target_id").alias("doc_b"),
+            F.bit_count(F.expr("sh_p ^ sh_t")).cast("int").alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)

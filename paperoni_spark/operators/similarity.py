@@ -40,6 +40,7 @@ N_BANDS = 4
 PLANES_PER_BAND = 8
 N_PLANES = N_BANDS * PLANES_PER_BAND
 MAX_BUCKET = 64
+EMBED_NEAR_DUP_THRESHOLD = 0.95  # cosine gate shared with the DuckDB oracles
 
 
 def _dot(a, b):
@@ -213,7 +214,7 @@ def lsh_sign_buckets(embeddings: DataFrame, n_bands: int = N_BANDS) -> DataFrame
 
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
-    threshold: float = 0.95,
+    threshold: float = EMBED_NEAR_DUP_THRESHOLD,
     cap: int = MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection, banded sign-LSH blocked:
@@ -254,7 +255,7 @@ def embedding_near_dup_pairs(
 
 def embedding_dedup_clusters(
     embeddings: DataFrame,
-    threshold: float = 0.95,
+    threshold: float = EMBED_NEAR_DUP_THRESHOLD,
     cap: int = MAX_BUCKET,
 ) -> DataFrame:
     """Duplicate-cluster resolution over the embedding-cosine near-dup

@@ -62,6 +62,12 @@ def test_materialize_modes_row_identical(spark, small_docs, tmp_path):
                 _pairs(dedup.lsh_candidate_doc_pairs(small_docs))
                 == baseline_pairs
             )
+            # through the eager per-round CC cut too: every iteration's
+            # labels round-trip parquet (schema/nullability/eager flag)
+            assert (
+                sorted(map(tuple, dedup.dedup_clusters(small_docs).collect()))
+                == baseline_clusters
+            )
         # the frame really was persisted as a readable table
         assert os.path.isdir(mat_dir) and os.listdir(mat_dir)
     finally:

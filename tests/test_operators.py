@@ -222,6 +222,49 @@ def test_dedup_delta_never_reshingles(spark, docs, ddb, tmp_path):
     assert hits.get((seed["doc_id"], 10_000_001)) == dedup.LSH_BANDS
 
 
+def test_simhash_delta_never_rehashes(spark, docs, ddb, tmp_path):
+    """SimHash incremental twin: oracle parity, equality with the full
+    recompute restricted to delta-touching pairs, and corpus-side
+    independence proven by deleting the corpus source after the 16 B/doc
+    fingerprint index is written."""
+    import shutil
+
+    assert_matches_oracle(
+        contract.q_simhash_delta_pairs(spark, SF_DIR),
+        ddb,
+        contract.oracle_simhash_delta_pairs(),
+    )
+
+    delta = docs.where(contract._delta_flag_col())
+    corpus = docs.where(~contract._delta_flag_col())
+    delta_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_near_dup_pairs(docs).collect()
+        if r["doc_a"] in delta_ids or r["doc_b"] in delta_ids
+    }
+    corpus_path = str(tmp_path / "corpus_src")
+    corpus.write.parquet(corpus_path)
+    index_path = str(tmp_path / "sh_index")
+    dedup.write_simhash_index(spark.read.parquet(corpus_path), index_path)
+    shutil.rmtree(corpus_path)  # corpus text gone — re-hashing impossible
+    got_df = dedup.simhash_delta_pairs_against_index(spark, delta, index_path)
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in got_df.collect()}
+    assert got == want and len(want) > 0
+    assert any("sh_index" in f for f in got_df.inputFiles())
+
+    # append the wave, then an exact copy of a delta doc (hamming 0)
+    # surfaces against the WAVE-1 fingerprint via the index
+    dedup.append_to_simhash_index(delta, index_path)
+    seed = delta.orderBy("doc_id").limit(1).collect()[0]
+    wave2 = spark.createDataFrame(
+        [(10_000_001, seed["text"])], "doc_id: long, text: string"
+    )
+    pairs2 = dedup.simhash_delta_pairs_against_index(spark, wave2, index_path).collect()
+    hits = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs2}
+    assert hits.get((seed["doc_id"], 10_000_001)) == 0
+
+
 def test_lsh_candidate_doc_pairs_degenerate_bucket_capped(spark):
     """An identical-signature cluster larger than the cap must yield ZERO
     pairs — the guard against the one-bucket O(B²) blowup — while a small

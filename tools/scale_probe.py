@@ -4,10 +4,10 @@ Round 3's query_scaling read 0.378 (ngram_jaccard) and 0.523
 (dedup_clusters) at 1→4 cores on sf0.1 (5k docs) and diagnosed the gap as
 FIXED overhead (DF-cap partial-agg setup, the CC driver convergence loop)
 that does not grow with data volume.  This probe tests that claim: it
-builds a 5× corpus (25k docs, each copy's text interleaved with a
-copy-tag token so shingle spaces are disjoint across copies — per-copy
-pair structure and DF-cap blocking identical to the original) and
-re-measures the same 1→4-core legs.  If the diagnosis is right the
+builds a 5× corpus (25k docs, every token SUFFIXED with a per-copy tag —
+a bijection on the shingle space, so each copy's pair structure and
+DF-cap blocking are exactly isomorphic to the original while copies
+share no shingles) and re-measures the same 1→4-core legs.  If the diagnosis is right the
 efficiency rises toward 1 as the per-round fixed cost amortizes; if it is
 wrong the number stays put and names a real serialization.
 
@@ -60,10 +60,11 @@ def ensure_big_corpus(spark) -> str:
     copies = [
         docs.select(
             (F.col("doc_id") + 10_000_000 * c).alias("doc_id"),
-            # interleave a per-copy tag between every token: every 3-gram
-            # shingle contains the tag, so copies share NO shingles (the
-            # pair space is COPIES independent replicas of the original)
-            F.regexp_replace(F.trim("text"), r"\s+", f" c{c}x ").alias("text"),
+            # suffix EVERY token with the copy tag: "w1 w2 w3" → "w1cN
+            # w2cN w3cN" is a bijection on tokens and hence on 3-gram
+            # shingles — per-copy shingle DF and pair structure are
+            # exactly the original's, and copies share no shingles
+            F.regexp_replace(F.trim("text"), r"(\S+)", f"$1c{c}").alias("text"),
             "lang",
             "source",
             "n_chars",
@@ -99,8 +100,10 @@ def main() -> None:
             legs[name][cores] = min(best, legs[name].get(cores, float("inf")))
         spark.stop()
 
-    # alternate to dodge noisy-neighbor windows; best per leg
-    for cores in (4, 1, 4):
+    # alternate to dodge noisy-neighbor windows, SYMMETRICALLY (two
+    # sessions per leg — a single noisy 1-core session would inflate t1
+    # and bias the efficiency upward); best per leg
+    for cores in (4, 1, 4, 1):
         run_leg(cores)
 
     result = {"n_docs": n_docs, "copies": COPIES, "sf_dir": SF_DIR, "queries": {}}
