@@ -171,6 +171,8 @@ def main() -> None:
         "simhash_near_dup_pairs",
         # round-4 operators (new keys; absent from earlier BENCH_r{N})
         "dedup_delta_pairs",
+        "simhash_delta_pairs",
+        "embedding_delta_near_dup",
         "embedding_dedup_clusters",
         "streaming_session_stats_evicting",
     ):

@@ -715,6 +715,7 @@ FROM walk GROUP BY doc
 # md5-prefix idiom as sampling.sample_key so both engines agree.
 _DELTA_SALT = "delta:"
 _DELTA_PREFIX_CHARS = ("0", "1", "2")
+_EMB_DELTA_PREFIX_CHARS = tuple("01234567")  # ~50%; see q_embedding_delta_near_dup
 
 
 def _delta_flag_col():
@@ -1312,6 +1313,68 @@ def oracle_embedding_near_dup() -> str:
     return f"WITH {_embedding_edges_cte()} SELECT vec_a, vec_b, cosine FROM jp"
 
 
+def q_embedding_delta_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup: persist the corpus partition's sign-LSH
+    index (vectors + precomputed codes), then probe with only the delta
+    coded — the embedding twin of dedup_delta_pairs/simhash_delta_pairs
+    completing the incremental trilogy (shingle / fingerprint / vector)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    embeds = planted_embeddings(load(spark, sf_dir, "embeddings"))
+    # wider split than the documents one (~50% vs ~19%): the embeddings
+    # fixture is 4× smaller and the planted pair set is only 10 — the
+    # wide split keeps a meaningfully-sized reject set in the gate
+    flag = F.substring(sampling.sample_key(_DELTA_SALT, "vec_id"), 1, 1).isin(
+        *_EMB_DELTA_PREFIX_CHARS
+    )
+    corpus = embeds.where(~flag)
+    delta = embeds.where(flag)
+    base = tempfile.mkdtemp(prefix="emb_lsh_index_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    index_path = os.path.join(base, "index")
+    similarity.write_embedding_lsh_index(corpus, index_path)
+    return similarity.embedding_delta_near_dup_against_index(
+        spark, delta, index_path
+    )
+
+
+def oracle_embedding_delta_near_dup() -> str:
+    """Full-recompute twin restricted to delta-touching pairs: same
+    banding/cap/cosine chain as the whole-corpus oracle, cap counted over
+    index ∪ delta (the whole planted corpus), probe side = delta."""
+    delta_pred = (
+        f"substr(md5('{_DELTA_SALT}' || vec_id::VARCHAR), 1, 1) IN "
+        f"({', '.join(repr(c) for c in _EMB_DELTA_PREFIX_CHARS)})"
+    )
+    cos = (
+        "round(list_dot_product(ea.emb, eb.emb) / "
+        "(sqrt(list_dot_product(ea.emb, ea.emb)) * "
+        "sqrt(list_dot_product(eb.emb, eb.emb))), 3)"
+    )
+    return f"""
+WITH planted AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {TWIN_ID_OFFSET}, embedding FROM embeddings WHERE vec_id < {N_PLANTED_TWINS}
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM planted),
+{_bands_cte()},
+flagged AS (SELECT c.*, {delta_pred} AS is_delta FROM capped c),
+cand AS (
+  SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+         greatest(a.vec_id, b.vec_id) AS vec_b
+  FROM flagged a JOIN flagged b USING (band, bkey)
+  WHERE a.is_delta AND a.vec_id != b.vec_id
+    AND (NOT b.is_delta OR a.vec_id < b.vec_id)
+)
+SELECT vec_a, vec_b, {cos} AS cosine
+FROM cand JOIN base ea ON ea.vec_id = vec_a JOIN base eb ON eb.vec_id = vec_b
+WHERE {cos} >= {similarity.EMBED_NEAR_DUP_THRESHOLD}
+"""
+
+
 def oracle_embedding_dedup_clusters() -> str:
     """Recursive-CTE twin of similarity.embedding_dedup_clusters: the
     cosine near-dup edges (shared with oracle_embedding_near_dup), true
@@ -1566,6 +1629,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_clusters": lambda spark, sf: similarity.embedding_dedup_clusters(
             planted_embeddings(load(spark, sf, "embeddings"))
         ),
+        # incremental semantic dedup against the persisted sign-LSH index
+        "embedding_delta_near_dup": q_embedding_delta_near_dup,
         "bpe_token_stats": lambda spark, sf: textstats.bpe_token_stats(load(spark, sf, "documents")),
         "media_resize_sample": lambda spark, sf: multimodal.media_resize_and_sample(
             multimodal.media_table_from_documents(load(spark, sf, "documents"))
@@ -1637,6 +1702,7 @@ def build_oracles() -> dict[str, str]:
         "pdf_page_stats": oracle_pdf_page_stats(),
         "embedding_near_dup": oracle_embedding_near_dup(),
         "embedding_dedup_clusters": oracle_embedding_dedup_clusters(),
+        "embedding_delta_near_dup": oracle_embedding_delta_near_dup(),
         "bpe_token_stats": oracle_bpe_token_stats(),
         "media_resize_sample": oracle_media_resize_sample(),
         "docs_joined_labels": oracle_docs_joined_labels(),

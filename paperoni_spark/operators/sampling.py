@@ -32,11 +32,11 @@ def _cutoff_hex(fraction: float) -> str:
     return format(int(fraction * 16**8), "08x")
 
 
-def sample_key(salt: str = SAMPLE_SALT):
-    """The 8-hex-char membership key: md5(salt || doc_id).  Single source
+def sample_key(salt: str = SAMPLE_SALT, key_col: str = "doc_id"):
+    """The 8-hex-char membership key: md5(salt || key).  Single source
     of truth — the DuckDB oracles mirror this expression verbatim."""
     return F.substring(
-        F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
     )
 
 

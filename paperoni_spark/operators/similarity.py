@@ -162,6 +162,13 @@ def banded_buckets(base: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     negligible even for the single-consumer histogram caller."""
     coded = base.select("vec_id", lsh_code_col(F.col("emb")).alias("code"))
     coded = materialize(coded)
+    return _bands_from_coded(coded, n_bands)
+
+
+def _bands_from_coded(coded: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(vec_id, band, bkey) from a ``code``-string frame — pure map-side
+    explode of (band, substring) structs; shared by the in-query coding
+    path and the persisted-index probe path."""
     bands = F.explode(
         F.array(
             *[
@@ -273,6 +280,101 @@ def embedding_dedup_clusters(
     nodes = embeddings.select(F.col("vec_id").alias("doc_id"))
     return connected_components(nodes, pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster", "is_survivor"
+    )
+
+
+def write_embedding_lsh_index(embeddings: DataFrame, path: str) -> None:
+    """Persist the sign-LSH embedding index: (vec_id, emb, code) — the
+    vectors WITH their precomputed codes, so an incremental probe
+    (:func:`embedding_delta_near_dup_against_index`) never re-runs the
+    coding UDF over the corpus and reads exact vectors for the cosine
+    gate from the same scan.  The index is one coding pass over the
+    corpus, amortized across every future delta wave;
+    :func:`append_to_embedding_lsh_index` adds a probed wave's rows."""
+    base = embeddings.select("vec_id", _to_double(F.col("embedding")).alias("emb"))
+    base.select("vec_id", "emb", lsh_code_col(F.col("emb")).alias("code")).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def append_to_embedding_lsh_index(embeddings: DataFrame, path: str) -> None:
+    """Add a delta wave to the index.  Caller contract: vec_ids disjoint
+    from the index (anti-join resume)."""
+    base = embeddings.select("vec_id", _to_double(F.col("embedding")).alias("emb"))
+    base.select("vec_id", "emb", lsh_code_col(F.col("emb")).alias("code")).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def embedding_delta_near_dup_against_index(
+    spark,
+    delta_embeddings: DataFrame,
+    index_path: str,
+    threshold: float = EMBED_NEAR_DUP_THRESHOLD,
+    cap: int = MAX_BUCKET,
+) -> DataFrame:
+    """Incremental semantic near-dup sweep: cosine pairs ≥ ``threshold``
+    TOUCHING THE DELTA — only the delta runs the coding UDF; the corpus
+    side's codes AND vectors come from the persisted index
+    (:func:`write_embedding_lsh_index`).  Banding, the over-cap guard
+    (counted over index ∪ delta — full-recompute semantics), the
+    exact-cosine gate, and the disjoint-ids caller contract all mirror
+    the whole-corpus operator (:func:`embedding_near_dup_pairs`) and the
+    MinHash/SimHash incremental twins."""
+    delta_base = delta_embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    # materialize only (vec_id, code) — never the vectors (the cosine
+    # gate re-joins emb from the inputs; the recompute being cut is the
+    # coding UDF, the one expensive map stage)
+    delta_coded = materialize(
+        delta_base.select("vec_id", lsh_code_col(F.col("emb")).alias("code"))
+    )
+    index_coded = spark.read.parquet(index_path)
+    delta_bands = _bands_from_coded(delta_coded)
+    index_bands = _bands_from_coded(index_coded.select("vec_id", "code"))
+    all_bands = index_bands.withColumn("from_delta", F.lit(False)).unionByName(
+        delta_bands.withColumn("from_delta", F.lit(True))
+    )
+    hot = (
+        all_bands.groupBy("band", "bkey")
+        .agg(F.count("*").alias("n_in_bucket"))
+        .where(F.col("n_in_bucket") > cap)
+        .select("band", "bkey")
+    )
+    hot = materialize(hot)  # feeds both anti-joins
+    probe = delta_bands.join(hot, ["band", "bkey"], "left_anti").select(
+        F.col("vec_id").alias("probe_id"), "band", "bkey"
+    )
+    target = all_bands.join(hot, ["band", "bkey"], "left_anti").select(
+        F.col("vec_id").alias("target_id"), "band", "bkey", "from_delta"
+    )
+    cand = (
+        probe.join(target, ["band", "bkey"])
+        .where(F.col("probe_id") != F.col("target_id"))
+        .where(~F.col("from_delta") | (F.col("probe_id") < F.col("target_id")))
+        .select(
+            F.least("probe_id", "target_id").alias("vec_a"),
+            F.greatest("probe_id", "target_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    emb_source = index_coded.select("vec_id", "emb").unionByName(delta_base)
+    ea = emb_source.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    eb = emb_source.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+                3,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
     )
 
 

@@ -514,6 +514,49 @@ def test_embedding_near_dup_blocking(spark, embeds, ddb):
         assert 0.3 <= r["cosine"] <= 1.0
 
 
+def test_embedding_delta_never_recodes(spark, embeds, ddb, tmp_path):
+    """Embedding incremental twin: oracle parity, equality with the full
+    recompute restricted to delta-touching pairs, and corpus-side
+    independence — the corpus source is deleted after the index (vectors
+    + precomputed codes) is written, so any re-coding would fail."""
+    import shutil
+
+    from paperoni_spark.operators import sampling
+    from paperoni_spark.operators.similarity import (
+        embedding_delta_near_dup_against_index,
+        embedding_near_dup_pairs,
+        write_embedding_lsh_index,
+    )
+
+    assert_matches_oracle(
+        contract.q_embedding_delta_near_dup(spark, SF_DIR),
+        ddb,
+        contract.oracle_embedding_delta_near_dup(),
+    )
+
+    planted = contract.planted_embeddings(embeds)
+    flag = F.substring(
+        sampling.sample_key(contract._DELTA_SALT, "vec_id"), 1, 1
+    ).isin(*contract._EMB_DELTA_PREFIX_CHARS)
+    delta = planted.where(flag)
+    corpus = planted.where(~flag)
+    delta_ids = {r["vec_id"] for r in delta.select("vec_id").collect()}
+    want = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in embedding_near_dup_pairs(planted).collect()
+        if r["vec_a"] in delta_ids or r["vec_b"] in delta_ids
+    }
+    corpus_path = str(tmp_path / "corpus_src")
+    corpus.write.parquet(corpus_path)
+    index_path = str(tmp_path / "emb_index")
+    write_embedding_lsh_index(spark.read.parquet(corpus_path), index_path)
+    shutil.rmtree(corpus_path)  # corpus vectors gone from the source
+    got_df = embedding_delta_near_dup_against_index(spark, delta, index_path)
+    got = {(r["vec_a"], r["vec_b"], r["cosine"]) for r in got_df.collect()}
+    assert got == want and len(want) > 0
+    assert any("emb_index" in f for f in got_df.inputFiles())
+
+
 def test_embedding_dedup_clusters(spark, embeds, ddb):
     """Semantic dedup: CC over the cosine near-dup edges; every planted
     twin lands in its seed's cluster with the seed surviving."""
