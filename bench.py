@@ -173,6 +173,7 @@ def main() -> None:
         "dedup_delta_pairs",
         "simhash_delta_pairs",
         "embedding_delta_near_dup",
+        "ann_lsh_topk_indexed",
         "embedding_dedup_clusters",
         "streaming_session_stats_evicting",
     ):

@@ -1174,6 +1174,24 @@ SELECT query_id, vec_id, score, rank::INT AS rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served from the persisted partition-pruned bucket index —
+    result-identical to ann_lsh_topk (same oracle), but the corpus-sized
+    rows table is read pruned to the probed buckets' directories
+    (tests/test_operators.py::test_ann_lsh_index_partition_pruned asserts
+    the pruned scan)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    embeds = load(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="lsh_bucket_index_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    index_path = os.path.join(base, "index")
+    similarity.write_lsh_bucket_index(embeds, index_path)
+    return similarity.ann_lsh_topk_indexed(spark, embeds, index_path)
+
+
 def oracle_ann_ivf_topk(
     n_centroids: int = 16,
     iters: int = 2,
@@ -1619,6 +1637,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": lambda spark, sf: similarity.cosine_topk(load(spark, sf, "embeddings")),
         "lsh_sign_buckets": lambda spark, sf: similarity.lsh_sign_buckets(load(spark, sf, "embeddings")),
         "ann_lsh_topk": lambda spark, sf: similarity.ann_lsh_topk(load(spark, sf, "embeddings")),
+        "ann_lsh_topk_indexed": q_ann_lsh_topk_indexed,
         # k-means made engine-portable (rounded distances/means, cid
         # tie-breaks) so the DuckDB twin replays the exact Lloyd iterations
         "ann_ivf_topk": lambda spark, sf: similarity.ann_ivf_topk(load(spark, sf, "embeddings")),
@@ -1697,6 +1716,7 @@ def build_oracles() -> dict[str, str]:
         "cosine_topk": oracle_cosine_topk(),
         "lsh_sign_buckets": oracle_lsh_sign_buckets(),
         "ann_lsh_topk": oracle_ann_lsh_topk(),
+        "ann_lsh_topk_indexed": oracle_ann_lsh_topk(),
         "ann_ivf_topk": oracle_ann_ivf_topk(),
         "media_feature_stats": oracle_media_feature_stats(),
         "pdf_page_stats": oracle_pdf_page_stats(),

@@ -542,6 +542,122 @@ def ann_ivf_topk(
     )
 
 
+def write_lsh_bucket_index(embeddings: DataFrame, path: str) -> None:
+    """Persist the banded sign-LSH bucket index for partition-pruned ANN:
+
+    * ``<path>/rows``   — (vec_id) PARTITIONED BY (band, bkey): a probe
+      touching q×bands×(R+1) buckets reads exactly those directories and
+      none of the other 2^R per band (same pruning story as
+      write_ivf_index; Iceberg: ``partitionedBy(col("band"), col("bkey"))``).
+      At production R (20-24 bits) partition by band + a bkey PREFIX and
+      let min/max file stats prune within — directory-per-bucket is the
+      fixture-scale rendering of the same layout.
+    * ``<path>/counts`` — (band, bkey, n_vecs): the bucket histogram,
+      written once so probes enforce the over-cap skew guard WITHOUT
+      scanning the corpus-sized rows table."""
+    base = embeddings.select("vec_id", _to_double(F.col("embedding")).alias("emb"))
+    rows = banded_buckets(base)
+    rows.write.partitionBy("band", "bkey").mode("overwrite").parquet(
+        f"{path}/rows"
+    )
+    rows.groupBy("band", "bkey").agg(F.count("*").alias("n_vecs")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/counts")
+
+
+def lsh_probe_scan(
+    spark, index_path: str, probe_keys: set, cap: int = MAX_BUCKET
+):
+    """Partition-pruned read of the probed under-cap buckets from a
+    :func:`write_lsh_bucket_index` layout.  ``probe_keys`` is a bounded
+    (band, bkey) control-plane set; the counts table (2^R × bands rows)
+    filters it to under-cap buckets WITHOUT touching the rows table, and
+    the surviving keys become a literal per-band predicate on the
+    partition columns — Catalyst prunes the directory listing before any
+    IO (PartitionFilters, not PushedFilters).  Returns None when no
+    probed bucket survives (empty probe)."""
+    counts = spark.read.parquet(f"{index_path}/counts")
+    by_band: dict[int, list[str]] = {}
+    for r in counts.collect():
+        if (r["band"], r["bkey"]) in probe_keys and r["n_vecs"] <= cap:
+            by_band.setdefault(r["band"], []).append(r["bkey"])
+    if not by_band:
+        return None
+    pred = None
+    for band, keys in sorted(by_band.items()):
+        term = (F.col("band") == band) & F.col("bkey").isin(keys)
+        pred = term if pred is None else pred | term
+    return spark.read.parquet(f"{index_path}/rows").where(pred)
+
+
+def ann_lsh_topk_indexed(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    n_queries: int = 10,
+    k: int = 5,
+    cap: int = MAX_BUCKET,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k served from the PERSISTED bucket index — result-identical
+    to :func:`ann_lsh_topk` when the index was built from ``embeddings``,
+    but the corpus-sized rows table is read PARTITION-PRUNED: the query
+    band keys (n_queries × bands × (R+1) after multi-probe — a bounded
+    control-plane set, same rationale as IVF centroids) are collected,
+    under-cap-filtered against the tiny counts table, and turned into a
+    literal per-band predicate on the partition columns, so only the
+    probed buckets' directories are listed and read.  Scoring then joins
+    the (small) candidate set back to the vectors table."""
+    from pyspark.sql.window import Window
+
+    base = embeddings.select("vec_id", _to_double(F.col("embedding")).alias("emb"))
+    qbands = banded_buckets(base.where(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"), "band", "bkey"
+    )
+    if multiprobe:
+        qbands = qbands.select(
+            "query_id", "band", F.explode(_probe_keys(F.col("bkey"))).alias("bkey")
+        )
+    qbands = qbands.distinct()
+    probe_keys = {(r["band"], r["bkey"]) for r in qbands.select("band", "bkey").collect()}
+    pruned = lsh_probe_scan(spark, index_path, probe_keys, cap)
+    if pruned is None:
+        return spark.createDataFrame(
+            [], "query_id: long, vec_id: long, score: double, rank: int"
+        )
+
+    cand = (
+        pruned.join(F.broadcast(qbands), ["band", "bkey"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        cand.join(base, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qemb"), F.col("emb"))
+                / (_norm(F.col("qemb")) * _norm(F.col("emb"))),
+                3,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 def _probe_keys(key_col, planes_per_band: int = PLANES_PER_BAND):
     """Multi-probe key set: the band key plus every Hamming-distance-1
     neighbor (each bit flipped once) — the standard multi-probe LSH trick

@@ -800,6 +800,47 @@ def test_ivf_probe_scan_partition_pruned(spark, embeds, tmp_path_factory):
     assert scan.count() == expected > 0
 
 
+def test_ann_lsh_index_partition_pruned(spark, embeds, ddb, tmp_path):
+    """The LSH-index ANN scale path: the rows table partitioned by
+    (band, bkey) is read pruned to the probed buckets only, results are
+    identical to the in-query ann_lsh_topk, and the over-cap guard comes
+    from the counts table, never a corpus scan."""
+    from paperoni_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_lsh_topk_indexed,
+        write_lsh_bucket_index,
+    )
+
+    path = str(tmp_path / "lsh_index")
+    write_lsh_bucket_index(embeds, path)
+    got_df = ann_lsh_topk_indexed(spark, embeds, path)
+    got = sorted(map(tuple, got_df.collect()))
+    want = sorted(map(tuple, ann_lsh_topk(embeds).collect()))
+    assert got == want and len(got) > 0
+    assert_matches_oracle(got_df, ddb, contract.oracle_ann_lsh_topk())
+    # the pruned scan really prunes: probe two known buckets and assert
+    # only their directories' files are read (input_file_name is single-
+    # source here) and the predicate lands in PartitionFilters
+    from paperoni_spark.operators.similarity import lsh_probe_scan
+
+    some = spark.read.parquet(f"{path}/counts").orderBy("band", "bkey").limit(2).collect()
+    probe = {(r["band"], r["bkey"]) for r in some}
+    scan = lsh_probe_scan(spark, path, probe, cap=10**9)
+    read_dirs = {
+        (int(r[0]), r[1])
+        for r in scan.select(
+            F.regexp_extract(F.input_file_name(), r"band=(\d+)", 1),
+            F.regexp_extract(F.input_file_name(), r"bkey=([01]+)", 1),
+        )
+        .distinct()
+        .collect()
+    }
+    assert read_dirs == probe
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "band" in pf and "bkey" in pf
+
+
 def test_repetition_stats(spark, docs, ddb):
     from paperoni_spark.operators.textstats import repetition_stats
 
