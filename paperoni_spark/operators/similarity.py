@@ -61,13 +61,36 @@ def _to_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _cosine_score(a, b):
+    """THE scoring expression: rounded cosine.  Round-to-3 plus the
+    downstream vec_id tie-break make ranking engine-portable; every ANN /
+    near-dup path and its DuckDB oracle mirror this exact form, so it
+    lives in one place."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 3)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k ranking block for the four ANN paths (cosine_topk,
+    ann_lsh_topk, ann_lsh_topk_indexed, ann_ivf_topk): per-query window
+    over (score desc, vec_id asc).  The shared oracles require all four
+    to stay in lockstep — single source of truth, not four copies."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:
     """Brute-force cosine top-k: for each query vector (vec_id < n_queries)
     the k nearest other vectors."""
-    from pyspark.sql.window import Window
-
     base = embeddings.select(
         "vec_id", _to_double(F.col("embedding")).alias("emb")
     )
@@ -80,21 +103,10 @@ def cosine_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(
-                _dot(F.col("qemb"), F.col("emb"))
-                / (_norm(F.col("qemb")) * _norm(F.col("emb"))),
-                3,
-            ).alias("score"),
+            _cosine_score(F.col("qemb"), F.col("emb")).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def hyperplane(plane: int, dim: int = EMBED_DIM) -> list[float]:
@@ -250,11 +262,7 @@ def embedding_near_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            F.round(
-                _dot(F.col("emb_a"), F.col("emb_b"))
-                / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
-                3,
-            ).alias("cosine"),
+            _cosine_score(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -368,11 +376,7 @@ def embedding_delta_near_dup_against_index(
         .select(
             "vec_a",
             "vec_b",
-            F.round(
-                _dot(F.col("emb_a"), F.col("emb_b"))
-                / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
-                3,
-            ).alias("cosine"),
+            _cosine_score(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -487,8 +491,6 @@ def ann_ivf_topk(
     cluster id — at scale the assigned table is written partitioned by
     centroid (:func:`write_ivf_index`) so probes become partition-pruned
     scans (:func:`ivf_probe_scan`)."""
-    from pyspark.sql.window import Window
-
     assigned, centroids = ivf_assignments(embeddings, n_centroids)
     queries = assigned.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
@@ -525,21 +527,10 @@ def ann_ivf_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(
-                _dot(F.col("qemb"), F.col("emb"))
-                / (_norm(F.col("qemb")) * _norm(F.col("emb"))),
-                3,
-            ).alias("score"),
+            _cosine_score(F.col("qemb"), F.col("emb")).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def write_lsh_bucket_index(embeddings: DataFrame, path: str) -> None:
@@ -551,7 +542,10 @@ def write_lsh_bucket_index(embeddings: DataFrame, path: str) -> None:
       write_ivf_index; Iceberg: ``partitionedBy(col("band"), col("bkey"))``).
       At production R (20-24 bits) partition by band + a bkey PREFIX and
       let min/max file stats prune within — directory-per-bucket is the
-      fixture-scale rendering of the same layout.
+      fixture-scale rendering of the same layout.  Read back ONLY via
+      :func:`lsh_probe_scan`, which supplies an explicit schema — without
+      it partition type inference parses the binary-string keys as
+      integers (silent key collapse past long range).
     * ``<path>/counts`` — (band, bkey, n_vecs): the bucket histogram,
       written once so probes enforce the over-cap skew guard WITHOUT
       scanning the corpus-sized rows table."""
@@ -565,29 +559,58 @@ def write_lsh_bucket_index(embeddings: DataFrame, path: str) -> None:
     ).parquet(f"{path}/counts")
 
 
+# Explicit read schema for the rows table: partition-column type inference
+# parses a bkey directory value like "00000101" as the INTEGER 101 — at
+# 8 bits the numeric coercion happens to stay injective, but at production
+# widths (R=20-24, or a bkey-prefix layout) string-vs-number comparison
+# coerces both sides to double and distinct keys collapse silently.
+_LSH_ROWS_SCHEMA = "vec_id BIGINT, band INT, bkey STRING"
+
+
+def _per_band_pred(by_band: dict):
+    """OR of per-band ``band = b AND bkey IN (...)`` literal terms."""
+    pred = None
+    for band, keys in sorted(by_band.items()):
+        term = (F.col("band") == band) & F.col("bkey").isin(keys)
+        pred = term if pred is None else pred | term
+    return pred
+
+
 def lsh_probe_scan(
     spark, index_path: str, probe_keys: set, cap: int = MAX_BUCKET
 ):
     """Partition-pruned read of the probed under-cap buckets from a
     :func:`write_lsh_bucket_index` layout.  ``probe_keys`` is a bounded
-    (band, bkey) control-plane set; the counts table (2^R × bands rows)
-    filters it to under-cap buckets WITHOUT touching the rows table, and
-    the surviving keys become a literal per-band predicate on the
-    partition columns — Catalyst prunes the directory listing before any
-    IO (PartitionFilters, not PushedFilters).  Returns None when no
-    probed bucket survives (empty probe)."""
+    (band, bkey) control-plane set; the counts table enforces the
+    over-cap skew guard WITHOUT touching the rows table — and the probe
+    predicate is pushed INTO the counts scan (the histogram is 2^R × bands
+    rows at production R: collecting it whole would be a driver-OOM cliff,
+    so only the handful of surviving probe rows ever reach the driver).
+    Surviving keys become a literal per-band predicate on the rows
+    table's partition columns — Catalyst prunes the directory listing
+    before any IO (PartitionFilters, not PushedFilters).  Returns None
+    when no probed bucket survives (empty probe)."""
+    probe_by_band: dict[int, list[str]] = {}
+    for band, bkey in probe_keys:
+        probe_by_band.setdefault(band, []).append(bkey)
+    if not probe_by_band:
+        return None
     counts = spark.read.parquet(f"{index_path}/counts")
+    survivors = (
+        counts.where(_per_band_pred(probe_by_band) & (F.col("n_vecs") <= cap))
+        .select("band", "bkey")
+        .collect()
+    )
     by_band: dict[int, list[str]] = {}
-    for r in counts.collect():
-        if (r["band"], r["bkey"]) in probe_keys and r["n_vecs"] <= cap:
-            by_band.setdefault(r["band"], []).append(r["bkey"])
+    for r in survivors:
+        by_band.setdefault(r["band"], []).append(r["bkey"])
     if not by_band:
         return None
-    pred = None
-    for band, keys in sorted(by_band.items()):
-        term = (F.col("band") == band) & F.col("bkey").isin(keys)
-        pred = term if pred is None else pred | term
-    return spark.read.parquet(f"{index_path}/rows").where(pred)
+    return (
+        spark.read.schema(_LSH_ROWS_SCHEMA)
+        .parquet(f"{index_path}/rows")
+        .where(_per_band_pred(by_band))
+    )
 
 
 def ann_lsh_topk_indexed(
@@ -608,8 +631,6 @@ def ann_lsh_topk_indexed(
     literal per-band predicate on the partition columns, so only the
     probed buckets' directories are listed and read.  Scoring then joins
     the (small) candidate set back to the vectors table."""
-    from pyspark.sql.window import Window
-
     base = embeddings.select("vec_id", _to_double(F.col("embedding")).alias("emb"))
     qbands = banded_buckets(base.where(F.col("vec_id") < n_queries)).select(
         F.col("vec_id").alias("query_id"), "band", "bkey"
@@ -641,21 +662,10 @@ def ann_lsh_topk_indexed(
         .select(
             "query_id",
             "vec_id",
-            F.round(
-                _dot(F.col("qemb"), F.col("emb"))
-                / (_norm(F.col("qemb")) * _norm(F.col("emb"))),
-                3,
-            ).alias("score"),
+            _cosine_score(F.col("qemb"), F.col("emb")).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _probe_keys(key_col, planes_per_band: int = PLANES_PER_BAND):
@@ -692,8 +702,6 @@ def ann_lsh_topk(
     skipped — the skew guard), and joined per band — the 10^12-row side is
     never shuffled for the probe join, and candidate ranking moves only
     the deduped (query, candidate) id pairs."""
-    from pyspark.sql.window import Window
-
     base = embeddings.select(
         "vec_id", _to_double(F.col("embedding")).alias("emb")
     )
@@ -721,18 +729,7 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(
-                _dot(F.col("qemb"), F.col("emb"))
-                / (_norm(F.col("qemb")) * _norm(F.col("emb"))),
-                3,
-            ).alias("score"),
+            _cosine_score(F.col("qemb"), F.col("emb")).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+    return _rank_topk(scored, k)

@@ -521,8 +521,8 @@ def test_embedding_delta_never_recodes(spark, embeds, ddb, tmp_path):
     + precomputed codes) is written, so any re-coding would fail."""
     import shutil
 
-    from paperoni_spark.operators import sampling
     from paperoni_spark.operators.similarity import (
+        append_to_embedding_lsh_index,
         embedding_delta_near_dup_against_index,
         embedding_near_dup_pairs,
         write_embedding_lsh_index,
@@ -535,9 +535,7 @@ def test_embedding_delta_never_recodes(spark, embeds, ddb, tmp_path):
     )
 
     planted = contract.planted_embeddings(embeds)
-    flag = F.substring(
-        sampling.sample_key(contract._DELTA_SALT, "vec_id"), 1, 1
-    ).isin(*contract._EMB_DELTA_PREFIX_CHARS)
+    flag = contract._delta_flag_col("vec_id", contract._EMB_DELTA_PREFIX_CHARS)
     delta = planted.where(flag)
     corpus = planted.where(~flag)
     delta_ids = {r["vec_id"] for r in delta.select("vec_id").collect()}
@@ -555,6 +553,18 @@ def test_embedding_delta_never_recodes(spark, embeds, ddb, tmp_path):
     got = {(r["vec_a"], r["vec_b"], r["cosine"]) for r in got_df.collect()}
     assert got == want and len(want) > 0
     assert any("emb_index" in f for f in got_df.inputFiles())
+
+    # the recurring loop's write-back: append the probed wave, then an
+    # exact copy of a wave-1 delta vector surfaces (cosine 1.0) against
+    # the appended codes via the index — mirrors the MinHash/SimHash twins
+    append_to_embedding_lsh_index(delta, index_path)
+    seed = delta.orderBy("vec_id").limit(1).collect()[0]
+    wave2 = spark.createDataFrame(
+        [(10_000_001, list(seed["embedding"]))], "vec_id: long, embedding: array<double>"
+    )
+    pairs2 = embedding_delta_near_dup_against_index(spark, wave2, index_path).collect()
+    hits = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in pairs2}
+    assert hits.get((seed["vec_id"], 10_000_001)) == 1.0
 
 
 def test_embedding_dedup_clusters(spark, embeds, ddb):
@@ -837,6 +847,7 @@ def test_ann_lsh_index_partition_pruned(spark, embeds, ddb, tmp_path):
     }
     assert read_dirs == probe
     plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters:" in plan, plan[:2000]
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "band" in pf and "bkey" in pf
 
