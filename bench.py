@@ -186,6 +186,9 @@ def main() -> None:
         "ann_lsh_topk_indexed",
         "embedding_dedup_clusters",
         "streaming_session_stats_evicting",
+        "line_dedup",
+        "pii_redact",
+        "source_cap_sample",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

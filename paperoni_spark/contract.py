@@ -29,7 +29,16 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .operators import dedup, multimodal, pdf, sampling, sessionize, similarity, textstats
+from .operators import (
+    dedup,
+    multimodal,
+    pdf,
+    pii,
+    sampling,
+    sessionize,
+    similarity,
+    textstats,
+)
 from .operators.extract import run_extract
 from .pipeline.job import extract_pipeline
 from .spans import fixture_corpus, synth_corpus
@@ -1593,6 +1602,134 @@ FROM events GROUP BY 1, 2
 # ------------------------------------------------------------- the contract
 
 
+# ---- line-level dedup / PII redaction / per-source cap (the remaining
+# web-pipeline staples: CCNet boilerplate removal, C4-style PII scrub,
+# RefinedWeb domain caps)
+
+LINE_PLANT_N = 40
+_LINE_HEADER = "shared header boilerplate"
+_LINE_FOOTER = "shared footer boilerplate"
+
+
+def planted_multiline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver corpus has no newlines (flat token streams), so the
+    line-dedup gate unions PLANTED multi-line docs: each wraps an
+    existing document's text between a header and a footer line shared
+    by all LINE_PLANT_N plants — boilerplate by construction (df = 40 >>
+    cap) — while the middle lines inherit the corpus's natural
+    exact-duplicate structure (df straddles the cap both ways)."""
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.where(F.col("doc_id") < LINE_PLANT_N).select(
+        (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit(_LINE_HEADER + "\n"), F.col("text"), F.lit("\n" + _LINE_FOOTER)
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").union(planted)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.line_dedup(planted_multiline_documents(spark, sf_dir))
+
+
+def oracle_line_dedup() -> str:
+    cap = dedup.LINE_DF_CAP
+    return f"""
+WITH probed AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_ID_OFFSET},
+         '{_LINE_HEADER}' || chr(10) || text || chr(10) || '{_LINE_FOOTER}'
+  FROM documents WHERE doc_id < {LINE_PLANT_N}
+),
+lines0 AS (
+  SELECT doc_id, i AS pos, trim(arr[i]) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM probed),
+       unnest(generate_series(1, len(arr))) AS t(i)
+),
+lines AS (SELECT doc_id, pos, line, md5(line) AS lh FROM lines0 WHERE line != ''),
+hot AS (SELECT lh FROM lines GROUP BY lh HAVING count(DISTINCT doc_id) > {cap}),
+kept AS (SELECT * FROM lines WHERE lh NOT IN (SELECT lh FROM hot)),
+clean AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT p.doc_id,
+       coalesce(t.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(c.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(c.text_clean, '') AS text_clean
+FROM probed p LEFT JOIN totals t USING (doc_id) LEFT JOIN clean c USING (doc_id)
+"""
+
+
+_PII_PLANT_N = 25
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus text is clean word soup, so the gate unions planted
+    docs carrying synthetic PII — example.com addresses, the reserved
+    fictional 555-01xx phone block, RFC-1918 10.x addresses; no real
+    data per the task rules."""
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    planted = docs.where(i < _PII_PLANT_N).select(
+        (i + PLANT_ID_OFFSET).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            i.cast("string"),
+            F.lit("@example.com call 800-555-01"),
+            F.lpad(i.cast("string"), 2, "0"),
+            F.lit(" from 10.0.0."),
+            i.cast("string"),
+        ).alias("text"),
+    )
+    return pii.pii_redact(docs.select("doc_id", "text").union(planted))
+
+
+def oracle_pii_redact() -> str:
+    return f"""
+WITH probed AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_ID_OFFSET},
+         text || ' contact user' || doc_id::VARCHAR
+              || '@example.com call 800-555-01' || lpad(doc_id::VARCHAR, 2, '0')
+              || ' from 10.0.0.' || doc_id::VARCHAR
+  FROM documents WHERE doc_id < {_PII_PLANT_N}
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{pii.EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{pii.PHONE_RE}'))::BIGINT AS n_phones,
+       len(regexp_extract_all(text, '{pii.IP_RE}'))::BIGINT AS n_ips,
+       (len(regexp_extract_all(text, '{pii.EMAIL_RE}'))
+        + len(regexp_extract_all(text, '{pii.PHONE_RE}'))
+        + len(regexp_extract_all(text, '{pii.IP_RE}'))) > 0 AS has_pii,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{pii.EMAIL_RE}', '{pii.EMAIL_TAG}', 'g'),
+           '{pii.PHONE_RE}', '{pii.PHONE_TAG}', 'g'),
+         '{pii.IP_RE}', '{pii.IP_TAG}', 'g') AS text_redacted
+FROM probed
+"""
+
+
+def oracle_source_cap_sample(cap: int = 10) -> str:
+    """Single-window twin of sampling.source_cap_sample — the two-phase
+    prefix cut keeps rows and ranks identical to this plan because prefix
+    order == key order (the prefix IS the key's first chars)."""
+    return f"""
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('{sampling.SOURCE_CAP_SALT}' || doc_id::VARCHAR), doc_id
+         ) AS rk
+  FROM documents) WHERE rk <= {cap}
+"""
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction kernel (SURVEY §2.2) through the Spark path
@@ -1617,6 +1754,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_delta_pairs": q_simhash_delta_pairs,
         "dedup_clusters": lambda spark, sf: dedup.dedup_clusters(load(spark, sf, "documents")),
         "simhash_dedup_clusters": lambda spark, sf: dedup.simhash_dedup_clusters(load(spark, sf, "documents")),
+        # CCNet-style line-level boilerplate removal (planted multi-line docs)
+        "line_dedup": q_line_dedup,
+        # C4-style PII scrub (planted synthetic PII)
+        "pii_redact": q_pii_redact,
         # deterministic corpus sampling (training-mix construction)
         "hash_sample": lambda spark, sf: sampling.hash_sample(
             load(spark, sf, "documents"), fraction=0.2
@@ -1628,6 +1769,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("*").alias("n_sampled")),
         "token_budget_sample": lambda spark, sf: sampling.token_budget_sample(
             load(spark, sf, "documents"), _TOKEN_BUDGETS, _TOKEN_BUDGET_DEFAULT
+        ),
+        # RefinedWeb-style per-domain cap (two-phase prefix cut, unit weights)
+        "source_cap_sample": lambda spark, sf: sampling.source_cap_sample(
+            load(spark, sf, "documents")
         ),
         # streaming extraction (foreachBatch over a multi-trigger file
         # source) against the same golden oracle as the batch path
@@ -1709,9 +1854,12 @@ def build_oracles() -> dict[str, str]:
         "simhash_delta_pairs": oracle_simhash_delta_pairs(),
         "dedup_clusters": oracle_dedup_clusters(),
         "simhash_dedup_clusters": oracle_simhash_dedup_clusters(),
+        "line_dedup": oracle_line_dedup(),
+        "pii_redact": oracle_pii_redact(),
         "hash_sample": oracle_hash_sample(),
         "stratified_sample": oracle_stratified_sample(),
         "token_budget_sample": oracle_token_budget_sample(),
+        "source_cap_sample": oracle_source_cap_sample(),
         "streaming_extract_spans": golden_spans_values_sql(),
         "token_stats": oracle_token_stats(),
         "quality_scores": oracle_quality_scores(),

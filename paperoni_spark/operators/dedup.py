@@ -749,3 +749,63 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+LINE_DF_CAP = 3  # lines appearing in more distinct docs than this are boilerplate
+
+
+def line_dedup(documents: DataFrame, df_cap: int = LINE_DF_CAP) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/C4 paragraph-dedup stage:
+    headers, footers, nav chrome repeat across a site; body text does not).
+    Split each document on newlines, drop every trimmed non-empty line
+    whose DISTINCT-document frequency exceeds ``df_cap``, and reassemble
+    the survivors in original order.
+
+    Shape: two full-text passes — the theoretical minimum (the hot set
+    must exist before any line can be judged) — plus a doc_id-only third
+    scan that keeps zero-line documents in the output.  Pass 1 shuffles
+    only compact (digest, doc_id) rows into the DF histogram; pass 2
+    left-joins the UNHINTED hot-line set (tiny by definition —
+    boilerplate repeats; AQE broadcasts it at runtime, same
+    no-forced-broadcast rule as the shingle DF cap) and regroups per doc
+    ONCE, computing total, kept, and the reassembled text from the same
+    flagged rows — folding the kept-filter into the aggregation instead
+    of anti-joining first avoids a third scan of the text column.
+    """
+    lines = (
+        documents.select(
+            "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+        )
+        .withColumn("line", F.trim("line"))
+        .where(F.col("line") != "")
+        .withColumn("lh", F.md5("line"))
+    )
+    hot = (
+        lines.groupBy("lh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("lh", F.lit(True).alias("hot"))
+    )
+    flagged = lines.join(hot, "lh", "left")
+    sorted_lines = F.array_sort(F.collect_list(F.struct("pos", "hot", "line")))
+    clean = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("hot").isNull(), 1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(sorted_lines, lambda s: s["hot"].isNull()),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

@@ -151,3 +151,66 @@ def stratified_hash_sample(
             F.col(stratum_col) == stratum, F.lit(_cutoff_hex(fraction))
         ).otherwise(cutoff)
     return documents.where(key < cutoff)
+
+
+SOURCE_CAP_SALT = "srccap:"
+
+
+def source_cap_sample(
+    documents: DataFrame,
+    cap_per_source: int = 10,
+    salt: str = SOURCE_CAP_SALT,
+    prefix_len: int = BUDGET_PREFIX_LEN,
+) -> DataFrame:
+    """Per-domain document cap (the C4/RefinedWeb "no domain dominates the
+    mix" guard): keep at most ``cap_per_source`` documents per source,
+    chosen deterministically by hash order (md5(salt||doc_id), doc_id
+    tie-break) so the kept set is shuffle-independent and salt-rotatable.
+
+    Same two-phase key-prefix cut as token_budget_sample, with unit
+    weights: a naive row_number-per-source window puts a monster domain
+    through ONE task (at 10^12 docs a crawl's top domain is a meaningful
+    fraction of the corpus); instead (1) count docs per (source, prefix)
+    — a 16^prefix_len-row summary per source — and window THAT into
+    running offsets, (2) drop past-cap prefixes map-side and rank only
+    within a prefix, so each window task sees 1/256th of a domain.  Kept
+    rows and ranks are identical to the single-window plan because prefix
+    order == key order.  Unlike token_budget_sample the scored frame is
+    NOT materialized: its recompute is one md5 expression (no
+    tokenization UDF), cheaper at scale than writing the cut.  The
+    offsets join is UNHINTED for the same reason as there — source
+    cardinality is unbounded on dirty data (AQE broadcasts the
+    runtime-small case)."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    scored = documents.select(
+        "doc_id",
+        "source",
+        key.alias("key"),
+        F.substring(key, 1, prefix_len).alias("pfx"),
+    )
+    pfx_w = (
+        Window.partitionBy("source")
+        .orderBy("pfx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        scored.groupBy("source", "pfx")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "source",
+            "pfx",
+            F.coalesce(F.sum("cnt").over(pfx_w), F.lit(0)).alias("offset"),
+        )
+    )
+    w = Window.partitionBy("source", "pfx").orderBy(
+        F.col("key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.join(offsets, ["source", "pfx"])
+        .where(F.col("offset") < cap_per_source)
+        .withColumn("rk", F.col("offset") + F.row_number().over(w))
+        .where(F.col("rk") <= cap_per_source)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )

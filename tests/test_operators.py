@@ -867,3 +867,86 @@ def test_repetition_stats(spark, docs, ddb):
     assert got[1]["top_bigram_frac"] == 1.0 and got[1]["dup_token_frac"] > 0.8
     assert got[2]["dup_token_frac"] == 0.0
     assert got[3]["n_bigrams"] == 0 and got[3]["top_bigram_frac"] == 0.0
+
+
+def test_line_dedup(spark, docs, ddb):
+    """CCNet-style boilerplate removal: oracle parity on the planted
+    multi-line gate corpus, plus an adversarial fixture pinning the
+    df-cap boundary, order preservation, and the all-lines-removed doc."""
+    from paperoni_spark.operators.dedup import line_dedup
+
+    assert_matches_oracle(
+        contract.q_line_dedup(spark, SF_DIR), ddb, contract.oracle_line_dedup()
+    )
+
+    boiler = "copyright footer"
+    rows = [(i, f"unique line {i}\n{boiler}") for i in range(4)]  # df=4 > cap 3
+    rows.append((4, f"{boiler}\n{boiler}"))  # only boilerplate -> empty doc
+    rows.append((5, "kept one\n\n  \nkept two"))  # blank lines don't count
+    adv = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in line_dedup(adv, df_cap=3).collect()}
+    assert got[0]["text_clean"] == "unique line 0" and got[0]["n_kept"] == 1
+    assert got[4]["text_clean"] == "" and got[4]["n_kept"] == 0
+    assert got[4]["n_lines"] == 2  # repeated within ONE doc still counts lines
+    assert got[5]["text_clean"] == "kept one\nkept two"
+    assert got[5]["n_lines"] == 2
+    # at df_cap=4 nothing is hot (df counts DISTINCT docs: doc 4's two
+    # copies count once) and original line order survives reassembly
+    kept_all = {
+        r["doc_id"]: r for r in line_dedup(adv, df_cap=5).collect()
+    }
+    assert kept_all[0]["text_clean"] == f"unique line 0\n{boiler}"
+
+
+def test_pii_redact(spark, docs, ddb):
+    from paperoni_spark.operators.pii import pii_redact
+
+    assert_matches_oracle(
+        contract.q_pii_redact(spark, SF_DIR), ddb, contract.oracle_pii_redact()
+    )
+    adv = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_d@sub.example.org and e@f.io now"),
+            (2, "call 123-456-7890 or visit 192.168.1.254 ok"),
+            (3, "clean text with no identifiers at all"),
+            (4, "almost 12-345-6789 and 1.2.3 and user@nodot"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r for r in pii_redact(adv).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["has_pii"]
+    assert got[1]["text_redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert got[2]["n_phones"] == 1 and got[2]["n_ips"] == 1
+    assert got[2]["text_redacted"] == "call <PHONE> or visit <IP> ok"
+    assert not got[3]["has_pii"]
+    assert got[3]["text_redacted"] == "clean text with no identifiers at all"
+    assert got[4]["n_emails"] == 0 and got[4]["n_phones"] == 0 and got[4]["n_ips"] == 0
+
+
+def test_source_cap_sample(spark, docs, ddb):
+    """Per-domain cap: oracle parity, and the two-phase prefix-cut plan is
+    row-identical (including ranks) to the naive single-window plan."""
+    from pyspark.sql.window import Window
+
+    from paperoni_spark.operators.sampling import (
+        SOURCE_CAP_SALT,
+        source_cap_sample,
+    )
+
+    result = source_cap_sample(docs, cap_per_source=7)
+    got = {(r["doc_id"], r["source"], r["rk"]) for r in result.collect()}
+    key = F.md5(F.concat(F.lit(SOURCE_CAP_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    naive = (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 7)
+        .select("doc_id", "source", "rk")
+    )
+    assert got == {(r["doc_id"], r["source"], r["rk"]) for r in naive.collect()}
+    per_src = result.groupBy("source").count().collect()
+    assert per_src and all(r["count"] <= 7 for r in per_src)
+    assert_matches_oracle(
+        contract.build_queries()["source_cap_sample"](spark, SF_DIR),
+        ddb,
+        contract.oracle_source_cap_sample(),
+    )
