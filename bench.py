@@ -189,6 +189,7 @@ def main() -> None:
         "line_dedup",
         "pii_redact",
         "source_cap_sample",
+        "dup_ngram_stats",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

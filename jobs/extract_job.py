@@ -61,6 +61,15 @@ def main(argv: list[str] | None = None) -> None:
                 )
 
         documents = spark.range(n).mapInPandas(gen, schema=DOCUMENTS_SPANS_SCHEMA)
+    elif args.input.startswith("jsonl:"):
+        # newline-delimited JSON — the crawl-dump interchange format.  The
+        # span schema is ENFORCED, not inferred: inference scans the data
+        # an extra time and silently widens types on dirty crawls; a
+        # malformed line surfaces as nulls in the pipeline's status
+        # channel instead of poisoning the schema.
+        documents = spark.read.schema(DOCUMENTS_SPANS_SCHEMA).json(
+            args.input.split(":", 1)[1]
+        )
     else:
         documents = spark.read.parquet(args.input)
 

@@ -1663,6 +1663,32 @@ FROM probed p LEFT JOIN totals t USING (doc_id) LEFT JOIN clean c USING (doc_id)
 """
 
 
+def oracle_dup_ngram_stats(n: int = 3) -> str:
+    """DuckDB twin of dedup.dup_ngram_stats — same distinct-shingle space
+    as the Jaccard/MinHash oracles (joined on the raw shingle where the
+    engine joins on its md5; injective, so identical rows)."""
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKENS} AS arr FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+  FROM tok, unnest(generate_series(1, len(arr) - {n - 1})) AS t(i)
+  WHERE len(arr) >= {n}
+),
+counts AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         count(*) FILTER (df >= 2) AS n_dup_shingles
+  FROM sh JOIN counts USING (shingle) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(n_dup_shingles, 0)::BIGINT AS n_dup_shingles,
+       CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0.0
+            ELSE round(n_dup_shingles / n_shingles, 6) END AS dup_frac
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 _PII_PLANT_N = 25
 
 
@@ -1756,6 +1782,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup_clusters": lambda spark, sf: dedup.simhash_dedup_clusters(load(spark, sf, "documents")),
         # CCNet-style line-level boilerplate removal (planted multi-line docs)
         "line_dedup": q_line_dedup,
+        # per-doc duplicated-ngram fraction (no pair enumeration)
+        "dup_ngram_stats": lambda spark, sf: dedup.dup_ngram_stats(load(spark, sf, "documents")),
         # C4-style PII scrub (planted synthetic PII)
         "pii_redact": q_pii_redact,
         # deterministic corpus sampling (training-mix construction)
@@ -1855,6 +1883,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_clusters": oracle_dedup_clusters(),
         "simhash_dedup_clusters": oracle_simhash_dedup_clusters(),
         "line_dedup": oracle_line_dedup(),
+        "dup_ngram_stats": oracle_dup_ngram_stats(),
         "pii_redact": oracle_pii_redact(),
         "hash_sample": oracle_hash_sample(),
         "stratified_sample": oracle_stratified_sample(),

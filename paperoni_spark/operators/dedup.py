@@ -809,3 +809,47 @@ def line_dedup(documents: DataFrame, df_cap: int = LINE_DF_CAP) -> DataFrame:
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def dup_ngram_stats(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Cross-document duplication profile — for each document, what
+    fraction of its distinct word n-grams appears in at least one OTHER
+    document (the corpus-internal measure behind exact-substring dedup
+    decisions, à la "Deduplicating Training Data Makes Language Models
+    Better": a doc with dup_frac 0.9 is mostly boilerplate/mirror
+    content even if no single whole-doc duplicate exists).
+
+    Shape: the (doc_id, digest) shingle frame feeds two consumers — the
+    DF histogram and the rollup's join side — and the histogram's
+    map-side partial agg de-canonicalizes the subtrees (no ReusedExchange
+    possible), so the frame is materialized once (compact ids + 32-char
+    digests, never text — the standard cut, see materialize.py); the
+    plan-shape test pins the shingle derivation to a single execution.
+    A window-count alternative (count over partition by digest) would
+    also single-derive but serializes every hot boilerplate shingle
+    through one task; groupBy+join keeps AQE's skew handling.  NO pair
+    enumeration happens anywhere, which is why this scales where the
+    pairwise Jaccard joins need DF-cap blocking."""
+    sh = _shingles(documents, n).select("doc_id", F.md5("shingle").alias("sh_h"))
+    sh = materialize(sh)
+    df_counts = sh.groupBy("sh_h").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(df_counts, "sh_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("df") >= 2, 1)).alias("n_dup_shingles"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_dup_shingles", F.lit(0)).alias("n_dup_shingles"),
+            F.when(F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 6))
+            .alias("dup_frac"),
+        )
+    )

@@ -950,3 +950,38 @@ def test_source_cap_sample(spark, docs, ddb):
         ddb,
         contract.oracle_source_cap_sample(),
     )
+
+
+def test_dup_ngram_stats(spark, docs, ddb):
+    """Duplicated-ngram profile: oracle parity, exact values on a planted
+    graph (full dup, partial overlap, unique), and the histogram join
+    reuses the shingle exchange instead of re-shingling per consumer."""
+    from paperoni_spark.operators.dedup import dup_ngram_stats
+
+    result = dup_ngram_stats(docs)
+    assert_matches_oracle(result, ddb, contract.oracle_dup_ngram_stats())
+    # natural exact duplicates must read as fully-duplicated docs
+    assert result.where("dup_frac = 1.0").count() > 0
+
+    adv = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # 3 shingles, all shared w/ 2
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta alpha beta gamma"),  # 4 shingles, 1 shared
+            (4, "iota kappa lambda mu"),             # unique
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r for r in dup_ngram_stats(adv).collect()}
+    assert got[1]["dup_frac"] == 1.0 and got[1]["n_shingles"] == 3
+    assert got[3]["n_shingles"] == 4 and got[3]["n_dup_shingles"] == 1
+    assert got[3]["dup_frac"] == 0.25
+    assert got[4]["dup_frac"] == 0.0
+
+    # single shingle derivation: the materialized (doc_id, digest) frame
+    # feeds both the histogram and the rollup, so the final plan contains
+    # the _shingles explode pair (token barrier + shingle explode) at most
+    # once — a second derivation would double the Generate count
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate") <= 2, final[:3000]

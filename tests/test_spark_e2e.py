@@ -436,3 +436,29 @@ def test_streaming_extraction_matches_golden(spark, tmp_path_factory):
     # three triggers -> three run_ids in the lineage-stamped output
     run_ids = {r["run_id"] for r in got.select("run_id").distinct().collect()}
     assert len(run_ids) == 3
+
+
+def test_jsonl_input_surface(spark, fixture_df, tmp_path_factory):
+    """The jsonl: input path (jobs/extract_job.py): a JSONL corpus read
+    with the ENFORCED span schema extracts identically to the same rows
+    read from parquet — the crawl-dump interchange format is a
+    first-class source, not a lossy side door."""
+    from paperoni_spark.contract import DOCUMENTS_SPANS_SCHEMA
+
+    tmp = tmp_path_factory.mktemp("jsonl_src")
+    jsonl_path = str(tmp / "corpus_jsonl")
+    fixture_df.write.json(jsonl_path)
+    docs = spark.read.schema(DOCUMENTS_SPANS_SCHEMA).json(jsonl_path)
+
+    def key(rows):
+        return {
+            r["doc_id"]: (
+                r["status"],
+                [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["extracted"]],
+            )
+            for r in rows
+        }
+
+    got = key(extract_pipeline(docs).collect())
+    want = key(extract_pipeline(fixture_df).collect())
+    assert got == want and len(got) == len(fixture_corpus())
