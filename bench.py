@@ -190,6 +190,7 @@ def main() -> None:
         "pii_redact",
         "source_cap_sample",
         "dup_ngram_stats",
+        "streaming_exact_dedup",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

@@ -662,6 +662,59 @@ def q_streaming_session_stats_evicting(spark: SparkSession, sf_dir: str) -> Data
     return finals.where(F.col("user_id") >= 0)
 
 
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact dedup as a stateful stream: the corpus staged as
+    three mtime-ordered micro-batches (doc_id mod 3 — composition is
+    irrelevant: the survivor is the min doc_id, batch-order independent),
+    one tiny (survivor, count) state row per distinct digest, gated
+    row-for-row against the plain batch groupBy oracle.  The corpus has
+    no natural exact text duplicates, so twins are PLANTED: doc_id <
+    LINE_PLANT_N re-enters under PLANT_ID_OFFSET + doc_id, and because
+    the offset is ≢ 0 (mod 3) every twin lands in a DIFFERENT
+    micro-batch than its seed — each duplicate digest exercises a real
+    cross-batch state update, not a within-batch shortcut."""
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    from .streaming.dedup import run_streaming_exact_dedup
+
+    base = load(spark, sf_dir, "documents")
+    docs = base.unionByName(
+        base.where(F.col("doc_id") < LINE_PLANT_N).withColumn(
+            "doc_id", F.col("doc_id") + PLANT_ID_OFFSET
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="sdedup_")
+    docs_dir = os.path.join(tmp, "docs")
+    os.makedirs(docs_dir)
+    now = time.time()
+    for i in range(3):
+        sdir = os.path.join(tmp, f"s{i}")
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(sdir)
+        dst = os.path.join(docs_dir, f"b{i}.parquet")
+        shutil.move(glob.glob(os.path.join(sdir, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    result = run_streaming_exact_dedup(spark, docs_dir, max_files_per_trigger=1)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+def oracle_streaming_exact_dedup() -> str:
+    return f"""
+WITH probed AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_ID_OFFSET}, text FROM documents
+  WHERE doc_id < {LINE_PLANT_N}
+)
+SELECT md5(text) AS digest, min(doc_id) AS first_doc_id,
+       count(*)::BIGINT AS n_docs
+FROM probed GROUP BY 1
+"""
+
+
 def oracle_token_budget_sample() -> str:
     cases = " ".join(
         f"WHEN '{lang}' THEN {b}" for lang, b in sorted(_TOKEN_BUDGETS.items())
@@ -1857,6 +1910,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_stats": lambda spark, sf: run_streaming_sessionization(_utc(spark), sf),
         # the production eviction path (bounded state) under the SAME oracle
         "streaming_session_stats_evicting": q_streaming_session_stats_evicting,
+        # ingest-time exact dedup: per-digest stateful stream vs batch groupBy
+        "streaming_exact_dedup": q_streaming_exact_dedup,
     }
 
 
@@ -1917,4 +1972,5 @@ def build_oracles() -> dict[str, str]:
         "stateful_user_totals": oracle_user_totals(),
         "streaming_session_stats": oracle_session_stats(),
         "streaming_session_stats_evicting": oracle_session_stats(),
+        "streaming_exact_dedup": oracle_streaming_exact_dedup(),
     }

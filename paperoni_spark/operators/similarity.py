@@ -559,6 +559,40 @@ def write_lsh_bucket_index(embeddings: DataFrame, path: str) -> None:
     ).parquet(f"{path}/counts")
 
 
+def append_to_lsh_bucket_index(embeddings: DataFrame, path: str) -> None:
+    """Add a wave to the bucket index: rows append into their (band,
+    bkey) directories; the counts histogram is REWRITTEN as old + wave
+    (summed per bucket) — it must stay exact because the probe-side
+    over-cap guard reads only counts, never the rows table.  The merged
+    histogram is computed from the old counts table and the wave's bands
+    (one tiny agg), not by rescanning rows.  Caller contract: vec_ids
+    disjoint from the index (anti-join resume, as the delta twins)."""
+    base = embeddings.select("vec_id", _to_double(F.col("embedding")).alias("emb"))
+    rows = banded_buckets(base)
+    rows.write.partitionBy("band", "bkey").mode("append").parquet(f"{path}/rows")
+    spark = embeddings.sparkSession
+    old = spark.read.parquet(f"{path}/counts")
+    merged = (
+        old.unionByName(
+            rows.groupBy("band", "bkey").agg(F.count("*").alias("n_vecs"))
+        )
+        .groupBy("band", "bkey")
+        .agg(F.sum("n_vecs").alias("n_vecs"))
+    )
+    # the overwrite would read its own input: write the merged histogram
+    # beside it, then swap via the filesystem (works for any scheme the
+    # cluster mounts; never collects the 2^R × bands histogram — the same
+    # driver-OOM cliff lsh_probe_scan avoids)
+    merged.write.mode("overwrite").parquet(f"{path}/counts_new")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p_old = jvm.org.apache.hadoop.fs.Path(f"{path}/counts")
+    p_new = jvm.org.apache.hadoop.fs.Path(f"{path}/counts_new")
+    fs = p_old.getFileSystem(conf)
+    fs.delete(p_old, True)
+    fs.rename(p_new, p_old)
+
+
 # Explicit read schema for the rows table: partition-column type inference
 # parses a bkey directory value like "00000101" as the INTEGER 101 — at
 # 8 bits the numeric coercion happens to stay injective, but at production

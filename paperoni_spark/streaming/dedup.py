@@ -1,0 +1,127 @@
+"""Streaming ingest dedup: exact dedup as documents arrive.
+
+The recurring-crawl ingest stage run AS the stream instead of as a nightly
+batch: documents are keyed by their text digest and
+``applyInPandasWithState`` keeps one tiny (survivor, count) state row per
+distinct digest across micro-batches.  The survivor is the MINIMUM doc_id
+seen — the same canonical-survivor convention as exact dedup clusters and
+connected_components (min-id), which also makes the result independent of
+batch composition and arrival order, so the stream is gated against the
+plain batch ``groupBy(digest)`` oracle row-for-row.
+
+State is 8 + 8 bytes per distinct document — the minimum any exact
+ingest-dedup can carry — and emission is one row per (batch, digest seen
+in that batch); the final-state extraction takes each digest's
+latest emission (n_docs is strictly monotone: a group only emits when it
+received rows).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOCUMENTS_TABLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+DEDUP_STATE_SCHEMA = StructType(
+    [
+        StructField("first_doc_id", LongType()),
+        StructField("n_docs", LongType()),
+    ]
+)
+
+DEDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("digest", StringType()),
+        StructField("first_doc_id", LongType()),
+        StructField("n_docs", LongType()),
+    ]
+)
+
+
+def _update_digest_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (digest,) = key
+    first, n = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        m = int(pdf["doc_id"].min())
+        if first is None or m < first:
+            first = m
+    state.update((first, n))
+    yield pd.DataFrame(
+        {"digest": [digest], "first_doc_id": [first], "n_docs": [n]}
+    )
+
+
+def run_streaming_exact_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "*.parquet",
+) -> DataFrame:
+    """Run the ingest-dedup stream (availableNow) over a documents
+    directory and return the final per-digest survivors + counts."""
+    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    reader = spark.readStream.schema(DOCUMENTS_TABLE_SCHEMA).option(
+        "pathGlobFilter", path_glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = (
+        reader.parquet(docs_dir)
+        .select(F.md5("text").alias("digest"), "doc_id")
+        .groupBy("digest")
+        .applyInPandasWithState(
+            _update_digest_group,
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # latest emission per digest: n_docs is strictly monotone across a
+    # group's emissions; the struct-max keeps (n_docs, first_doc_id) from
+    # the SAME row (first_doc_id only ever decreases, so pairing it with
+    # the highest n_docs is exactly the final state)
+    return (
+        spark.table(table)
+        .groupBy("digest")
+        .agg(F.max(F.struct("n_docs", "first_doc_id")).alias("s"))
+        .select(
+            "digest",
+            F.col("s.first_doc_id").alias("first_doc_id"),
+            F.col("s.n_docs").alias("n_docs"),
+        )
+    )

@@ -851,6 +851,28 @@ def test_ann_lsh_index_partition_pruned(spark, embeds, ddb, tmp_path):
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "band" in pf and "bkey" in pf
 
+    # the recurring loop's write-back: append a wave duplicating query
+    # vector 0 under a fresh id — the probe then surfaces it at cosine
+    # 1.0 rank 1, and the swapped counts histogram stays exact (sums to
+    # rows-table cardinality, so the over-cap guard keeps working)
+    from paperoni_spark.operators.similarity import append_to_lsh_bucket_index
+
+    seed = embeds.orderBy("vec_id").limit(1).collect()[0]
+    wave = spark.createDataFrame(
+        [(10_000_001, list(seed["embedding"]))], "vec_id: long, embedding: array<double>"
+    )
+    append_to_lsh_bucket_index(wave, path)
+    after = ann_lsh_topk_indexed(spark, embeds.unionByName(wave.withColumn("label", F.lit(None).cast("int"))), path)
+    top = {(r["query_id"], r["vec_id"]): (r["score"], r["rank"]) for r in after.collect()}
+    assert top[(seed["vec_id"], 10_000_001)] == (1.0, 1)
+    n_rows = spark.read.schema("vec_id BIGINT, band INT, bkey STRING").parquet(
+        f"{path}/rows"
+    ).count()
+    n_counted = (
+        spark.read.parquet(f"{path}/counts").agg(F.sum("n_vecs")).collect()[0][0]
+    )
+    assert n_rows == n_counted
+
 
 def test_repetition_stats(spark, docs, ddb):
     from paperoni_spark.operators.textstats import repetition_stats
@@ -985,3 +1007,16 @@ def test_dup_ngram_stats(spark, docs, ddb):
     plan = result._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Generate") <= 2, final[:3000]
+
+
+def test_streaming_exact_dedup(spark, docs, ddb):
+    """Ingest-dedup stream: oracle parity (planted twins land in different
+    micro-batches than their seeds), min-id survivor, and state actually
+    merged across batches (every planted digest shows n_docs == 2 with
+    the seed as survivor)."""
+    result = contract.q_streaming_exact_dedup(spark, SF_DIR)
+    rows = result.collect()
+    assert_matches_oracle(result, ddb, contract.oracle_streaming_exact_dedup())
+    dups = {r["first_doc_id"]: r["n_docs"] for r in rows if r["n_docs"] > 1}
+    assert dups == {i: 2 for i in range(contract.LINE_PLANT_N)}
+    assert all(r["n_docs"] == 1 for r in rows if r["first_doc_id"] >= contract.LINE_PLANT_N)
