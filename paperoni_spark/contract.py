@@ -667,8 +667,9 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     three mtime-ordered micro-batches (doc_id mod 3 — composition is
     irrelevant: the survivor is the min doc_id, batch-order independent),
     one tiny (survivor, count) state row per distinct digest, gated
-    row-for-row against the plain batch groupBy oracle.  The corpus has
-    no natural exact text duplicates, so twins are PLANTED: doc_id <
+    row-for-row against the plain batch groupBy oracle.  The gate-SF
+    corpora (sf0.001/sf0.01) have no natural exact text duplicates —
+    sf0.1 has 8 — so twins are PLANTED: doc_id <
     LINE_PLANT_N re-enters under PLANT_ID_OFFSET + doc_id, and because
     the offset is ≢ 0 (mod 3) every twin lands in a DIFFERENT
     micro-batch than its seed — each duplicate digest exercises a real

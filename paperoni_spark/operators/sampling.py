@@ -207,8 +207,20 @@ def source_cap_sample(
     w = Window.partitionBy("source", "pfx").orderBy(
         F.col("key").asc(), F.col("doc_id").asc()
     )
+    # null-SAFE offsets join: a plain column-list join uses EqualTo and
+    # silently DROPS every NULL-source document (exactly the dirty-data
+    # case this operator targets), while the window's partitionBy — and
+    # the single-window plan this must stay row-identical to — groups
+    # NULLs as one stratum.  eqNullSafe keeps them capped, not lost.
+    o = offsets.select(
+        F.col("source").alias("o_source"), F.col("pfx").alias("o_pfx"), "offset"
+    )
     return (
-        scored.join(offsets, ["source", "pfx"])
+        scored.join(
+            o,
+            scored["source"].eqNullSafe(o["o_source"])
+            & (scored["pfx"] == o["o_pfx"]),
+        )
         .where(F.col("offset") < cap_per_source)
         .withColumn("rk", F.col("offset") + F.row_number().over(w))
         .where(F.col("rk") <= cap_per_source)

@@ -568,7 +568,10 @@ def append_to_lsh_bucket_index(embeddings: DataFrame, path: str) -> None:
     (one tiny agg), not by rescanning rows.  Caller contract: vec_ids
     disjoint from the index (anti-join resume, as the delta twins)."""
     base = embeddings.select("vec_id", _to_double(F.col("embedding")).alias("emb"))
-    rows = banded_buckets(base)
+    # two consumers (rows write + counts merge): materialize the compact
+    # band rows so the wave's coding UDF runs once, per the repo's
+    # multi-consumer cut rule
+    rows = materialize(banded_buckets(base))
     rows.write.partitionBy("band", "bkey").mode("append").parquet(f"{path}/rows")
     spark = embeddings.sparkSession
     old = spark.read.parquet(f"{path}/counts")
@@ -580,17 +583,29 @@ def append_to_lsh_bucket_index(embeddings: DataFrame, path: str) -> None:
         .agg(F.sum("n_vecs").alias("n_vecs"))
     )
     # the overwrite would read its own input: write the merged histogram
-    # beside it, then swap via the filesystem (works for any scheme the
-    # cluster mounts; never collects the 2^R × bands histogram — the same
-    # driver-OOM cliff lsh_probe_scan avoids)
+    # beside it, then swap via two CHECKED renames (works for any scheme
+    # the cluster mounts; never collects the 2^R × bands histogram — the
+    # same driver-OOM cliff lsh_probe_scan avoids).  Rename-through-backup
+    # rather than delete-then-rename: a crash between the renames leaves
+    # BOTH counts_old and counts_new on disk — recoverable by renaming
+    # either back — instead of an index with rows but no histogram.
     merged.write.mode("overwrite").parquet(f"{path}/counts_new")
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     p_old = jvm.org.apache.hadoop.fs.Path(f"{path}/counts")
     p_new = jvm.org.apache.hadoop.fs.Path(f"{path}/counts_new")
+    p_bak = jvm.org.apache.hadoop.fs.Path(f"{path}/counts_old")
     fs = p_old.getFileSystem(conf)
-    fs.delete(p_old, True)
-    fs.rename(p_new, p_old)
+    if fs.exists(p_bak):
+        fs.delete(p_bak, True)
+    if not fs.rename(p_old, p_bak):
+        raise IOError(f"could not stage {path}/counts -> counts_old")
+    if not fs.rename(p_new, p_old):
+        raise IOError(
+            f"counts swap interrupted: recover by renaming {path}/counts_old "
+            f"or {path}/counts_new back to {path}/counts"
+        )
+    fs.delete(p_bak, True)
 
 
 # Explicit read schema for the rows table: partition-column type inference

@@ -967,6 +967,17 @@ def test_source_cap_sample(spark, docs, ddb):
     assert got == {(r["doc_id"], r["source"], r["rk"]) for r in naive.collect()}
     per_src = result.groupBy("source").count().collect()
     assert per_src and all(r["count"] <= 7 for r in per_src)
+    # NULL-source docs form one stratum and are CAPPED, never dropped
+    # (the offsets join is null-safe; a plain column-list join loses them)
+    dirty = spark.createDataFrame(
+        [(i, None if i < 5 else "s") for i in range(9)],
+        "doc_id: long, source: string",
+    )
+    null_rows = [
+        r for r in source_cap_sample(dirty, cap_per_source=3).collect()
+        if r["source"] is None
+    ]
+    assert len(null_rows) == 3 and all(1 <= r["rk"] <= 3 for r in null_rows)
     assert_matches_oracle(
         contract.build_queries()["source_cap_sample"](spark, SF_DIR),
         ddb,
@@ -1017,6 +1028,7 @@ def test_streaming_exact_dedup(spark, docs, ddb):
     result = contract.q_streaming_exact_dedup(spark, SF_DIR)
     rows = result.collect()
     assert_matches_oracle(result, ddb, contract.oracle_streaming_exact_dedup())
+    # every planted digest merged across batches; subset assertion (not
+    # equality) so a corpus WITH natural twins — sf0.1 has 8 — still passes
     dups = {r["first_doc_id"]: r["n_docs"] for r in rows if r["n_docs"] > 1}
-    assert dups == {i: 2 for i in range(contract.LINE_PLANT_N)}
-    assert all(r["n_docs"] == 1 for r in rows if r["first_doc_id"] >= contract.LINE_PLANT_N)
+    assert {i: 2 for i in range(contract.LINE_PLANT_N)}.items() <= dups.items()
