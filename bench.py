@@ -191,6 +191,7 @@ def main() -> None:
         "source_cap_sample",
         "dup_ngram_stats",
         "streaming_exact_dedup",
+        "length_stats",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

@@ -1795,6 +1795,20 @@ FROM probed
 """
 
 
+def oracle_length_stats() -> str:
+    """Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share
+    the (p·(n−1)) linear-interpolation definition; rounded to 6."""
+    qs = ", ".join(
+        f"round(quantile_cont(n_chars, {p}), 6) AS p{tag}_chars"
+        for p, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+    )
+    return f"""
+SELECT lang, count(*)::BIGINT AS n_docs, {qs},
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
 def oracle_source_cap_sample(cap: int = 10) -> str:
     """Single-window twin of sampling.source_cap_sample — the two-phase
     prefix cut keeps rows and ranks identical to this plan because prefix
@@ -1861,6 +1875,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_extract_spans": q_streaming_extract_spans,
         # text analysis family
         "token_stats": lambda spark, sf: textstats.token_stats(load(spark, sf, "documents")),
+        "length_stats": lambda spark, sf: textstats.length_stats(load(spark, sf, "documents")),
         "quality_scores": lambda spark, sf: textstats.quality_scores(load(spark, sf, "documents")),
         "quality_filter": lambda spark, sf: textstats.quality_filter(load(spark, sf, "documents")),
         "unigram_logprob": lambda spark, sf: textstats.unigram_logprob(load(spark, sf, "documents")),
@@ -1947,6 +1962,7 @@ def build_oracles() -> dict[str, str]:
         "source_cap_sample": oracle_source_cap_sample(),
         "streaming_extract_spans": golden_spans_values_sql(),
         "token_stats": oracle_token_stats(),
+        "length_stats": oracle_length_stats(),
         "quality_scores": oracle_quality_scores(),
         "quality_filter": oracle_quality_filter(),
         "unigram_logprob": oracle_unigram_logprob(),

@@ -403,3 +403,20 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.md5(normalized).alias("fingerprint"), F.length(normalized).alias("norm_len")
     )
+
+
+def length_stats(documents: DataFrame) -> DataFrame:
+    """Per-language document-length distribution — the profiling query a
+    mix designer runs before setting quality/budget thresholds.  Uses the
+    EXACT ``percentile`` (linear interpolation, identical to DuckDB's
+    quantile_cont) so the oracle can gate values; at 10^12 docs swap in
+    ``percentile_approx`` — same plan shape, partial-aggregated either
+    way, one tiny per-lang shuffle."""
+    return documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

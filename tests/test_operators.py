@@ -1032,3 +1032,22 @@ def test_streaming_exact_dedup(spark, docs, ddb):
     # equality) so a corpus WITH natural twins — sf0.1 has 8 — still passes
     dups = {r["first_doc_id"]: r["n_docs"] for r in rows if r["n_docs"] > 1}
     assert {i: 2 for i in range(contract.LINE_PLANT_N)}.items() <= dups.items()
+
+
+def test_length_stats(spark, docs, ddb):
+    """Exact percentiles: Spark `percentile` == DuckDB `quantile_cont`
+    (shared linear-interpolation definition), plus a hand-checked
+    interpolated value on a tiny fixture."""
+    from paperoni_spark.operators.textstats import length_stats
+
+    assert_matches_oracle(length_stats(docs), ddb, contract.oracle_length_stats())
+    adv = spark.createDataFrame(
+        [(i, "x", "en", "s", n) for i, n in enumerate([10, 20, 40, 80])],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+    row = length_stats(adv).collect()[0]
+    # p50 of [10,20,40,80]: index 1.5 -> 20 + 0.5*(40-20) = 30
+    assert row["p50_chars"] == 30.0
+    # p90: index 2.7 -> 40 + 0.7*(80-40) = 68
+    assert row["p90_chars"] == 68.0
+    assert row["min_chars"] == 10 and row["max_chars"] == 80
