@@ -262,8 +262,12 @@ def main() -> None:
             )
         spark.stop()
 
-    run_query_leg(SCALE_N * 4)
-    run_query_leg(SCALE_N)
+    # two alternating pairs, best per leg (same rationale as the
+    # extraction legs: ±30% box noise, and a single slow session must not
+    # masquerade as a scaling property — one r4 interactive run recorded a
+    # 4-core leg 3× slower than its own 1-core leg on a neighbor spike)
+    for cores in (SCALE_N * 4, SCALE_N, SCALE_N * 4, SCALE_N):
+        run_query_leg(cores)
     query_scaling = {}
     for name in QSCALE:
         t_n, t_4n = qlegs[name][SCALE_N], qlegs[name][SCALE_N * 4]

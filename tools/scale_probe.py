@@ -1,4 +1,4 @@
-"""Bigger-corpus scaling probe for the two low-efficiency bench legs.
+"""Bigger-corpus scaling probe for the low-efficiency bench legs.
 
 Round 3's query_scaling read 0.378 (ngram_jaccard) and 0.523
 (dedup_clusters) at 1→4 cores on sf0.1 (5k docs) and diagnosed the gap as
@@ -10,6 +10,14 @@ DF-cap blocking are exactly isomorphic to the original while copies
 share no shingles) and re-measures the same 1→4-core legs.  If the diagnosis is right the
 efficiency rises toward 1 as the per-round fixed cost amortizes; if it is
 wrong the number stays put and names a real serialization.
+
+Round 4 extends the probe to the two legs added to bench.py that read
+BELOW the sf0.1 compute floor (lsh_candidate_doc_pairs, ann_ivf_topk —
+both sub-4 s at 1 core, where session/scheduler constants dominate and a
+4-core wall can even exceed the 1-core one).  ann_ivf needs a 5×
+embeddings table: per-copy vec_id offsets plus a small deterministic
+per-copy shift on one dimension, keeping the k-means geometry
+representative while copies stay distinct points.
 
 Usage::
 
@@ -31,7 +39,12 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "5"))
 BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/paperoni_bench")
-QUERIES = ("ngram_jaccard", "dedup_clusters")
+QUERIES = (
+    "ngram_jaccard",
+    "dedup_clusters",
+    "lsh_candidate_doc_pairs",
+    "ann_ivf_topk",
+)
 
 
 def build(cores: int):
@@ -54,7 +67,9 @@ def ensure_big_corpus(spark) -> str:
     <dir>/documents.parquet so contract.load() treats it as an sf dir."""
     sf_dir = os.path.join(BENCH_TMP, f"docs{COPIES}x_{os.path.basename(SF_DIR)}")
     out = os.path.join(sf_dir, "documents.parquet")
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
+    if os.path.exists(os.path.join(out, "_SUCCESS")) and os.path.exists(
+        os.path.join(sf_dir, "embeddings.parquet", "_SUCCESS")
+    ):
         return sf_dir
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     copies = [
@@ -75,6 +90,31 @@ def ensure_big_corpus(spark) -> str:
     for c in copies[1:]:
         big = big.union(c)
     big.repartition(64).write.mode("overwrite").parquet(out)
+
+    emb_out = os.path.join(sf_dir, "embeddings.parquet")
+    embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    def shifted(c: int):
+        # bind the copy index via closure: a default-arg lambda would give
+        # the HOF lambda three parameters, which transform() rejects
+        return F.transform(
+            "embedding",
+            lambda x, i: (
+                x + F.when(i == c % 64, F.lit(0.01 * c)).otherwise(F.lit(0.0))
+            ).cast("float"),
+        )
+
+    ecopies = [
+        embs.select(
+            (F.col("vec_id") + 10_000_000 * c).alias("vec_id"),
+            shifted(c).alias("embedding"),
+            "label",
+        )
+        for c in range(COPIES)
+    ]
+    ebig = ecopies[0]
+    for c in ecopies[1:]:
+        ebig = ebig.union(c)
+    ebig.repartition(16).write.mode("overwrite").parquet(emb_out)
     return sf_dir
 
 
