@@ -192,6 +192,7 @@ def main() -> None:
         "dup_ngram_stats",
         "streaming_exact_dedup",
         "length_stats",
+        "streaming_simhash_pairs",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

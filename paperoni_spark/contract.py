@@ -716,6 +716,58 @@ FROM probed GROUP BY 1
 """
 
 
+def q_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurring-crawl near-dup pipeline AS a stream: each
+    micro-batch probes the persisted SimHash index then appends itself
+    (streaming/dedup.run_streaming_simhash_dedup).  Gate runs with the
+    cap lifted so the accumulated pair set provably equals the
+    whole-corpus naive Hamming≤max sweep (banding is pigeonhole-exact);
+    production keeps the default cap."""
+    import atexit
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    from .streaming.dedup import run_streaming_simhash_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    # results are read lazily from the accumulator dir — reap at exit
+    tmp = tempfile.mkdtemp(prefix="ssimhash_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    docs_dir = os.path.join(tmp, "docs")
+    os.makedirs(docs_dir)
+    now = time.time()
+    for i in range(3):
+        sdir = os.path.join(tmp, f"s{i}")
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(sdir)
+        dst = os.path.join(docs_dir, f"b{i}.parquet")
+        shutil.move(glob.glob(os.path.join(sdir, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    return run_streaming_simhash_dedup(
+        spark,
+        docs_dir,
+        os.path.join(tmp, "index"),
+        os.path.join(tmp, "results"),
+        max_files_per_trigger=1,
+        cap=10**9,
+    )
+
+
+def oracle_streaming_simhash_pairs() -> str:
+    """Whole-corpus naive Hamming sweep — what the streamed union of
+    per-wave probes must equal when the cap is lifted."""
+    bits = dedup.SIMHASH_PAIR_BITS
+    return f"""
+WITH {_simhash_cte(bits)}
+SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       greatest(a.doc_id, b.doc_id) AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_HAMMING_MAX}
+"""
+
+
 def oracle_token_budget_sample() -> str:
     cases = " ".join(
         f"WHEN '{lang}' THEN {b}" for lang, b in sorted(_TOKEN_BUDGETS.items())
@@ -1928,6 +1980,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_stats_evicting": q_streaming_session_stats_evicting,
         # ingest-time exact dedup: per-digest stateful stream vs batch groupBy
         "streaming_exact_dedup": q_streaming_exact_dedup,
+        # recurring-crawl near-dup: per-wave index probe + append as a stream
+        "streaming_simhash_pairs": q_streaming_simhash_pairs,
     }
 
 
@@ -1990,4 +2044,5 @@ def build_oracles() -> dict[str, str]:
         "streaming_session_stats": oracle_session_stats(),
         "streaming_session_stats_evicting": oracle_session_stats(),
         "streaming_exact_dedup": oracle_streaming_exact_dedup(),
+        "streaming_simhash_pairs": oracle_streaming_simhash_pairs(),
     }

@@ -125,3 +125,65 @@ def run_streaming_exact_dedup(
             F.col("s.n_docs").alias("n_docs"),
         )
     )
+
+
+def run_streaming_simhash_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    index_dir: str,
+    results_dir: str,
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "*.parquet",
+    cap: int | None = None,
+) -> DataFrame:
+    """The recurring-crawl near-dup pipeline run AS a stream: every
+    micro-batch (a crawl wave) is probed against the persisted SimHash
+    fingerprint index — only the wave is hashed, the corpus side is the
+    16 B/doc index — then appended to it, so the index IS the stream's
+    state and survives restarts (unlike operator state, it is shared
+    infrastructure other jobs read too).  Emitted pairs accumulate in
+    ``results_dir``; each qualifying pair surfaces exactly once, in the
+    batch where its LATER document arrives (same-wave pairs via the
+    delta-delta orientation), so the union over batches equals the
+    whole-corpus pair sweep and never re-emits — exactly-once by
+    construction, not by sink dedup.
+
+    ``cap=None`` keeps the production band cap; the gate passes a huge
+    cap so the accumulated result is provably the corpus's complete
+    Hamming≤max pair set (per-wave cap sets aren't expressible as one
+    batch query — the cap is counted over index ∪ wave at each wave)."""
+    from ..operators import dedup as dedup_ops
+
+    # an empty seed index: wave 0 probes it (finding only same-wave
+    # pairs) and then appends — every wave runs the SAME code path
+    dedup_ops.write_simhash_index(
+        spark.createDataFrame([], DOCUMENTS_TABLE_SCHEMA), index_dir
+    )
+
+    kwargs = {} if cap is None else {"cap": cap}
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            pairs = dedup_ops.simhash_delta_pairs_against_index(
+                spark, batch_df, index_dir, **kwargs
+            )
+            pairs.write.mode("append").parquet(results_dir)
+            dedup_ops.append_to_simhash_index(batch_df, index_dir)
+        finally:
+            batch_df.unpersist()
+
+    reader = spark.readStream.schema(DOCUMENTS_TABLE_SCHEMA).option(
+        "pathGlobFilter", path_glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    query = (
+        reader.parquet(docs_dir)
+        .writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{results_dir}_ckpt")
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(results_dir)

@@ -1051,3 +1051,18 @@ def test_length_stats(spark, docs, ddb):
     # p90: index 2.7 -> 40 + 0.7*(80-40) = 68
     assert row["p90_chars"] == 68.0
     assert row["min_chars"] == 10 and row["max_chars"] == 80
+
+
+def test_streaming_simhash_pairs(spark, docs, ddb):
+    """Streamed per-wave index probe+append accumulates exactly the
+    whole-corpus pair sweep: oracle parity, and every pair surfaces in
+    the batch where its later document arrived (cross-wave pairs exist —
+    the corpus's near-dup pairs straddle the mod-3 batch split)."""
+    result = contract.q_streaming_simhash_pairs(spark, SF_DIR)
+    rows = result.collect()
+    assert_matches_oracle(result, ddb, contract.oracle_streaming_simhash_pairs())
+    # the staged split must actually produce cross-batch pairs, or the
+    # index-probe path was never exercised
+    assert any(r["doc_a"] % 3 != r["doc_b"] % 3 for r in rows), rows
+    # and no duplicates across waves (exactly-once by construction)
+    assert len(rows) == len({(r["doc_a"], r["doc_b"]) for r in rows})

@@ -1,0 +1,80 @@
+"""Plan-shape contracts for the headline driver queries.
+
+The scale story lives in the physical plans, not the row counts: a
+regression that adds a shuffle to a map-side query, un-prunes a column,
+or drops a Python UDF into a pure-JVM pipeline passes every value gate
+and silently costs 10-100× at 100 TB.  This test pins the executed-plan
+properties the operators were designed around:
+
+* shuffle budget (``Exchange hashpartitioning``/``rangepartitioning``
+  ceilings — map-side queries must stay at ZERO),
+* parquet column pruning (``ReadSchema`` must exclude the columns the
+  query doesn't touch — reading ``text`` for a length histogram is how
+  100-TB scans go 50× over budget),
+* no ``CartesianProduct`` anywhere (the brute-force cosine baseline is
+  whitelisted by absence — it's not in this table),
+* no ``ArrowEvalPython`` in pure-expression pipelines.
+
+Counts are taken from the FINAL AQE plan only (the toString includes the
+initial plan too, which double-counts every node).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+import paperoni_spark.contract as contract
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF_DIR, "documents.parquet")),
+    reason="driver testdata not present",
+)
+
+# name -> (max shuffle exchanges, columns that must NOT reach any scan)
+PLAN_CONTRACTS = {
+    # pure map-side: zero shuffles end-to-end, scan-speed at any scale
+    "quality_filter": (0, ["source", "n_chars"]),
+    "hash_sample": (0, ["text", "source", "n_chars"]),
+    "pii_redact": (0, ["lang", "source", "n_chars"]),
+    "fingerprints": (0, ["lang", "source", "n_chars"]),
+    "quality_scores": (0, ["source", "n_chars"]),
+    # single-shuffle partial-aggregated rollups with pruned scans
+    "length_stats": (1, ["text", "doc_id", "source"]),
+    "lang_id": (1, ["doc_id", "source", "n_chars"]),
+    "token_stats": (1, ["doc_id", "source", "n_chars"]),
+    "minhash_signatures": (1, ["lang", "source", "n_chars"]),
+    "lsh_sign_buckets": (1, ["label"]),
+    "windowed_events": (1, ["user_id", "props"]),
+    "session_stats": (1, ["props", "event_type"]),
+    # small multi-stage shapes (digest agg / two-phase prefix cut)
+    "exact_dedup": (2, ["doc_id", "lang", "n_chars"]),
+    "source_cap_sample": (3, ["text", "lang", "n_chars"]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_CONTRACTS))
+def test_plan_contract(spark, name):
+    max_exchanges, excluded = PLAN_CONTRACTS[name]
+    df = contract.build_queries()[name](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+
+    shuffles = final.count("Exchange hashpartitioning") + final.count(
+        "Exchange rangepartitioning"
+    )
+    assert shuffles <= max_exchanges, f"{name}: {shuffles} shuffles\n{final[:3000]}"
+    assert "CartesianProduct" not in final, final[:3000]
+    assert "ArrowEvalPython" not in final, final[:3000]
+    schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", final)
+    # a materialized (localCheckpoint) pipeline reads its cut as an RDD
+    # scan — the parquet scan+pruning happened inside the materialization
+    assert schemas or "Scan ExistingRDD" in final, final[:3000]
+    for col in excluded:
+        for s in schemas:
+            assert f"{col}:" not in s, f"{name}: unpruned column {col} in {s}"
