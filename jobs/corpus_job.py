@@ -11,10 +11,18 @@ accounting.  Cluster usage::
         --output <corpus parquet/iceberg out> \
         --funnel <per-stage accounting table path>
 
-Local smoke (synthesizes the corpus when --input is 'synthetic:N')::
+Local smoke (synthesizes the corpus when --input is 'synthetic:N', or
+'synthetic:N:START' for a disjoint-id wave)::
 
     spark-submit --master 'local[8]' --py-files engine.zip \
         jobs/corpus_job.py --input synthetic:500 --output /tmp/corpus
+
+Recurring-crawl incremental build (each wave dedups against the persisted
+SimHash index, appends survivors to corpus AND index; retried waves are
+accounted no-ops)::
+
+    ... corpus_job.py --input synthetic:300       --output /tmp/c --dedup-index /tmp/ix
+    ... corpus_job.py --input synthetic:200:300   --output /tmp/c --dedup-index /tmp/ix --append
 """
 
 from __future__ import annotations
@@ -40,6 +48,20 @@ def main(argv: list[str] | None = None) -> None:
         default=None,
         help="near-dup Hamming threshold; implies --near-dup",
     )
+    parser.add_argument(
+        "--dedup-index",
+        default=None,
+        help="persisted SimHash fingerprint index: the wave is deduped "
+        "against it (vs-corpus near-dups rejected) and its survivors' "
+        "fingerprints are appended after the sink write — the recurring-"
+        "crawl incremental corpus build.  First run bootstraps the index.",
+    )
+    parser.add_argument(
+        "--append",
+        action="store_true",
+        help="append to an existing corpus output instead of overwriting "
+        "(the wave shape; combine with --dedup-index)",
+    )
     args = parser.parse_args(argv)
     if args.max_hamming is not None:
         args.near_dup = True  # a threshold without the stage is a silent no-op
@@ -55,7 +77,12 @@ def main(argv: list[str] | None = None) -> None:
     )
 
     if args.input.startswith("synthetic:"):
-        n = int(args.input.split(":", 1)[1])
+        # synthetic:N or synthetic:N:START — START offsets the id range
+        # so successive waves carry disjoint doc_ids (the delta/dedup
+        # caller contract)
+        parts = args.input.split(":")
+        n = int(parts[1])
+        start = int(parts[2]) if len(parts) > 2 else 0
 
         def gen(batches):
             import pandas as pd
@@ -71,7 +98,9 @@ def main(argv: list[str] | None = None) -> None:
                     }
                 )
 
-        documents = spark.range(n).mapInPandas(gen, schema=DOCUMENTS_SPANS_SCHEMA)
+        documents = spark.range(start, start + n).mapInPandas(
+            gen, schema=DOCUMENTS_SPANS_SCHEMA
+        )
     else:
         documents = spark.read.parquet(args.input)
 
@@ -83,9 +112,46 @@ def main(argv: list[str] | None = None) -> None:
         near_dup=args.near_dup,
         max_hamming=args.max_hamming,
     )
-    corpus.write.mode("overwrite").parquet(args.output)
+    if args.dedup_index is not None:
+        from paperoni_spark.pipeline.compose import dedup_wave_against_index
+
+        # existence probe through the Hadoop FS (any mounted scheme),
+        # same rationale as extract_job's resume probe
+        jvm = spark._jvm
+        ix_path = jvm.org.apache.hadoop.fs.Path(args.dedup_index)
+        fs = ix_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(ix_path):
+            corpus, rejected, resubmitted = dedup_wave_against_index(
+                spark, corpus, args.dedup_index, max_hamming=args.max_hamming
+            )
+            # persist the (tiny) reject-id set: the funnel count, the
+            # corpus anti-join, and the index append all consume it —
+            # without the cache each one re-runs the index probe
+            rejected = rejected.persist()
+            funnel = funnel.unionByName(
+                spark.createDataFrame(
+                    [
+                        ("rejected:near_duplicate_vs_corpus", rejected.count()),
+                        ("rejected:already_ingested", resubmitted.count()),
+                    ],
+                    "stage: string, n_docs: long",
+                )
+            )
+
+    mode = "append" if args.append else "overwrite"
+    corpus.write.mode(mode).parquet(args.output)
     if args.funnel is not None:
-        funnel.write.mode("overwrite").parquet(args.funnel)
+        funnel.write.mode(mode).parquet(args.funnel)
+    if args.dedup_index is not None:
+        # AFTER the sink write: a failed wave never poisons the index.
+        # corpus descends from the persisted judged frame, so this does
+        # not re-run the extraction kernel.  mode=append bootstraps a
+        # missing index on the first run.
+        from paperoni_spark.operators.dedup import append_to_simhash_index
+
+        append_to_simhash_index(
+            corpus.select("doc_id", "text"), args.dedup_index
+        )
     # both sinks consumed — release the shared extraction cache.  The
     # persisted frame is internal to build_training_corpus, so drop it via
     # the catalog; this job owns the whole session, so the blanket clear is

@@ -44,7 +44,12 @@ def main(argv: list[str] | None = None) -> None:
     )
 
     if args.input.startswith("synthetic:"):
-        n = int(args.input.split(":", 1)[1])
+        # synthetic:N or synthetic:N:START — START offsets the id range
+        # so successive waves carry disjoint doc_ids (the delta/dedup
+        # caller contract)
+        parts = args.input.split(":")
+        n = int(parts[1])
+        start = int(parts[2]) if len(parts) > 2 else 0
 
         def gen(batches):
             import pandas as pd
@@ -60,7 +65,9 @@ def main(argv: list[str] | None = None) -> None:
                     }
                 )
 
-        documents = spark.range(n).mapInPandas(gen, schema=DOCUMENTS_SPANS_SCHEMA)
+        documents = spark.range(start, start + n).mapInPandas(
+            gen, schema=DOCUMENTS_SPANS_SCHEMA
+        )
     elif args.input.startswith("jsonl:"):
         # newline-delimited JSON — the crawl-dump interchange format.  The
         # span schema is ENFORCED, not inferred: inference scans the data

@@ -190,3 +190,58 @@ def build_training_corpus(
             )
         )
     return corpus, funnel
+
+
+def dedup_wave_against_index(
+    spark, corpus: DataFrame, index_path: str, max_hamming: int | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental corpus build: drop wave documents that near-duplicate
+    the EXISTING corpus via the persisted SimHash fingerprint index —
+    only the wave is hashed; the corpus side is 16 B/doc
+    (operators.dedup.simhash_delta_pairs_against_index).
+
+    Rejects ONLY vs-corpus pairs (counterpart not a wave doc): within-
+    wave duplicates are the funnel's own exact/near-dup stages' job, so
+    the two stages compose without double-counting a document.  Returns
+    ``(survivors, rejected_ids, resubmitted_ids)``; the caller appends
+    the survivors' fingerprints (operators.dedup.append_to_simhash_index)
+    AFTER its sink write succeeds, so a failed wave never poisons the
+    index.
+
+    Wave docs whose doc_id is ALREADY in the index are split off up
+    front (an ids-only anti-join) and returned as ``resubmitted_ids``:
+    a re-submitted or retried wave is an accounted no-op instead of a
+    contract violation that pairs a doc with itself and appends
+    duplicate ids — the same idempotence rule as extract_job's resume
+    anti-join, but visible to the funnel so kept − rejected −
+    resubmitted == written still reconciles exactly."""
+    from ..operators.dedup import simhash_delta_pairs_against_index
+
+    index_ids = spark.read.parquet(index_path).select("doc_id")
+    resubmitted_ids = corpus.select("doc_id").join(index_ids, "doc_id", "semi")
+    corpus = corpus.join(index_ids, "doc_id", "left_anti")
+    kwargs = {} if max_hamming is None else {"max_hamming": max_hamming}
+    pairs = simhash_delta_pairs_against_index(
+        spark, corpus.select("doc_id", "text"), index_path, **kwargs
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("wave_id"), F.col("doc_b").alias("other_id")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("wave_id"), F.col("doc_a").alias("other_id")
+        )
+    )
+    rejected_ids = (
+        sym.join(
+            corpus.select(F.col("doc_id").alias("other_id")),
+            "other_id",
+            "left_anti",
+        )
+        .select(F.col("wave_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        corpus.join(rejected_ids, "doc_id", "left_anti"),
+        rejected_ids,
+        resubmitted_ids,
+    )

@@ -462,3 +462,64 @@ def test_jsonl_input_surface(spark, fixture_df, tmp_path_factory):
     got = key(extract_pipeline(docs).collect())
     want = key(extract_pipeline(fixture_df).collect())
     assert got == want and len(got) == len(fixture_corpus())
+
+
+def test_incremental_corpus_waves(spark, tmp_path_factory):
+    """The recurring-crawl incremental corpus build: wave 1 bootstraps
+    the SimHash fingerprint index; wave 2 carries re-crawled content
+    (same text, new doc_ids) plus genuinely new docs — the re-crawls are
+    rejected vs the INDEX (never vs the wave itself), the new docs
+    survive, and the index grows by exactly the survivors."""
+    from paperoni_spark.operators.dedup import append_to_simhash_index
+    from paperoni_spark.pipeline.compose import (
+        build_training_corpus,
+        dedup_wave_against_index,
+    )
+
+    tmp = tmp_path_factory.mktemp("incr_corpus")
+    index = str(tmp / "sh_index")
+
+    wave1_docs = make_documents_df(spark, synth_corpus(6))
+    corpus1, _ = build_training_corpus(wave1_docs, persist=True)
+    corpus1 = corpus1.persist()
+    n1 = corpus1.count()
+    assert n1 > 0
+    append_to_simhash_index(corpus1.select("doc_id", "text"), index)
+
+    # wave 2: 4 new docs + 3 re-crawls of wave-1 content under new ids
+    recrawl = []
+    for d in synth_corpus(3):
+        d = dict(d)
+        d["doc_id"] = "w2-" + d["doc_id"]
+        recrawl.append(d)
+    wave2_docs = make_documents_df(spark, synth_corpus(4, start=6) + recrawl)
+    corpus2, _ = build_training_corpus(wave2_docs, persist=True)
+    corpus2 = corpus2.persist()
+    # hamming 0: exact re-crawl detection (the synthetic corpus is
+    # near-dup-dense at the default Hamming 3 — a genuinely new doc can
+    # legitimately land within 3 bits of the corpus)
+    survivors, rejected, resubmitted = dedup_wave_against_index(
+        spark, corpus2, index, max_hamming=0
+    )
+    assert resubmitted.count() == 0  # all wave-2 ids are new
+    rej_ids = {r["doc_id"] for r in rejected.collect()}
+    surv_ids = {r["doc_id"] for r in survivors.collect()}
+    wave1_ids = {r["doc_id"] for r in corpus1.collect()}
+    # every rejected id is a wave-2 re-crawl (hamming 0 vs the index)
+    assert rej_ids and all(i.startswith("w2-") for i in rej_ids)
+    # new content survives; nothing from wave 1 appears in wave-2 output
+    assert surv_ids and surv_ids.isdisjoint(wave1_ids)
+    assert all(not i.startswith("w2-") for i in surv_ids)
+    # index grows by exactly the survivors
+    append_to_simhash_index(survivors.select("doc_id", "text"), index)
+    n_index = spark.read.parquet(index).count()
+    assert n_index == n1 + len(surv_ids)
+    # retry idempotence: re-submitting the SAME wave yields zero
+    # survivors — already-ingested ids split off, the rest rejected as
+    # near-dups of their own earlier copies — and the index never grows
+    s3, r3, re3 = dedup_wave_against_index(spark, corpus2, index, max_hamming=0)
+    assert s3.count() == 0
+    assert {r["doc_id"] for r in re3.collect()} == surv_ids
+    assert {r["doc_id"] for r in r3.collect()} == rej_ids
+    corpus1.unpersist()
+    corpus2.unpersist()
