@@ -28,7 +28,9 @@ accounted no-ops)::
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+import uuid
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -62,13 +64,21 @@ def main(argv: list[str] | None = None) -> None:
         help="append to an existing corpus output instead of overwriting "
         "(the wave shape; combine with --dedup-index)",
     )
+    parser.add_argument(
+        "--wave-id",
+        default=None,
+        help="stable id for this wave's output segment (incremental mode "
+        "writes output/wave=<id>); retrying a failed wave with the SAME "
+        "id overwrites its own segment instead of appending duplicate "
+        "rows.  Defaults to a fresh uuid — pass one explicitly in any "
+        "retrying scheduler.",
+    )
     args = parser.parse_args(argv)
     if args.max_hamming is not None:
         args.near_dup = True  # a threshold without the stage is a silent no-op
 
     from pyspark.sql import SparkSession
 
-    from paperoni_spark.contract import DOCUMENTS_SPANS_SCHEMA
     from paperoni_spark.pipeline.compose import build_training_corpus
     from paperoni_spark.pipeline.session import apply_engine_confs
 
@@ -77,30 +87,9 @@ def main(argv: list[str] | None = None) -> None:
     )
 
     if args.input.startswith("synthetic:"):
-        # synthetic:N or synthetic:N:START — START offsets the id range
-        # so successive waves carry disjoint doc_ids (the delta/dedup
-        # caller contract)
-        parts = args.input.split(":")
-        n = int(parts[1])
-        start = int(parts[2]) if len(parts) > 2 else 0
+        from paperoni_spark.pipeline.synth_input import synthetic_documents
 
-        def gen(batches):
-            import pandas as pd
-
-            from paperoni_spark.spans.synthetic import synth_document
-
-            for batch in batches:
-                docs = [synth_document(int(i)) for i in batch["id"]]
-                yield pd.DataFrame(
-                    {
-                        "doc_id": [d["doc_id"] for d in docs],
-                        "spans": [d["spans"] for d in docs],
-                    }
-                )
-
-        documents = spark.range(start, start + n).mapInPandas(
-            gen, schema=DOCUMENTS_SPANS_SCHEMA
-        )
+        documents = synthetic_documents(spark, args.input)
     else:
         documents = spark.read.parquet(args.input)
 
@@ -115,18 +104,45 @@ def main(argv: list[str] | None = None) -> None:
     if args.dedup_index is not None:
         from paperoni_spark.pipeline.compose import dedup_wave_against_index
 
-        # existence probe through the Hadoop FS (any mounted scheme),
+        wave = args.wave_id or uuid.uuid4().hex
+        # existence probes through the Hadoop FS (any mounted scheme),
         # same rationale as extract_job's resume probe
         jvm = spark._jvm
-        ix_path = jvm.org.apache.hadoop.fs.Path(args.dedup_index)
-        fs = ix_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(ix_path):
+
+        def hpath(p):
+            return jvm.org.apache.hadoop.fs.Path(p)
+
+        fs = hpath(args.dedup_index).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        # every sink of this wave — corpus segment, funnel segment, INDEX
+        # segment — is wave=<id>-keyed and written with overwrite, so a
+        # retried wave with the same --wave-id replays identically from
+        # any crash point instead of appending duplicates.  The index's
+        # own segment is deleted BEFORE the probe (a failed attempt's
+        # fingerprints would otherwise pair the wave with itself and
+        # misclassify every doc as already-ingested, emptying the output).
+        own_seg = hpath(os.path.join(args.dedup_index, f"wave={wave}"))
+        if fs.exists(own_seg):
+            fs.delete(own_seg, True)
+        if fs.exists(hpath(args.dedup_index)):
+            if not args.append:
+                # loud refusal (same convention as write_output's
+                # legacy-dir guard): overwriting the corpus while the
+                # index keeps other waves' fingerprints would reject
+                # future docs against content no longer in the corpus
+                raise SystemExit(
+                    "--dedup-index points at an existing index but --append "
+                    "was not given: a plain overwrite would desynchronize "
+                    "corpus and index.  Pass --append for a wave, or remove "
+                    "the index to rebuild from scratch."
+                )
             corpus, rejected, resubmitted = dedup_wave_against_index(
                 spark, corpus, args.dedup_index, max_hamming=args.max_hamming
             )
-            # persist the (tiny) reject-id set: the funnel count, the
-            # corpus anti-join, and the index append all consume it —
-            # without the cache each one re-runs the index probe
+            # persist the (tiny) reject-id set: the funnel count and the
+            # corpus anti-join both consume it — without the cache each
+            # one re-runs the index probe
             rejected = rejected.persist()
             funnel = funnel.unionByName(
                 spark.createDataFrame(
@@ -137,21 +153,28 @@ def main(argv: list[str] | None = None) -> None:
                     "stage: string, n_docs: long",
                 )
             )
-
-    mode = "append" if args.append else "overwrite"
-    corpus.write.mode(mode).parquet(args.output)
-    if args.funnel is not None:
-        funnel.write.mode(mode).parquet(args.funnel)
-    if args.dedup_index is not None:
-        # AFTER the sink write: a failed wave never poisons the index.
-        # corpus descends from the persisted judged frame, so this does
-        # not re-run the extraction kernel.  mode=append bootstraps a
-        # missing index on the first run.
-        from paperoni_spark.operators.dedup import append_to_simhash_index
-
-        append_to_simhash_index(
-            corpus.select("doc_id", "text"), args.dedup_index
+        corpus.write.mode("overwrite").parquet(
+            os.path.join(args.output, f"wave={wave}")
         )
+        if args.funnel is not None:
+            funnel.write.mode("overwrite").parquet(
+                os.path.join(args.funnel, f"wave={wave}")
+            )
+        # the wave's index segment, written LAST (a failed wave never
+        # poisons the index; corpus descends from the persisted judged
+        # frame, so this re-runs no extraction).  Bootstraps a missing
+        # index on the first run — corpus_job-owned indexes are always
+        # wave-segmented; don't point it at a flat operator-built index.
+        from paperoni_spark.operators.dedup import SIMHASH_PAIR_BITS, simhash
+
+        simhash(corpus.select("doc_id", "text"), SIMHASH_PAIR_BITS).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(args.dedup_index, f"wave={wave}"))
+    else:
+        mode = "append" if args.append else "overwrite"
+        corpus.write.mode(mode).parquet(args.output)
+        if args.funnel is not None:
+            funnel.write.mode(mode).parquet(args.funnel)
     # both sinks consumed — release the shared extraction cache.  The
     # persisted frame is internal to build_training_corpus, so drop it via
     # the catalog; this job owns the whole session, so the blanket clear is

@@ -44,30 +44,9 @@ def main(argv: list[str] | None = None) -> None:
     )
 
     if args.input.startswith("synthetic:"):
-        # synthetic:N or synthetic:N:START — START offsets the id range
-        # so successive waves carry disjoint doc_ids (the delta/dedup
-        # caller contract)
-        parts = args.input.split(":")
-        n = int(parts[1])
-        start = int(parts[2]) if len(parts) > 2 else 0
+        from paperoni_spark.pipeline.synth_input import synthetic_documents
 
-        def gen(batches):
-            import pandas as pd
-
-            from paperoni_spark.spans.synthetic import synth_document
-
-            for batch in batches:
-                docs = [synth_document(int(i)) for i in batch["id"]]
-                yield pd.DataFrame(
-                    {
-                        "doc_id": [d["doc_id"] for d in docs],
-                        "spans": [d["spans"] for d in docs],
-                    }
-                )
-
-        documents = spark.range(start, start + n).mapInPandas(
-            gen, schema=DOCUMENTS_SPANS_SCHEMA
-        )
+        documents = synthetic_documents(spark, args.input)
     elif args.input.startswith("jsonl:"):
         # newline-delimited JSON — the crawl-dump interchange format.  The
         # span schema is ENFORCED, not inferred: inference scans the data

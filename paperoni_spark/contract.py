@@ -674,10 +674,7 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the offset is ≢ 0 (mod 3) every twin lands in a DIFFERENT
     micro-batch than its seed — each duplicate digest exercises a real
     cross-batch state update, not a within-batch shortcut."""
-    import glob
     import shutil
-    import tempfile
-    import time
 
     from .streaming.dedup import run_streaming_exact_dedup
 
@@ -687,19 +684,37 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("doc_id") + PLANT_ID_OFFSET
         )
     )
-    tmp = tempfile.mkdtemp(prefix="sdedup_")
-    docs_dir = os.path.join(tmp, "docs")
-    os.makedirs(docs_dir)
-    now = time.time()
-    for i in range(3):
-        sdir = os.path.join(tmp, f"s{i}")
-        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(sdir)
-        dst = os.path.join(docs_dir, f"b{i}.parquet")
-        shutil.move(glob.glob(os.path.join(sdir, "part-*.parquet"))[0], dst)
-        os.utime(dst, (now + 10 * i, now + 10 * i))
+    tmp, docs_dir = _stage_micro_batches(docs, prefix="sdedup_")
     result = run_streaming_exact_dedup(spark, docs_dir, max_files_per_trigger=1)
     shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+def _stage_micro_batches(
+    docs: DataFrame, prefix: str, n_batches: int = 3
+) -> tuple[str, str]:
+    """Stage a documents frame as ``n_batches`` mtime-ordered parquet
+    files (doc_id mod ``n_batches``) under a fresh temp dir — the shared
+    harness for the streaming gates (file sources order batches by
+    modification time).  Returns ``(tmp_root, docs_dir)``; the caller
+    owns cleanup (rmtree after the stream drains, or atexit when the
+    returned frame reads lazily)."""
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    docs_dir = os.path.join(tmp, "docs")
+    os.makedirs(docs_dir)
+    now = time.time()
+    for i in range(n_batches):
+        sdir = os.path.join(tmp, f"s{i}")
+        docs.where(F.col("doc_id") % n_batches == i).coalesce(1).write.parquet(sdir)
+        dst = os.path.join(docs_dir, f"b{i}.parquet")
+        shutil.move(glob.glob(os.path.join(sdir, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    return tmp, docs_dir
 
 
 def oracle_streaming_exact_dedup() -> str:
@@ -724,26 +739,14 @@ def q_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-corpus naive Hamming≤max sweep (banding is pigeonhole-exact);
     production keeps the default cap."""
     import atexit
-    import glob
     import shutil
-    import tempfile
-    import time
 
     from .streaming.dedup import run_streaming_simhash_dedup
 
     docs = load(spark, sf_dir, "documents")
     # results are read lazily from the accumulator dir — reap at exit
-    tmp = tempfile.mkdtemp(prefix="ssimhash_")
+    tmp, docs_dir = _stage_micro_batches(docs, prefix="ssimhash_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    docs_dir = os.path.join(tmp, "docs")
-    os.makedirs(docs_dir)
-    now = time.time()
-    for i in range(3):
-        sdir = os.path.join(tmp, f"s{i}")
-        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(sdir)
-        dst = os.path.join(docs_dir, f"b{i}.parquet")
-        shutil.move(glob.glob(os.path.join(sdir, "part-*.parquet"))[0], dst)
-        os.utime(dst, (now + 10 * i, now + 10 * i))
     return run_streaming_simhash_dedup(
         spark,
         docs_dir,

@@ -565,9 +565,34 @@ def simhash_delta_pairs_against_index(
     over-cap guard counted over index ∪ delta (full-recompute semantics),
     and disjoint-ids caller contract as the MinHash twin
     (:func:`dedup_delta_pairs_against_index`)."""
+    return simhash_delta_pairs_from_sh(
+        spark,
+        simhash(delta_docs, bits),
+        index_path,
+        bits=bits,
+        max_hamming=max_hamming,
+        bands=bands,
+        cap=cap,
+    )
+
+
+def simhash_delta_pairs_from_sh(
+    spark,
+    delta_sh: DataFrame,
+    index_path: str,
+    bits: int = SIMHASH_PAIR_BITS,
+    max_hamming: int = SIMHASH_HAMMING_MAX,
+    bands: int = SIMHASH_BANDS,
+    cap: int = SIMHASH_BAND_CAP,
+) -> DataFrame:
+    """The probe with a PRECOMPUTED (doc_id, simhash) delta frame — for
+    callers that also append the wave to the index and must not run the
+    tokenize+hash UDF twice per document (the streaming recurring-crawl
+    loop hashes once, probes, then writes the same frame as the wave's
+    index segment)."""
     _simhash_pair_guard(bits, bands, max_hamming)
     delta_rows = materialize(
-        _simhash_band_rows_from(simhash(delta_docs, bits), bits, bands)
+        _simhash_band_rows_from(delta_sh, bits, bands)
     )
     index_rows = _simhash_band_rows_from(
         spark.read.parquet(index_path), bits, bands

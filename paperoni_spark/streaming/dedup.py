@@ -151,27 +151,49 @@ def run_streaming_simhash_dedup(
     ``cap=None`` keeps the production band cap; the gate passes a huge
     cap so the accumulated result is provably the corpus's complete
     Hamming≤max pair set (per-wave cap sets aren't expressible as one
-    batch query — the cap is counted over index ∪ wave at each wave)."""
+    batch query — the cap is counted over index ∪ wave at each wave).
+
+    Durability layout: the index and the results are directories of
+    ``batch=<id>`` segments, and every batch writes ONLY its own segment
+    with mode=overwrite.  foreachBatch is at-least-once, so a retried
+    batch first deletes any leftover segment from its failed attempt
+    (restoring the disjoint-ids probe contract) and then rewrites it —
+    idempotent, never appending duplicates.  On restart the checkpoint
+    skips committed batches and the index keeps their segments: the
+    empty bootstrap segment is seeded ONLY when the index does not exist
+    yet, never wiping fingerprints a prior run committed."""
+    from ..materialize import materialize
     from ..operators import dedup as dedup_ops
 
-    # an empty seed index: wave 0 probes it (finding only same-wave
-    # pairs) and then appends — every wave runs the SAME code path
-    dedup_ops.write_simhash_index(
-        spark.createDataFrame([], DOCUMENTS_TABLE_SCHEMA), index_dir
-    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    # the 64-bit PAIR fingerprint everywhere (simhash() alone defaults to
+    # the 16-bit statistics width — a silent 700× pair explosion)
+    bits = dedup_ops.SIMHASH_PAIR_BITS
+    fs = hpath(index_dir).getFileSystem(conf)
+    if not fs.exists(hpath(index_dir)):
+        dedup_ops.simhash(
+            spark.createDataFrame([], DOCUMENTS_TABLE_SCHEMA), bits
+        ).write.parquet(f"{index_dir}/batch=-1")
 
     kwargs = {} if cap is None else {"cap": cap}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        try:
-            pairs = dedup_ops.simhash_delta_pairs_against_index(
-                spark, batch_df, index_dir, **kwargs
-            )
-            pairs.write.mode("append").parquet(results_dir)
-            dedup_ops.append_to_simhash_index(batch_df, index_dir)
-        finally:
-            batch_df.unpersist()
+        own_seg = hpath(f"{index_dir}/batch={batch_id}")
+        if fs.exists(own_seg):  # failed prior attempt of THIS batch
+            fs.delete(own_seg, True)
+        # hash ONCE: the same materialized (doc_id, simhash) frame feeds
+        # the probe and becomes the wave's index segment
+        sh = materialize(dedup_ops.simhash(batch_df, bits))
+        pairs = dedup_ops.simhash_delta_pairs_from_sh(
+            spark, sh, index_dir, **kwargs
+        )
+        pairs.write.mode("overwrite").parquet(f"{results_dir}/batch={batch_id}")
+        sh.write.mode("overwrite").parquet(f"{index_dir}/batch={batch_id}")
 
     reader = spark.readStream.schema(DOCUMENTS_TABLE_SCHEMA).option(
         "pathGlobFilter", path_glob
@@ -186,4 +208,4 @@ def run_streaming_simhash_dedup(
         .start()
     )
     query.awaitTermination()
-    return spark.read.parquet(results_dir)
+    return spark.read.parquet(results_dir).select("doc_a", "doc_b", "hamming")
