@@ -1066,3 +1066,52 @@ def test_streaming_simhash_pairs(spark, docs, ddb):
     assert any(r["doc_a"] % 3 != r["doc_b"] % 3 for r in rows), rows
     # and no duplicates across waves (exactly-once by construction)
     assert len(rows) == len({(r["doc_a"], r["doc_b"]) for r in rows})
+
+
+def test_streaming_simhash_restart(spark, tmp_path):
+    """The index survives a stream restart: run 1 ingests two batches;
+    run 2 reuses the same dirs/checkpoint with a NEW wave file — the
+    committed batches are skipped, their fingerprints are NOT re-seeded
+    away, and the new wave pairs against a run-1 document via the
+    retained index (the exact failure mode of an unconditional empty
+    bootstrap + durable checkpoint)."""
+    import time
+
+    from paperoni_spark.streaming.dedup import run_streaming_simhash_dedup
+
+    def write_batch(rows, name, mtime):
+        df = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        sdir = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.parquet(sdir)
+        import glob as g
+        import shutil
+
+        dst = str(tmp_path / "docs" / name)
+        shutil.move(g.glob(sdir + "/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    (tmp_path / "docs").mkdir()
+    now = time.time()
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    write_batch([(1, t1)], "b0.parquet", now)
+    write_batch([(2, "one two three four five six seven eight")], "b1.parquet", now + 10)
+    index = str(tmp_path / "ix")
+    results = str(tmp_path / "res")
+    r1 = run_streaming_simhash_dedup(
+        spark, str(tmp_path / "docs"), index, results,
+        max_files_per_trigger=1, cap=10**9,
+    ).collect()
+
+    # restart with a new wave duplicating run-1's doc 1 under a new id
+    write_batch([(3, t1)], "b2.parquet", now + 20)
+    r2 = run_streaming_simhash_dedup(
+        spark, str(tmp_path / "docs"), index, results,
+        max_files_per_trigger=1, cap=10**9,
+    ).collect()
+    pairs2 = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in r2}
+    assert pairs2.get((1, 3)) == 0  # cross-restart pair via retained index
+    assert len(r2) == len(set((r["doc_a"], r["doc_b"]) for r in r2))
+    assert set((r["doc_a"], r["doc_b"]) for r in r1) <= set(pairs2)
