@@ -406,34 +406,8 @@ def ivf_assignments(
     )
     centroids = [list(r["emb"]) for r in seed_rows]
 
-    def assign_col(cents):
-        # one numpy matmul per Arrow batch instead of k interpreted
-        # higher-order-function distances per row (~10× on the hot pass);
-        # np.argmin takes the FIRST min — ties break to the lowest centroid
-        # id, matching the oracle's (d, cid) ordering.  round() before
-        # argmin keeps assignment FP-order independent across engines.
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-
-        cent_mat = np.array(cents, dtype=np.float64)  # k × dim
-        cent_sq = (cent_mat * cent_mat).sum(axis=1)
-
-        @pandas_udf("int")
-        def assign_udf(emb):
-            mat = np.stack(emb.to_numpy()).astype(np.float64)
-            dists = (
-                (mat * mat).sum(axis=1)[:, None]
-                - 2.0 * (mat @ cent_mat.T)
-                + cent_sq[None, :]
-            )
-            dists = np.round(dists, IVF_ROUND)
-            return pd.Series(np.argmin(dists, axis=1).astype("int32"))
-
-        return assign_udf(F.col("emb"))
-
     for _ in range(iters):
-        assigned = base.withColumn("centroid", assign_col(centroids))
+        assigned = base.withColumn("centroid", _ivf_assign_col(centroids))
         # element-wise mean per cluster: explode dims once, partial-agg
         means = (
             assigned.select("centroid", F.posexplode("emb").alias("dim", "val"))
@@ -450,11 +424,41 @@ def ivf_assignments(
     # corpus probe join, index write) — materialize so the assignment
     # matmul runs once, not per consumer (measured 4 ArrowEvalPython evals
     # in ann_ivf_topk's final plan without this)
-    assigned = base.withColumn("centroid", assign_col(centroids))
+    assigned = base.withColumn("centroid", _ivf_assign_col(centroids))
     return materialize(assigned), centroids
 
 
-def write_ivf_index(assigned: DataFrame, path: str) -> None:
+def _ivf_assign_col(cents: list[list[float]]):
+    """Nearest-centroid assignment column: one numpy matmul per Arrow
+    batch instead of k interpreted higher-order-function distances per
+    row (~10× on the hot pass); np.argmin takes the FIRST min — ties
+    break to the lowest centroid id, matching the oracle's (d, cid)
+    ordering.  round() before argmin keeps assignment FP-order
+    independent across engines."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent_mat = np.array(cents, dtype=np.float64)  # k × dim
+    cent_sq = (cent_mat * cent_mat).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign_udf(emb):
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        dists = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ cent_mat.T)
+            + cent_sq[None, :]
+        )
+        dists = np.round(dists, IVF_ROUND)
+        return pd.Series(np.argmin(dists, axis=1).astype("int32"))
+
+    return assign_udf(F.col("emb"))
+
+
+def write_ivf_index(
+    assigned: DataFrame, path: str, centroids: list[list[float]] | None = None
+) -> None:
     """Materialize the IVF index: the assigned table written PARTITIONED BY
     centroid.  Probing then prunes at the source — a query touching nprobe
     clusters reads nprobe directories out of n_centroids, never scanning
@@ -462,8 +466,43 @@ def write_ivf_index(assigned: DataFrame, path: str) -> None:
     equivalent: ``writeTo(tbl).partitionedBy(col("centroid")).create()`` —
     parquet directory partitioning stands in, same pruning semantics.)
     tests/test_operators.py::test_ivf_probe_scan_partition_pruned asserts
-    the pruned plan and that only the probed partitions' files are read."""
+    the pruned plan and that only the probed partitions' files are read.
+
+    Pass ``centroids`` to persist the coarse quantizer beside the rows
+    (an underscore-prefixed side table — invisible to partition
+    discovery), making the index self-contained: waves then append via
+    :func:`append_to_ivf_index` without the caller carrying quantizer
+    state."""
     assigned.write.partitionBy("centroid").mode("overwrite").parquet(path)
+    if centroids is not None:
+        spark = assigned.sparkSession
+        spark.createDataFrame(
+            [(i, list(c)) for i, c in enumerate(centroids)],
+            "centroid: int, coords: array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def read_ivf_centroids(spark, path: str) -> list[list[float]]:
+    """The persisted coarse quantizer (k × dim floats — control-plane)."""
+    rows = spark.read.parquet(f"{path}/_centroids").orderBy("centroid").collect()
+    return [list(r["coords"]) for r in rows]
+
+
+def append_to_ivf_index(embeddings: DataFrame, path: str) -> None:
+    """Add a wave to the IVF index: assign against the FROZEN persisted
+    centroids (standard production IVF — the coarse quantizer is trained
+    once and reused; re-clustering is an offline rebuild) and append
+    into the centroid partition directories.  Pure map-side: one matmul
+    per Arrow batch, no shuffle.  Caller contract: vec_ids disjoint from
+    the index."""
+    spark = embeddings.sparkSession
+    cents = read_ivf_centroids(spark, path)
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    base.withColumn("centroid", _ivf_assign_col(cents)).write.partitionBy(
+        "centroid"
+    ).mode("append").parquet(path)
 
 
 def ivf_probe_scan(

@@ -789,7 +789,7 @@ def test_ivf_probe_scan_partition_pruned(spark, embeds, tmp_path_factory):
     the full corpus."""
     path = str(tmp_path_factory.mktemp("ivf") / "index")
     assigned, centroids = similarity.ivf_assignments(embeds, n_centroids=16)
-    similarity.write_ivf_index(assigned.select("vec_id", "centroid"), path)
+    similarity.write_ivf_index(assigned, path, centroids)
     probes = [3, 7]
     scan = similarity.ivf_probe_scan(spark, path, probes)
     plan = scan._jdf.queryExecution().executedPlan().toString()
@@ -808,6 +808,21 @@ def test_ivf_probe_scan_partition_pruned(spark, embeds, tmp_path_factory):
     # and the pruned scan returns exactly the probed clusters' rows
     expected = assigned.where(F.col("centroid").isin(probes)).count()
     assert scan.count() == expected > 0
+
+    # recurring-wave write-back: the persisted coarse quantizer makes the
+    # index self-contained — a wave assigns against the FROZEN centroids
+    # map-side and appends into its partition; the side table is
+    # underscore-prefixed, invisible to partition discovery
+    assert similarity.read_ivf_centroids(spark, path) == centroids
+    seed = assigned.orderBy("vec_id").limit(1).collect()[0]
+    wave = spark.createDataFrame(
+        [(10_000_001, list(seed["emb"]))], "vec_id: long, embedding: array<double>"
+    )
+    similarity.append_to_ivf_index(wave, path)
+    got = similarity.ivf_probe_scan(spark, path, [seed["centroid"]]).where(
+        F.col("vec_id") == 10_000_001
+    ).collect()
+    assert len(got) == 1 and got[0]["centroid"] == seed["centroid"]
 
 
 def test_ann_lsh_index_partition_pruned(spark, embeds, ddb, tmp_path):
