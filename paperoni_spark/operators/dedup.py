@@ -407,12 +407,29 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         documents.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
         .withColumn("h", F.md5("tok"))
     )
+    # decode the md5 prefix ONCE per token into two 32-bit halves; each
+    # bit is then an integer shift+mask instead of per-bit substring+instr
+    # over the hex string (4 string ops × bits per token row → 2 convs per
+    # token).  VALUE-IDENTICAL to the positional hex decode the DuckDB
+    # oracles keep using: hex char c (1-based) is the (8−c)th nibble of
+    # its half, and bit_in_char indexes within the nibble exactly as the
+    # per-char decode did — gated by every simhash oracle row.
+    toks = toks.withColumn(
+        "h_hi", F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+    )
+    if bits > 32:
+        toks = toks.withColumn(
+            "h_lo", F.conv(F.substring("h", 9, 8), 16, 10).cast("long")
+        )
     aggs = []
     for j in range(bits):
         char_idx = j // 4 + 1  # 1-based into the md5 hex string
         bit_in_char = j % 4
-        val = F.instr(F.lit("0123456789abcdef"), F.substring("h", char_idx, 1)) - 1
-        bit = F.shiftright(val, bit_in_char) % 2
+        if char_idx <= 8:
+            src, shift = F.col("h_hi"), (8 - char_idx) * 4 + bit_in_char
+        else:
+            src, shift = F.col("h_lo"), (16 - char_idx) * 4 + bit_in_char
+        bit = F.shiftright(src, shift).bitwiseAND(F.lit(1))
         aggs.append(
             F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{j}")
         )
