@@ -193,6 +193,7 @@ def main() -> None:
         "streaming_exact_dedup",
         "length_stats",
         "streaming_simhash_pairs",
+        "streaming_embedding_pairs",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

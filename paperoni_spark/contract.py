@@ -691,7 +691,7 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stage_micro_batches(
-    docs: DataFrame, prefix: str, n_batches: int = 3
+    docs: DataFrame, prefix: str, n_batches: int = 3, key_col: str = "doc_id"
 ) -> tuple[str, str]:
     """Stage a documents frame as ``n_batches`` mtime-ordered parquet
     files (doc_id mod ``n_batches``) under a fresh temp dir — the shared
@@ -710,7 +710,7 @@ def _stage_micro_batches(
     now = time.time()
     for i in range(n_batches):
         sdir = os.path.join(tmp, f"s{i}")
-        docs.where(F.col("doc_id") % n_batches == i).coalesce(1).write.parquet(sdir)
+        docs.where(F.col(key_col) % n_batches == i).coalesce(1).write.parquet(sdir)
         dst = os.path.join(docs_dir, f"b{i}.parquet")
         shutil.move(glob.glob(os.path.join(sdir, "part-*.parquet"))[0], dst)
         os.utime(dst, (now + 10 * i, now + 10 * i))
@@ -768,6 +768,61 @@ SELECT least(a.doc_id, b.doc_id) AS doc_a,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_HAMMING_MAX}
+"""
+
+
+def q_streaming_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector twin of streaming_simhash_pairs: each micro-batch is
+    coded once, probed against the persisted sign-LSH index, and written
+    as its own idempotent segment.  Cap lifted so the accumulated union
+    provably equals the whole-corpus banded sweep (band collision is a
+    global property of two codes, independent of which wave carried
+    each vector)."""
+    import atexit
+    import shutil
+
+    from .streaming.dedup import run_streaming_embedding_dedup
+
+    embeds = planted_embeddings(load(spark, sf_dir, "embeddings"))
+    tmp, emb_dir = _stage_micro_batches(
+        embeds, prefix="semb_", key_col="vec_id"
+    )
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return run_streaming_embedding_dedup(
+        spark,
+        emb_dir,
+        os.path.join(tmp, "index"),
+        os.path.join(tmp, "results"),
+        max_files_per_trigger=1,
+        cap=10**9,
+    )
+
+
+def oracle_streaming_embedding_pairs() -> str:
+    """Whole-planted-corpus banded cosine sweep with the cap lifted —
+    what the streamed union of per-wave probes must equal."""
+    cos = (
+        "round(list_dot_product(ea.emb, eb.emb) / "
+        "(sqrt(list_dot_product(ea.emb, ea.emb)) * "
+        "sqrt(list_dot_product(eb.emb, eb.emb))), 3)"
+    )
+    return f"""
+WITH planted AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {TWIN_ID_OFFSET}, embedding FROM embeddings WHERE vec_id < {N_PLANTED_TWINS}
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM planted),
+{_bands_cte(cap=10**9)},
+cand AS (
+  SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+         greatest(a.vec_id, b.vec_id) AS vec_b
+  FROM capped a JOIN capped b USING (band, bkey)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {cos} AS cosine
+FROM cand JOIN base ea ON ea.vec_id = vec_a JOIN base eb ON eb.vec_id = vec_b
+WHERE {cos} >= {similarity.EMBED_NEAR_DUP_THRESHOLD}
 """
 
 
@@ -1249,17 +1304,18 @@ def _band_key_sql(emb: str, band: int) -> str:
     return " || ".join(bits)
 
 
-def _bands_cte(src: str = "base") -> str:
+def _bands_cte(src: str = "base", cap: int | None = None) -> str:
     """bands: one row per (vector, band); capped: rows in under-cap buckets."""
     per_band = " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band, ({_band_key_sql('emb', b)}) AS bkey FROM {src}"
         for b in range(similarity.N_BANDS)
     )
+    the_cap = similarity.MAX_BUCKET if cap is None else cap
     return f"""bands AS ({per_band}),
 capped AS (
   SELECT b.* FROM bands b
   JOIN (SELECT band, bkey FROM bands GROUP BY 1, 2
-        HAVING count(*) <= {similarity.MAX_BUCKET}) ok USING (band, bkey))"""
+        HAVING count(*) <= {the_cap}) ok USING (band, bkey))"""
 
 
 def oracle_lsh_sign_buckets() -> str:
@@ -1985,6 +2041,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_exact_dedup": q_streaming_exact_dedup,
         # recurring-crawl near-dup: per-wave index probe + append as a stream
         "streaming_simhash_pairs": q_streaming_simhash_pairs,
+        # the vector twin: per-wave sign-LSH probe + segment append
+        "streaming_embedding_pairs": q_streaming_embedding_pairs,
     }
 
 
@@ -2048,4 +2106,5 @@ def build_oracles() -> dict[str, str]:
         "streaming_session_stats_evicting": oracle_session_stats(),
         "streaming_exact_dedup": oracle_streaming_exact_dedup(),
         "streaming_simhash_pairs": oracle_streaming_simhash_pairs(),
+        "streaming_embedding_pairs": oracle_streaming_embedding_pairs(),
     }

@@ -338,6 +338,24 @@ def embedding_delta_near_dup_against_index(
     delta_coded = materialize(
         delta_base.select("vec_id", lsh_code_col(F.col("emb")).alias("code"))
     )
+    return embedding_delta_near_dup_from_coded(
+        spark, delta_base, delta_coded, index_path, threshold, cap
+    )
+
+
+def embedding_delta_near_dup_from_coded(
+    spark,
+    delta_base: DataFrame,
+    delta_coded: DataFrame,
+    index_path: str,
+    threshold: float = EMBED_NEAR_DUP_THRESHOLD,
+    cap: int = MAX_BUCKET,
+) -> DataFrame:
+    """The probe with PRECOMPUTED delta codes — ``delta_base`` carries
+    (vec_id, emb double[]), ``delta_coded`` (vec_id, code).  For callers
+    that also append the wave to the index and must not run the coding
+    UDF twice per vector (the streaming recurring-crawl loop codes once,
+    probes, then writes the same frame as the wave's index segment)."""
     index_coded = spark.read.parquet(index_path)
     delta_bands = _bands_from_coded(delta_coded)
     index_bands = _bands_from_coded(index_coded.select("vec_id", "code"))

@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -209,3 +212,90 @@ def run_streaming_simhash_dedup(
     )
     query.awaitTermination()
     return spark.read.parquet(results_dir).select("doc_a", "doc_b", "hamming")
+
+
+EMBEDDINGS_TABLE_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def run_streaming_embedding_dedup(
+    spark: SparkSession,
+    emb_dir: str,
+    index_dir: str,
+    results_dir: str,
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "*.parquet",
+    threshold: float | None = None,
+    cap: int | None = None,
+) -> DataFrame:
+    """The vector twin of :func:`run_streaming_simhash_dedup` — semantic
+    near-dup sweep as a stream: each wave is sign-LSH-coded ONCE (the
+    materialized (vec_id, emb, code) frame feeds the probe and becomes
+    the wave's index segment), probed against the persisted index, and
+    written under the same batch-segmented idempotent layout (own
+    segment deleted before the probe; restart keeps committed segments).
+    Completes the streamed recurring-crawl trilogy: text fingerprints
+    (SimHash), and vectors here — the pair surfaces exactly once, in the
+    batch where its later vector arrives."""
+    from ..materialize import materialize
+    from ..operators import similarity as sim
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = hpath(index_dir).getFileSystem(conf)
+    if not fs.exists(hpath(index_dir)):
+        spark.createDataFrame(
+            [], "vec_id: long, emb: array<double>, code: string"
+        ).write.parquet(f"{index_dir}/batch=-1")
+
+    kwargs = {}
+    if threshold is not None:
+        kwargs["threshold"] = threshold
+    if cap is not None:
+        kwargs["cap"] = cap
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        own_seg = hpath(f"{index_dir}/batch={batch_id}")
+        if fs.exists(own_seg):
+            fs.delete(own_seg, True)
+        base = batch_df.select(
+            "vec_id", sim._to_double(F.col("embedding")).alias("emb")
+        )
+        coded = materialize(
+            base.select(
+                "vec_id", "emb", sim.lsh_code_col(F.col("emb")).alias("code")
+            )
+        )
+        pairs = sim.embedding_delta_near_dup_from_coded(
+            spark,
+            coded.select("vec_id", "emb"),
+            coded.select("vec_id", "code"),
+            index_dir,
+            **kwargs,
+        )
+        pairs.write.mode("overwrite").parquet(f"{results_dir}/batch={batch_id}")
+        coded.write.mode("overwrite").parquet(f"{index_dir}/batch={batch_id}")
+
+    reader = spark.readStream.schema(EMBEDDINGS_TABLE_SCHEMA).option(
+        "pathGlobFilter", path_glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    query = (
+        reader.parquet(emb_dir)
+        .writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{results_dir}_ckpt")
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(results_dir).select("vec_a", "vec_b", "cosine")

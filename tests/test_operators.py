@@ -1130,3 +1130,18 @@ def test_streaming_simhash_restart(spark, tmp_path):
     assert pairs2.get((1, 3)) == 0  # cross-restart pair via retained index
     assert len(r2) == len(set((r["doc_a"], r["doc_b"]) for r in r2))
     assert set((r["doc_a"], r["doc_b"]) for r in r1) <= set(pairs2)
+
+
+def test_streaming_embedding_pairs(spark, embeds, ddb):
+    """Vector twin of the streamed near-dup loop: oracle parity with the
+    whole-corpus banded sweep, cross-batch pairs present (planted twins
+    at vec_id+TWIN_ID_OFFSET land in different mod-3 batches whenever
+    offset%3 shifts the residue), no duplicate emissions."""
+    result = contract.q_streaming_embedding_pairs(spark, SF_DIR)
+    rows = result.collect()
+    assert_matches_oracle(
+        result, ddb, contract.oracle_streaming_embedding_pairs()
+    )
+    assert any(r["vec_a"] % 3 != r["vec_b"] % 3 for r in rows), rows
+    assert len(rows) == len({(r["vec_a"], r["vec_b"]) for r in rows})
+    assert all(r["cosine"] >= 0.95 for r in rows) and rows
