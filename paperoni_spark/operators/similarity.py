@@ -502,6 +502,15 @@ def write_ivf_index(
 
 def read_ivf_centroids(spark, path: str) -> list[list[float]]:
     """The persisted coarse quantizer (k × dim floats — control-plane)."""
+    jvm = spark._jvm
+    cpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_centroids")
+    fs = cpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(cpath):
+        raise ValueError(
+            f"IVF index at {path} has no _centroids side table — it was "
+            "written without its quantizer and cannot serve appends; "
+            "rebuild with write_ivf_index(assigned, path, centroids)"
+        )
     rows = spark.read.parquet(f"{path}/_centroids").orderBy("centroid").collect()
     return [list(r["coords"]) for r in rows]
 

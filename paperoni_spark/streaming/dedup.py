@@ -168,50 +168,84 @@ def run_streaming_simhash_dedup(
     from ..materialize import materialize
     from ..operators import dedup as dedup_ops
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-
-    def hpath(p: str):
-        return jvm.org.apache.hadoop.fs.Path(p)
-
     # the 64-bit PAIR fingerprint everywhere (simhash() alone defaults to
     # the 16-bit statistics width — a silent 700× pair explosion)
     bits = dedup_ops.SIMHASH_PAIR_BITS
-    fs = hpath(index_dir).getFileSystem(conf)
-    if not fs.exists(hpath(index_dir)):
-        dedup_ops.simhash(
-            spark.createDataFrame([], DOCUMENTS_TABLE_SCHEMA), bits
-        ).write.parquet(f"{index_dir}/batch=-1")
-
     kwargs = {} if cap is None else {"cap": cap}
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        own_seg = hpath(f"{index_dir}/batch={batch_id}")
-        if fs.exists(own_seg):  # failed prior attempt of THIS batch
-            fs.delete(own_seg, True)
+    def bootstrap(seed_path: str) -> None:
+        dedup_ops.simhash(
+            spark.createDataFrame([], DOCUMENTS_TABLE_SCHEMA), bits
+        ).write.parquet(seed_path)
+
+    def wave(batch_df: DataFrame, batch_id: int):
         # hash ONCE: the same materialized (doc_id, simhash) frame feeds
         # the probe and becomes the wave's index segment
         sh = materialize(dedup_ops.simhash(batch_df, bits))
         pairs = dedup_ops.simhash_delta_pairs_from_sh(
             spark, sh, index_dir, **kwargs
         )
-        pairs.write.mode("overwrite").parquet(f"{results_dir}/batch={batch_id}")
-        sh.write.mode("overwrite").parquet(f"{index_dir}/batch={batch_id}")
+        return pairs, sh
 
-    reader = spark.readStream.schema(DOCUMENTS_TABLE_SCHEMA).option(
+    return _run_indexed_wave_stream(
+        spark, docs_dir, index_dir, results_dir, DOCUMENTS_TABLE_SCHEMA,
+        bootstrap, wave, ["doc_a", "doc_b", "hamming"],
+        max_files_per_trigger, path_glob,
+    )
+
+
+def _run_indexed_wave_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    results_dir: str,
+    input_schema: StructType,
+    bootstrap_writer,
+    process_wave,
+    out_cols: list[str],
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "*.parquet",
+) -> DataFrame:
+    """Shared scaffolding for the streamed recurring-crawl loops — the
+    exactly-once/restart machinery lives HERE, once: conditional empty
+    bootstrap (never wiping a prior run's committed segments), per-batch
+    own-index-segment delete before the probe (at-least-once retries
+    restore the disjoint-ids contract), batch-keyed overwrite writes for
+    both sinks, and the accumulated read-back.  ``process_wave(batch_df,
+    batch_id)`` returns ``(pairs_df, index_segment_df)``; the
+    restart-retention test covers every loop built on this driver."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = hpath(index_dir).getFileSystem(conf)
+    if not fs.exists(hpath(index_dir)):
+        bootstrap_writer(f"{index_dir}/batch=-1")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        own_seg = hpath(f"{index_dir}/batch={batch_id}")
+        if fs.exists(own_seg):  # failed prior attempt of THIS batch
+            fs.delete(own_seg, True)
+        pairs, segment = process_wave(batch_df, batch_id)
+        pairs.write.mode("overwrite").parquet(f"{results_dir}/batch={batch_id}")
+        segment.write.mode("overwrite").parquet(f"{index_dir}/batch={batch_id}")
+
+    reader = spark.readStream.schema(input_schema).option(
         "pathGlobFilter", path_glob
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     query = (
-        reader.parquet(docs_dir)
+        reader.parquet(input_dir)
         .writeStream.foreachBatch(process_batch)
         .trigger(availableNow=True)
         .option("checkpointLocation", f"{results_dir}_ckpt")
         .start()
     )
     query.awaitTermination()
-    return spark.read.parquet(results_dir).select("doc_a", "doc_b", "hamming")
+    return spark.read.parquet(results_dir).select(*out_cols)
 
 
 EMBEDDINGS_TABLE_SCHEMA = StructType(
@@ -245,28 +279,18 @@ def run_streaming_embedding_dedup(
     from ..materialize import materialize
     from ..operators import similarity as sim
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-
-    def hpath(p: str):
-        return jvm.org.apache.hadoop.fs.Path(p)
-
-    fs = hpath(index_dir).getFileSystem(conf)
-    if not fs.exists(hpath(index_dir)):
-        spark.createDataFrame(
-            [], "vec_id: long, emb: array<double>, code: string"
-        ).write.parquet(f"{index_dir}/batch=-1")
-
     kwargs = {}
     if threshold is not None:
         kwargs["threshold"] = threshold
     if cap is not None:
         kwargs["cap"] = cap
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        own_seg = hpath(f"{index_dir}/batch={batch_id}")
-        if fs.exists(own_seg):
-            fs.delete(own_seg, True)
+    def bootstrap(seed_path: str) -> None:
+        spark.createDataFrame(
+            [], "vec_id: long, emb: array<double>, code: string"
+        ).write.parquet(seed_path)
+
+    def wave(batch_df: DataFrame, batch_id: int):
         base = batch_df.select(
             "vec_id", sim._to_double(F.col("embedding")).alias("emb")
         )
@@ -282,20 +306,10 @@ def run_streaming_embedding_dedup(
             index_dir,
             **kwargs,
         )
-        pairs.write.mode("overwrite").parquet(f"{results_dir}/batch={batch_id}")
-        coded.write.mode("overwrite").parquet(f"{index_dir}/batch={batch_id}")
+        return pairs, coded
 
-    reader = spark.readStream.schema(EMBEDDINGS_TABLE_SCHEMA).option(
-        "pathGlobFilter", path_glob
+    return _run_indexed_wave_stream(
+        spark, emb_dir, index_dir, results_dir, EMBEDDINGS_TABLE_SCHEMA,
+        bootstrap, wave, ["vec_a", "vec_b", "cosine"],
+        max_files_per_trigger, path_glob,
     )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    query = (
-        reader.parquet(emb_dir)
-        .writeStream.foreachBatch(process_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{results_dir}_ckpt")
-        .start()
-    )
-    query.awaitTermination()
-    return spark.read.parquet(results_dir).select("vec_a", "vec_b", "cosine")
