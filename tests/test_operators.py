@@ -1145,3 +1145,82 @@ def test_streaming_embedding_pairs(spark, embeds, ddb):
     assert any(r["vec_a"] % 3 != r["vec_b"] % 3 for r in rows), rows
     assert len(rows) == len({(r["vec_a"], r["vec_b"]) for r in rows})
     assert all(r["cosine"] >= 0.95 for r in rows) and rows
+
+
+def test_source_cap_two_phase_identity_property(spark):
+    """Property: on arbitrary (doc_id, source) frames — skewed strata,
+    singleton strata, NULL sources, caps above/below stratum sizes — the
+    two-phase prefix-cut plan returns EXACTLY the naive per-source
+    window's rows and ranks.  Few examples (each spins Spark jobs), wide
+    shapes: the per-example corpus is drawn from a seeded generator
+    rather than hypothesis to keep the suite's runtime bounded."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from paperoni_spark.operators.sampling import SOURCE_CAP_SALT, source_cap_sample
+
+    rng = random.Random(0xC0FFEE)
+    for case in range(5):
+        n = rng.randint(1, 120)
+        srcs = [None, "a", "b", "monster", "x", ""]
+        rows = [
+            (rng.randint(0, 10_000_000), rng.choice(srcs)) for _ in range(n)
+        ]
+        rows = list({r[0]: r for r in rows}.values())  # unique doc_ids
+        cap = rng.randint(1, 12)
+        df = spark.createDataFrame(rows, "doc_id: long, source: string")
+        got = {
+            (r["doc_id"], r["source"], r["rk"])
+            for r in source_cap_sample(df, cap_per_source=cap).collect()
+        }
+        key = F.md5(F.concat(F.lit(SOURCE_CAP_SALT), F.col("doc_id").cast("string")))
+        w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+        want = {
+            (r["doc_id"], r["source"], r["rk"])
+            for r in df.withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= cap)
+            .collect()
+        }
+        assert got == want, (case, cap, len(rows))
+
+
+def test_connected_components_random_graphs(spark):
+    """Property: min-label propagation equals a reference union-find on
+    random graphs (chains, stars, isolates, dense pockets arise freely
+    from the seeded generator)."""
+    import random
+
+    rng = random.Random(0xBEEF)
+    for case in range(4):
+        n = rng.randint(2, 60)
+        nodes = list(range(1, n + 1))
+        m = rng.randint(0, n * 2)
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = {v: v for v in nodes}
+
+        def find(v):
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in nodes}
+
+        nodes_df = spark.createDataFrame([(v,) for v in nodes], "doc_id: long")
+        pairs_df = spark.createDataFrame(
+            edges or [(1, 1)], "doc_a: long, doc_b: long"
+        ).where(F.col("doc_a") != F.col("doc_b"))
+        got = {
+            r["doc_id"]: r["cluster"]
+            for r in dedup.connected_components(nodes_df, pairs_df).collect()
+        }
+        assert got == want, (case, n, edges)
