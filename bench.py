@@ -14,9 +14,14 @@ Measures:
 3. Headline operator queries (dedup / similarity / streaming) at
    $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...,
-   "docs_per_sec": ..., "scaling": {...}}
+Prints ONE JSON line (kept ≤2,000 chars — the driver records only the tail
+of stdout, and round 4's full per-query map overflowed that buffer, leaving
+BENCH_r04 unparsed):
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {10 slowest...},
+   "sf": ..., "docs_per_sec": ..., "scaling": {...},
+   "detail": "BENCH_DETAIL.json"}
+The COMPLETE per-query map + query_scaling goes to BENCH_DETAIL.json next
+to this file (committed per round for cross-round comparability).
 """
 
 from __future__ import annotations
@@ -283,31 +288,55 @@ def main() -> None:
             "efficiency": round((t_n / t_4n) / 4, 3),
         }
 
-    print(
-        json.dumps(
-            {
-                "metric": "extraction_wall_sec_full_cores",
-                "value": round(t_full, 3),
-                "unit": "sec",
-                "queries": queries,
-                "sf": SF,
-                "n_docs": N_DOCS,
-                "docs_per_sec": round(thr_full, 1),
-                "scaling": {
-                    "cores_n": SCALE_N,
-                    "cores_4n": SCALE_N * 4,
-                    "docs_per_sec_n": round(thr_n, 1),
-                    "docs_per_sec_4n": round(thr_4n, 1),
-                    "efficiency": round(efficiency, 3),
-                    "saturated_full_box": {
-                        "cores": CPUS,
-                        "docs_per_sec": round(n_ok_sat / t_sat, 1),
-                    },
-                },
-                "query_scaling": query_scaling,
-            }
-        )
+    scaling = {
+        "cores_n": SCALE_N,
+        "cores_4n": SCALE_N * 4,
+        "docs_per_sec_n": round(thr_n, 1),
+        "docs_per_sec_4n": round(thr_4n, 1),
+        "efficiency": round(efficiency, 3),
+        "saturated_full_box": {
+            "cores": CPUS,
+            "docs_per_sec": round(n_ok_sat / t_sat, 1),
+        },
+    }
+    detail = {
+        "metric": "extraction_wall_sec_full_cores",
+        "value": round(t_full, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF,
+        "n_docs": N_DOCS,
+        "docs_per_sec": round(thr_full, 1),
+        "scaling": scaling,
+        "query_scaling": query_scaling,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
+
+    # the printed line carries the headline + the slowest operator queries
+    # only: the driver's stdout tail buffer is 2,000 chars and the full map
+    # no longer fits (that's what BENCH_DETAIL.json is for)
+    op_queries = {
+        k: v
+        for k, v in queries.items()
+        if not k.endswith("_cores")
+    }
+    slowest = dict(
+        sorted(op_queries.items(), key=lambda kv: -kv[1])[:10]
+    )
+    compact = dict(detail, queries=slowest, detail="BENCH_DETAIL.json")
+    line = json.dumps(compact)
+    if len(line) > 2000:  # degrade, never overflow the driver's buffer
+        compact.pop("query_scaling", None)
+        line = json.dumps(compact)
+    while len(line) > 2000 and compact["queries"]:
+        compact["queries"].popitem()
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

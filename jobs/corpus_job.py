@@ -125,7 +125,21 @@ def main(argv: list[str] | None = None) -> None:
         own_seg = hpath(os.path.join(args.dedup_index, f"wave={wave}"))
         if fs.exists(own_seg):
             fs.delete(own_seg, True)
-        if fs.exists(hpath(args.dedup_index)):
+        # "an index exists" means committed wave segments OTHER than this
+        # wave's (just deleted): a first wave that crashed mid-write leaves
+        # the parent dir with no segments, and a retry must take the
+        # bootstrap path — not the --append refusal, and not a probe that
+        # dies schema-inferring an empty directory
+        index_waves = (
+            [
+                st.getPath().getName()
+                for st in fs.listStatus(hpath(args.dedup_index))
+                if st.getPath().getName().startswith("wave=")
+            ]
+            if fs.exists(hpath(args.dedup_index))
+            else []
+        )
+        if index_waves:
             if not args.append:
                 # loud refusal (same convention as write_output's
                 # legacy-dir guard): overwriting the corpus while the

@@ -674,6 +674,7 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the offset is ≢ 0 (mod 3) every twin lands in a DIFFERENT
     micro-batch than its seed — each duplicate digest exercises a real
     cross-batch state update, not a within-batch shortcut."""
+    import atexit
     import shutil
 
     from .streaming.dedup import run_streaming_exact_dedup
@@ -685,9 +686,11 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tmp, docs_dir = _stage_micro_batches(docs, prefix="sdedup_")
-    result = run_streaming_exact_dedup(spark, docs_dir, max_files_per_trigger=1)
-    shutil.rmtree(tmp, ignore_errors=True)
-    return result
+    # survivors are read lazily from the batch-segmented sink — reap at exit
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return run_streaming_exact_dedup(
+        spark, docs_dir, os.path.join(tmp, "out"), max_files_per_trigger=1
+    )
 
 
 def _stage_micro_batches(
@@ -1831,11 +1834,14 @@ FROM probed p LEFT JOIN totals t USING (doc_id) LEFT JOIN clean c USING (doc_id)
 def oracle_dup_ngram_stats(n: int = 3) -> str:
     """DuckDB twin of dedup.dup_ngram_stats — same distinct-shingle space
     as the Jaccard/MinHash oracles (joined on the raw shingle where the
-    engine joins on its md5; injective, so identical rows)."""
+    engine joins on its md5; injective, so identical rows).  The shingle
+    concat is generated from ``n`` (it used to hardcode the 3-token form,
+    silently wrong for any other n — round-5 advisory fix)."""
+    concat = " || ' ' || ".join(f"arr[i+{k}]" for k in range(n))
     return f"""
 WITH tok AS (SELECT doc_id, {_TOKENS} AS arr FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+  SELECT DISTINCT doc_id, {concat} AS shingle
   FROM tok, unnest(generate_series(1, len(arr) - {n - 1})) AS t(i)
   WHERE len(arr) >= {n}
 ),

@@ -11,14 +11,15 @@ plain batch ``groupBy(digest)`` oracle row-for-row.
 
 State is 8 + 8 bytes per distinct document — the minimum any exact
 ingest-dedup can carry — and emission is one row per (batch, digest seen
-in that batch); the final-state extraction takes each digest's
-latest emission (n_docs is strictly monotone: a group only emits when it
-received rows).
+in that batch), written through ``foreachBatch`` into ``batch=<id>``
+parquet segments (the same durable layout as the indexed wave loops —
+never a driver-resident sink); the final-state read-back takes each
+digest's latest emission (n_docs is strictly monotone: a group only
+emits when it received rows), a distributed struct-max aggregation.
 """
 
 from __future__ import annotations
 
-import uuid
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -83,12 +84,23 @@ def _update_digest_group(
 def run_streaming_exact_dedup(
     spark: SparkSession,
     docs_dir: str,
+    out_dir: str,
     max_files_per_trigger: int | None = None,
     path_glob: str = "*.parquet",
 ) -> DataFrame:
     """Run the ingest-dedup stream (availableNow) over a documents
-    directory and return the final per-digest survivors + counts."""
-    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    directory and return the final per-digest survivors + counts.
+
+    Each micro-batch's update-mode emissions (only digests that received
+    rows in that batch) land in ``out_dir/batch=<id>`` via
+    ``foreachBatch`` — mode=overwrite, so an at-least-once retry of a
+    batch rewrites its own segment instead of appending duplicates; the
+    driver never holds emissions (the former ``format("memory")`` sink
+    was a driver-OOM cliff at 10^9 distinct digests).  The state-store
+    checkpoint lives at ``out_dir + "_ckpt"``: a restart with the same
+    dirs skips committed batches, keeps their segments, and resumes the
+    per-digest state (n_docs keeps counting across runs), so the
+    read-back's last-write-wins is stable across restarts too."""
     reader = spark.readStream.schema(DOCUMENTS_TABLE_SCHEMA).option(
         "pathGlobFilter", path_glob
     )
@@ -106,20 +118,25 @@ def run_streaming_exact_dedup(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
     query = (
-        stream.writeStream.format("memory")
-        .queryName(table)
+        stream.writeStream.foreachBatch(sink_batch)
         .outputMode("update")
+        .option("checkpointLocation", f"{out_dir}_ckpt")
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
     # latest emission per digest: n_docs is strictly monotone across a
-    # group's emissions; the struct-max keeps (n_docs, first_doc_id) from
-    # the SAME row (first_doc_id only ever decreases, so pairing it with
-    # the highest n_docs is exactly the final state)
+    # group's emissions (within a run AND across checkpoint-resumed
+    # runs); the struct-max keeps (n_docs, first_doc_id) from the SAME
+    # row (first_doc_id only ever decreases, so pairing it with the
+    # highest n_docs is exactly the final state)
     return (
-        spark.table(table)
+        spark.read.parquet(out_dir)
         .groupBy("digest")
         .agg(F.max(F.struct("n_docs", "first_doc_id")).alias("s"))
         .select(

@@ -868,25 +868,40 @@ def test_ann_lsh_index_partition_pruned(spark, embeds, ddb, tmp_path):
 
     # the recurring loop's write-back: append a wave duplicating query
     # vector 0 under a fresh id — the probe then surfaces it at cosine
-    # 1.0 rank 1, and the swapped counts histogram stays exact (sums to
+    # 1.0 rank 1, and the per-wave counts segments stay exact (sum to
     # rows-table cardinality, so the over-cap guard keeps working)
-    from paperoni_spark.operators.similarity import append_to_lsh_bucket_index
+    from paperoni_spark.operators.similarity import (
+        _LSH_ROWS_SCHEMA,
+        append_to_lsh_bucket_index,
+    )
 
     seed = embeds.orderBy("vec_id").limit(1).collect()[0]
     wave = spark.createDataFrame(
         [(10_000_001, list(seed["embedding"]))], "vec_id: long, embedding: array<double>"
     )
-    append_to_lsh_bucket_index(wave, path)
+    append_to_lsh_bucket_index(wave, path, wave=1)
     after = ann_lsh_topk_indexed(spark, embeds.unionByName(wave.withColumn("label", F.lit(None).cast("int"))), path)
     top = {(r["query_id"], r["vec_id"]): (r["score"], r["rank"]) for r in after.collect()}
     assert top[(seed["vec_id"], 10_000_001)] == (1.0, 1)
-    n_rows = spark.read.schema("vec_id BIGINT, band INT, bkey STRING").parquet(
-        f"{path}/rows"
-    ).count()
-    n_counted = (
-        spark.read.parquet(f"{path}/counts").agg(F.sum("n_vecs")).collect()[0][0]
-    )
+
+    def index_state():
+        rows = spark.read.schema(_LSH_ROWS_SCHEMA).parquet(f"{path}/rows")
+        n_rows = rows.count()
+        n_counted = (
+            spark.read.parquet(f"{path}/counts").agg(F.sum("n_vecs")).collect()[0][0]
+        )
+        return n_rows, n_counted
+
+    n_rows, n_counted = index_state()
     assert n_rows == n_counted
+    # at-least-once retry of the SAME wave id replays its own segments —
+    # rows are NOT double-appended and the histogram stays exact (the
+    # failure mode of the former global-append + counts-swap design)
+    append_to_lsh_bucket_index(wave, path, wave=1)
+    assert index_state() == (n_rows, n_counted)
+    # wave 0 is reserved for the build
+    with pytest.raises(ValueError):
+        append_to_lsh_bucket_index(wave, path, wave=0)
 
 
 def test_repetition_stats(spark, docs, ddb):
@@ -1047,6 +1062,62 @@ def test_streaming_exact_dedup(spark, docs, ddb):
     # equality) so a corpus WITH natural twins — sf0.1 has 8 — still passes
     dups = {r["first_doc_id"]: r["n_docs"] for r in rows if r["n_docs"] > 1}
     assert {i: 2 for i in range(contract.LINE_PLANT_N)}.items() <= dups.items()
+
+
+def test_streaming_exact_dedup_restart(spark, tmp_path):
+    """Survivor state and committed batch segments survive a stream
+    restart: run 1 ingests two batches; run 2 reuses the same dirs and
+    checkpoint with a NEW batch file duplicating a run-1 document — the
+    committed batches are skipped (their segments retained, not
+    rewritten), the resumed state merges the cross-restart duplicate
+    (n_docs=2, min-id survivor), and no driver-side sink is involved."""
+    import glob as g
+    import shutil
+    import time
+
+    from paperoni_spark.streaming.dedup import run_streaming_exact_dedup
+
+    def write_batch(rows, name, mtime):
+        df = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        sdir = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.parquet(sdir)
+        dst = str(tmp_path / "docs" / name)
+        shutil.move(g.glob(sdir + "/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    (tmp_path / "docs").mkdir()
+    now = time.time()
+    write_batch([(5, "alpha bravo"), (7, "charlie delta")], "b0.parquet", now)
+    write_batch([(6, "echo foxtrot")], "b1.parquet", now + 10)
+    out = str(tmp_path / "out")
+    r1 = {
+        r["first_doc_id"]: r["n_docs"]
+        for r in run_streaming_exact_dedup(
+            spark, str(tmp_path / "docs"), out, max_files_per_trigger=1
+        ).collect()
+    }
+    assert r1 == {5: 1, 6: 1, 7: 1}
+    segs1 = {os.path.basename(p) for p in g.glob(out + "/batch=*")}
+    assert segs1 == {"batch=0", "batch=1"}
+    mtimes1 = {p: os.path.getmtime(p) for p in g.glob(out + "/batch=*/part-*")}
+
+    # restart: new batch duplicates run-1's doc 5 text under a smaller id
+    write_batch([(3, "alpha bravo")], "b2.parquet", now + 20)
+    r2 = {
+        r["first_doc_id"]: r["n_docs"]
+        for r in run_streaming_exact_dedup(
+            spark, str(tmp_path / "docs"), out, max_files_per_trigger=1
+        ).collect()
+    }
+    # cross-restart merge: resumed state counted run-1's doc 5, survivor
+    # re-elected to the new minimum id
+    assert r2 == {3: 2, 6: 1, 7: 1}
+    # committed segments were skipped, not rewritten
+    for p, m in mtimes1.items():
+        assert os.path.getmtime(p) == m, p
 
 
 def test_length_stats(spark, docs, ddb):

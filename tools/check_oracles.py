@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -63,9 +64,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    t_total = time.monotonic()
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t_q = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -75,7 +78,10 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            print(
+                f"ok   {name}: rows-only ({len(srows)} rows)"
+                f" [{time.monotonic() - t_q:.1f}s]"
+            )
             continue
         try:
             res = con.execute(oracles[name])
@@ -100,7 +106,11 @@ def main() -> int:
             print(f"FAIL {name}: value mismatch, first diffs: {diff}")
             failures += 1
         else:
-            print(f"ok   {name}: {len(s_set)} rows match")
+            print(
+                f"ok   {name}: {len(s_set)} rows match"
+                f" [{time.monotonic() - t_q:.1f}s]"
+            )
+    print(f"total gate wall: {time.monotonic() - t_total:.1f}s")
     spark.stop()
     return 1 if failures else 0
 
