@@ -1831,6 +1831,88 @@ FROM probed p LEFT JOIN totals t USING (doc_id) LEFT JOIN clean c USING (doc_id)
 """
 
 
+_SUBSTR_PLANT_N = 30
+_SUBSTR_GATE_N = 8  # production default is 50 (Lee et al.); gate docs are short
+_SUBSTR_PASSAGE = (
+    "the quick brown fox jumps over the lazy dog while carrying a bright "
+    "lantern through the quiet village square tonight"
+)  # exactly 20 whitespace tokens — ≥ 2×(gate n) so internal shingles exist
+
+
+def substring_probed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate corpus for exact-substring dedup.  The natural corpus is word
+    soup with essentially no repeated 8-grams, so structure is PLANTED
+    in place (ids unchanged — the operator rewrites text, it does not
+    drop documents): docs 0..N-1 get the SAME 20-token passage appended
+    (cross-document duplicated span: exactly the passage's tokens are
+    removed, the unique junction shingles protect each doc's own tail),
+    and doc N becomes text+' '+text (a WITHIN-document duplicated span:
+    occurrence counting — not distinct-doc counting — must flag it, and
+    interval union covers both copies entirely, so the doc empties)."""
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.when(
+            i < _SUBSTR_PLANT_N, F.concat("text", F.lit(" " + _SUBSTR_PASSAGE))
+        )
+        .when(i == _SUBSTR_PLANT_N, F.concat("text", F.lit(" "), "text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.substring_dedup(
+        substring_probed_documents(spark, sf_dir), n=_SUBSTR_GATE_N
+    )
+
+
+def oracle_substring_dedup(n: int = _SUBSTR_GATE_N) -> str:
+    """DuckDB replay of dedup.substring_dedup over the same planted
+    corpus: positioned shingle hashes (0-based starts), occurrence
+    histogram (count(*), within-doc repeats included), covered-position
+    union, and ordered kept-token reassembly."""
+    passage = _SUBSTR_PASSAGE
+    concat = " || ' ' || ".join(f"arr[i+{k}]" for k in range(n))
+    return f"""
+WITH probed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < {_SUBSTR_PLANT_N} THEN text || ' {passage}'
+              WHEN doc_id = {_SUBSTR_PLANT_N} THEN text || ' ' || text
+              ELSE text END AS text
+  FROM documents
+),
+tok AS (SELECT doc_id, {_TOKENS} AS arr FROM probed),
+pos AS (
+  SELECT doc_id, i - 1 AS s, md5({concat}) AS h
+  FROM tok, unnest(generate_series(1, len(arr) - {n - 1})) AS t(i)
+  WHERE len(arr) >= {n}
+),
+hist AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+starts AS (SELECT doc_id, s FROM pos JOIN hist USING (h)),
+covered AS (
+  SELECT DISTINCT doc_id, s + k AS p
+  FROM starts, unnest(generate_series(0, {n - 1})) AS t(k)
+),
+cov_agg AS (SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id),
+kept AS (
+  SELECT t.doc_id, string_agg(t.arr[i], ' ' ORDER BY i) AS text_clean
+  FROM tok t, unnest(generate_series(1, len(t.arr))) AS u(i)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.p = i - 1
+  )
+  GROUP BY t.doc_id
+)
+SELECT tok.doc_id,
+       len(arr)::BIGINT AS n_tokens,
+       coalesce(cov_agg.n_removed, 0)::BIGINT AS n_removed,
+       round(coalesce(cov_agg.n_removed, 0) / len(arr), 6) AS removed_frac,
+       coalesce(kept.text_clean, '') AS text_clean
+FROM tok LEFT JOIN cov_agg USING (doc_id) LEFT JOIN kept USING (doc_id)
+"""
+
+
 def oracle_dup_ngram_stats(n: int = 3) -> str:
     """DuckDB twin of dedup.dup_ngram_stats — same distinct-shingle space
     as the Jaccard/MinHash oracles (joined on the raw shingle where the
@@ -1926,6 +2008,23 @@ FROM documents GROUP BY lang
 """
 
 
+def oracle_length_stats_approx() -> str:
+    """The 10^12-scale mode's oracle: at gate SF every lang group fits
+    inside the pinned sketch accuracy, so Spark's percentile_approx is
+    lossless and returns exactly DuckDB's ``quantile_disc`` element
+    (verified element-identical; production keeps the same code path
+    with bounded 1/accuracy rank error)."""
+    qs = ", ".join(
+        f"quantile_disc(n_chars, {p})::DOUBLE AS p{tag}_chars"
+        for p, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+    )
+    return f"""
+SELECT lang, count(*)::BIGINT AS n_docs, {qs},
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
 def oracle_source_cap_sample(cap: int = 10) -> str:
     """Single-window twin of sampling.source_cap_sample — the two-phase
     prefix cut keeps rows and ranks identical to this plan because prefix
@@ -1969,6 +2068,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         # per-doc duplicated-ngram fraction (no pair enumeration)
         "dup_ngram_stats": lambda spark, sf: dedup.dup_ngram_stats(load(spark, sf, "documents")),
+        # Lee-et-al. exact-substring dedup (planted shared passage + within-doc repeat)
+        "substring_dedup": q_substring_dedup,
         # C4-style PII scrub (planted synthetic PII)
         "pii_redact": q_pii_redact,
         # deterministic corpus sampling (training-mix construction)
@@ -1993,6 +2094,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis family
         "token_stats": lambda spark, sf: textstats.token_stats(load(spark, sf, "documents")),
         "length_stats": lambda spark, sf: textstats.length_stats(load(spark, sf, "documents")),
+        # the bounded-sketch scale mode (lossless at gate SF — see oracle)
+        "length_stats_approx": lambda spark, sf: textstats.length_stats(
+            load(spark, sf, "documents"), approx=True
+        ),
         "quality_scores": lambda spark, sf: textstats.quality_scores(load(spark, sf, "documents")),
         "quality_filter": lambda spark, sf: textstats.quality_filter(load(spark, sf, "documents")),
         "unigram_logprob": lambda spark, sf: textstats.unigram_logprob(load(spark, sf, "documents")),
@@ -2076,6 +2181,7 @@ def build_oracles() -> dict[str, str]:
         "simhash_dedup_clusters": oracle_simhash_dedup_clusters(),
         "line_dedup": oracle_line_dedup(),
         "dup_ngram_stats": oracle_dup_ngram_stats(),
+        "substring_dedup": oracle_substring_dedup(),
         "pii_redact": oracle_pii_redact(),
         "hash_sample": oracle_hash_sample(),
         "stratified_sample": oracle_stratified_sample(),
@@ -2084,6 +2190,7 @@ def build_oracles() -> dict[str, str]:
         "streaming_extract_spans": golden_spans_values_sql(),
         "token_stats": oracle_token_stats(),
         "length_stats": oracle_length_stats(),
+        "length_stats_approx": oracle_length_stats_approx(),
         "quality_scores": oracle_quality_scores(),
         "quality_filter": oracle_quality_filter(),
         "unigram_logprob": oracle_unigram_logprob(),

@@ -895,3 +895,106 @@ def dup_ngram_stats(documents: DataFrame, n: int = 3) -> DataFrame:
             .alias("dup_frac"),
         )
     )
+
+
+SUBSTR_DEDUP_N = 50  # Lee et al.'s 50-token duplicated-span threshold
+
+
+def substring_dedup(documents: DataFrame, n: int = SUBSTR_DEDUP_N) -> DataFrame:
+    """Exact-substring dedup — the remaining big-name production stage
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2021: remove any ≥50-token span that appears more than once in
+    the corpus), rendered shingle-wise so it is a Catalyst program
+    instead of a corpus-wide suffix array:
+
+    a token is REMOVED iff it is covered by some n-token shingle that
+    occurs ≥ 2 times in the corpus (total occurrences — a within-doc
+    repeat counts, exactly as a suffix array would).  Any duplicated
+    span of length L ≥ n contributes L−n+1 duplicated shingles whose
+    union covers the whole span, so interval union over covering
+    shingles IS the greedy span-merge; conversely every removed token
+    sits inside a duplicated n-gram.  Output per document: rewritten
+    text (kept tokens in original order, space-joined), token counts,
+    and the removed fraction.
+
+    Shape — NO pair enumeration anywhere (the reason this scales where
+    pairwise joins need blocking):
+    1. positioned shingle hashes (doc_id, pos, h): map-side, md5 over
+       the token n-gram, materialized ONCE (compact ids + digests —
+       the frame feeds the histogram AND the duplicated-starts join,
+       and the histogram's partial agg de-canonicalizes subtrees, so
+       ReusedExchange can't carry it — same cut as dup_ngram_stats);
+    2. occurrence histogram on h (one digest-keyed shuffle, partial
+       agg) → duplicated digests;
+    3. duplicated start positions: equi-join positioned × duplicated
+       digests (hot boilerplate shingles cost O(occurrences), never
+       O(occurrences²));
+    4. covered positions: explode each start to its n token positions,
+       distinct per (doc_id, pos) — bounded by n × duplicated-starts,
+       i.e. O(duplicated mass), then one per-doc aggregation;
+    5. rewrite JVM-side: tokens never leave the document row — the
+       kept-token projection is array_except over positions + transform
+       (O(tokens) per doc, whole-row higher-order functions, no Python
+       and no second text shuffle).
+
+    Documents with < n tokens produce no shingles and pass through
+    unchanged.  Tokenization is the repo-wide whitespace convention
+    (textstats.tokens_col); the DuckDB oracle replays every step."""
+    toks_df = documents.select(
+        "doc_id",
+        F.explode(F.array(F.split(F.trim("text"), r"\s+"))).alias("toks"),
+    )
+    shingle_arr = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {n}))) "
+        "ELSE array() END"
+    )
+    positioned = materialize(
+        toks_df.select(
+            "doc_id", F.posexplode(shingle_arr).alias("pos", "shingle")
+        ).select("doc_id", "pos", F.md5("shingle").alias("h"))
+    )
+    dup_h = (
+        positioned.groupBy("h")
+        .agg(F.count("*").alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("h")
+    )
+    starts = positioned.join(dup_h, "h").select("doc_id", "pos")
+    covered = (
+        starts.select(
+            "doc_id", F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("p")
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cov"))
+        .select(
+            "doc_id",
+            F.array_sort("cov").alias("cov"),
+            F.size("cov").alias("n_removed"),
+        )
+    )
+    toks = F.split(F.trim("text"), r"\s+")
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("toks") - 1), F.coalesce("cov", F.array())
+    )
+    return (
+        documents.select("doc_id", "text")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            toks.alias("toks"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            "cov",
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            "n_removed",
+            F.round(F.col("n_removed") / F.size("toks"), 6).alias("removed_frac"),
+            F.concat_ws(
+                " ",
+                F.transform(kept_pos, lambda i: F.element_at("toks", i + 1)),
+            ).alias("text_clean"),
+        )
+    )

@@ -405,18 +405,44 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
-def length_stats(documents: DataFrame) -> DataFrame:
+LENGTH_STATS_APPROX_ACCURACY = 100_000
+
+
+def length_stats(
+    documents: DataFrame,
+    approx: bool = False,
+    accuracy: int = LENGTH_STATS_APPROX_ACCURACY,
+) -> DataFrame:
     """Per-language document-length distribution — the profiling query a
-    mix designer runs before setting quality/budget thresholds.  Uses the
-    EXACT ``percentile`` (linear interpolation, identical to DuckDB's
-    quantile_cont) so the oracle can gate values; at 10^12 docs swap in
-    ``percentile_approx`` — same plan shape, partial-aggregated either
-    way, one tiny per-lang shuffle."""
+    mix designer runs before setting quality/budget thresholds.
+
+    ``approx=False`` (default): the EXACT ``percentile`` (linear
+    interpolation, identical to DuckDB's quantile_cont) — it buffers a
+    group's value set, which is fine up to millions of docs per group.
+    ``approx=True``: the 10^12-scale path — ``percentile_approx`` (a
+    bounded Greenwald-Khanna sketch, constant memory per group, same
+    single partial-aggregated per-lang shuffle).  The sketch returns an
+    actual element (discrete quantile): when the group fits inside
+    ``accuracy`` it is lossless and equals DuckDB's ``quantile_disc``
+    exactly (how the driver gate oracles this mode — verified
+    element-identical at the gate SFs); beyond that the rank error is
+    bounded by 1/accuracy, the documented trade.  Both modes share one
+    schema (percentiles as double)."""
+    if approx:
+        pct = [
+            F.expr(
+                f"percentile_approx(n_chars, {p}, {accuracy})"
+            ).cast("double").alias(name)
+            for p, name in ((0.5, "p50_chars"), (0.9, "p90_chars"), (0.99, "p99_chars"))
+        ]
+    else:
+        pct = [
+            F.round(F.expr(f"percentile(n_chars, {p})"), 6).alias(name)
+            for p, name in ((0.5, "p50_chars"), (0.9, "p90_chars"), (0.99, "p99_chars"))
+        ]
     return documents.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
-        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
-        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99_chars"),
+        *pct,
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )

@@ -921,6 +921,44 @@ def test_repetition_stats(spark, docs, ddb):
     assert got[3]["n_bigrams"] == 0 and got[3]["top_bigram_frac"] == 0.0
 
 
+def test_substring_dedup(spark, docs, ddb):
+    """Exact-substring dedup (Lee et al.): oracle parity on the planted
+    gate corpus, planted-structure assertions, and a hand-checked
+    micro-fixture covering cross-doc spans, interval union of
+    overlapping duplicated shingles, and the untouched doc."""
+    from paperoni_spark.operators.dedup import substring_dedup
+
+    result = contract.q_substring_dedup(spark, SF_DIR)
+    rows = {r["doc_id"]: r for r in result.collect()}
+    assert_matches_oracle(result, ddb, contract.oracle_substring_dedup())
+    # planted cross-doc passage: its 20 tokens are removed from every
+    # planted doc; the junction shingles are unique per doc so each
+    # doc's own text survives (organic dup shingles may remove more — ≥)
+    for i in range(contract._SUBSTR_PLANT_N):
+        assert rows[i]["n_removed"] >= 20, rows[i]
+        assert contract._SUBSTR_PASSAGE not in rows[i]["text_clean"]
+    # within-doc doubled text: occurrence counting (not distinct-doc)
+    # flags it and the interval union covers both copies — doc empties
+    doubled = rows[contract._SUBSTR_PLANT_N]
+    assert doubled["removed_frac"] == 1.0 and doubled["text_clean"] == ""
+
+    adv = spark.createDataFrame(
+        [
+            (1, "x1 y1 a b c d z1"),
+            (2, "x2 a b c d z2 w2"),
+            (3, "totally unrelated words here"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r for r in substring_dedup(adv, n=3).collect()}
+    # shared 4-token span "a b c d" → shingles "a b c" + "b c d" are
+    # duplicated; their interval union covers exactly the span
+    assert got[1]["text_clean"] == "x1 y1 z1" and got[1]["n_removed"] == 4
+    assert got[2]["text_clean"] == "x2 z2 w2" and got[2]["n_removed"] == 4
+    assert got[3]["n_removed"] == 0 and got[3]["removed_frac"] == 0.0
+    assert got[3]["text_clean"] == "totally unrelated words here"
+
+
 def test_line_dedup(spark, docs, ddb):
     """CCNet-style boilerplate removal: oracle parity on the planted
     multi-line gate corpus, plus an adversarial fixture pinning the
@@ -1137,6 +1175,22 @@ def test_length_stats(spark, docs, ddb):
     # p90: index 2.7 -> 40 + 0.7*(80-40) = 68
     assert row["p90_chars"] == 68.0
     assert row["min_chars"] == 10 and row["max_chars"] == 80
+
+    # scale mode: approx (bounded sketch) gated against quantile_disc
+    assert_matches_oracle(
+        length_stats(docs, approx=True), ddb, contract.oracle_length_stats_approx()
+    )
+    # exact ≡ approx wherever the interpolation rank is integral: a
+    # 101-value group puts p50/p90/p99 exactly on elements 50/90/99
+    big = spark.createDataFrame(
+        [(i, "x", "en", "s", (i * 7) % 101 + 1) for i in range(101)],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+    exact = length_stats(big).collect()[0]
+    apx = length_stats(big, approx=True).collect()[0]
+    assert exact.asDict() == apx.asDict()
+    # both modes share one schema (the profiling consumer can swap modes)
+    assert length_stats(docs).schema == length_stats(docs, approx=True).schema
 
 
 def test_streaming_simhash_pairs(spark, docs, ddb):

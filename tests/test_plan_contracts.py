@@ -57,6 +57,10 @@ PLAN_CONTRACTS = {
     # small multi-stage shapes (digest agg / two-phase prefix cut)
     "exact_dedup": (2, ["doc_id", "lang", "n_chars"]),
     "source_cap_sample": (3, ["text", "lang", "n_chars"]),
+    # exact-substring dedup: histogram + starts join + covered-union +
+    # rewrite join — 4 shuffles, NO pair enumeration (the cartesian/
+    # shuffle ceilings pin that no occurrence×occurrence join appears)
+    "substring_dedup": (4, ["lang", "source", "n_chars"]),
 }
 
 
