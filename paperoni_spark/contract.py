@@ -579,10 +579,12 @@ _TOKEN_BUDGET_DEFAULT = 2_000
 
 
 def q_streaming_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True Structured Streaming extraction (file source, 3 files → 3
-    availableNow triggers through foreachBatch) over the fixture corpus,
-    verified against the same golden-spans VALUES oracle as the batch
-    path — streaming and batch must be span-identical."""
+    """True Structured Streaming extraction (file source, 2 files → 2
+    availableNow triggers through foreachBatch — the minimum multi-batch
+    shape; extraction is stateless so extra batches only cost gate wall)
+    over the fixture corpus, verified against the same golden-spans
+    VALUES oracle as the batch path — streaming and batch must be
+    span-identical."""
     import atexit
     import shutil
     import tempfile
@@ -597,7 +599,7 @@ def q_streaming_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_dir = os.path.join(base, "docs")
     out_dir = os.path.join(base, "out")
     ck_dir = os.path.join(base, "ck")
-    fixture_documents_df(spark).repartition(3).write.parquet(docs_dir)
+    fixture_documents_df(spark).repartition(2).write.parquet(docs_dir)
     run_streaming_extraction(
         spark, docs_dir, out_dir, ck_dir, max_files_per_trigger=1
     )
@@ -664,16 +666,18 @@ def q_streaming_session_stats_evicting(spark: SparkSession, sf_dir: str) -> Data
 
 def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time exact dedup as a stateful stream: the corpus staged as
-    three mtime-ordered micro-batches (doc_id mod 3 — composition is
-    irrelevant: the survivor is the min doc_id, batch-order independent),
+    two mtime-ordered micro-batches (doc_id mod 2 — composition is
+    irrelevant: the survivor is the min doc_id, batch-order independent;
+    two batches are the minimum that exercises cross-batch state, and
+    the gate pays one stream trigger less than the former three),
     one tiny (survivor, count) state row per distinct digest, gated
     row-for-row against the plain batch groupBy oracle.  The gate-SF
     corpora (sf0.001/sf0.01) have no natural exact text duplicates —
     sf0.1 has 8 — so twins are PLANTED: doc_id <
     LINE_PLANT_N re-enters under PLANT_ID_OFFSET + doc_id, and because
-    the offset is ≢ 0 (mod 3) every twin lands in a DIFFERENT
-    micro-batch than its seed — each duplicate digest exercises a real
-    cross-batch state update, not a within-batch shortcut."""
+    the offset is odd every twin lands in a DIFFERENT micro-batch than
+    its seed — each duplicate digest exercises a real cross-batch state
+    update, not a within-batch shortcut."""
     import atexit
     import shutil
 
@@ -694,7 +698,7 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stage_micro_batches(
-    docs: DataFrame, prefix: str, n_batches: int = 3, key_col: str = "doc_id"
+    docs: DataFrame, prefix: str, n_batches: int = 2, key_col: str = "doc_id"
 ) -> tuple[str, str]:
     """Stage a documents frame as ``n_batches`` mtime-ordered parquet
     files (doc_id mod ``n_batches``) under a fresh temp dir — the shared
@@ -1147,7 +1151,9 @@ WHERE n_shared >= 2
 _BENCH_N_DOCS = 3
 
 
-PLANT_ID_OFFSET = 2_000_000
+# ≢ 0 (mod 2) AND (mod 3): planted twins must land in a different staged
+# micro-batch than their seeds under both 2- and 3-batch doc_id%n staging
+PLANT_ID_OFFSET = 2_000_003
 
 
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1471,7 +1477,7 @@ def oracle_ann_ivf_topk(
 
 
 N_PLANTED_TWINS = 10
-TWIN_ID_OFFSET = 1_000_000
+TWIN_ID_OFFSET = 1_000_001  # odd + ≢0 mod 3: crosses 2- and 3-batch staging
 
 
 def planted_embeddings(embeddings: DataFrame) -> DataFrame:
@@ -2041,7 +2047,7 @@ SELECT doc_id, source, rk FROM (
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _gate_ordered({
         # extraction kernel (SURVEY §2.2) through the Spark path
         "extract_fixture_spans": q_extract_fixture_spans,
         "extract_fixture_status": q_extract_fixture_status,
@@ -2154,7 +2160,95 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_simhash_pairs": q_streaming_simhash_pairs,
         # the vector twin: per-wave sign-LSH probe + segment append
         "streaming_embedding_pairs": q_streaming_embedding_pairs,
-    }
+    })
+
+
+# Gate execution order.  The driver's correctness gate walks queries() in
+# dict order under a wall-time budget: round 4 kept the streaming/stateful
+# entries LAST and the driver recorded only the first 50 of 59 — the whole
+# streaming family silently fell off the record despite passing locally.
+# So the dict above (grouped thematically for reading) is re-emitted in
+# measured-cost order: kernel flagships first (the queries the engine
+# exists for), then the cheap sub-2s sweep (the bulk of the surface),
+# then moderate 2-5s shapes, and the handful of >5s heavies — stream
+# startup × staged batches, index build+probe, the funnel's CC loop —
+# dead last, so a budget cutoff drops a few known heavies instead of an
+# entire operator family.  tools/check_oracles.py prints per-query gate
+# seconds; re-measure before re-binning.
+_GATE_ORDER = [
+    # kernel flagships (span-equality contract — must always record)
+    "extract_fixture_spans",
+    "extract_fixture_status",
+    "extract_img_urls",
+    "extract_synthetic_stats",
+    "corpus_build",
+    # cheap sweep (≲1.5 s each at sf0.01, warm session)
+    "pii_redact",
+    "hash_sample",
+    "stratified_sample",
+    "token_budget_sample",
+    "source_cap_sample",
+    "token_stats",
+    "length_stats",
+    "length_stats_approx",
+    "quality_scores",
+    "quality_filter",
+    "unigram_logprob",
+    "repetition_stats",
+    "lang_id",
+    "lang_id_profile",
+    "fingerprints",
+    "bpe_token_stats",
+    "media_resize_sample",
+    "media_feature_stats",
+    "pdf_page_stats",
+    "docs_joined_labels",
+    "session_stats",
+    "windowed_events",
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "lsh_candidate_doc_pairs",
+    "simhash",
+    "winnow_fingerprints",
+    "benchmark_contamination",
+    "line_dedup",
+    "dup_ngram_stats",
+    "cosine_topk",
+    "lsh_sign_buckets",
+    "ann_lsh_topk",
+    "embedding_near_dup",
+    "stateful_user_totals",
+    "streaming_windowed_events",
+    "streaming_session_stats",
+    # moderate (2-5 s)
+    "winnow_overlap_pairs",
+    "ngram_jaccard",
+    "embedding_delta_near_dup",
+    "embedding_dedup_clusters",
+    "streaming_extract_spans",
+    "dedup_delta_pairs",
+    "ann_ivf_topk",
+    "dedup_clusters",
+    "substring_dedup",
+    "simhash_near_dup_pairs",
+    "streaming_exact_dedup",
+    "streaming_embedding_pairs",
+    # heavy tail (>5 s: stream startup × batches, index builds, CC loops)
+    "simhash_dedup_clusters",
+    "simhash_delta_pairs",
+    "ann_lsh_topk_indexed",
+    "streaming_session_stats_evicting",
+    "streaming_simhash_pairs",
+    "corpus_funnel",
+]
+
+
+def _gate_ordered(base: dict) -> dict:
+    assert set(_GATE_ORDER) == set(base), (
+        sorted(set(_GATE_ORDER) ^ set(base))
+    )
+    return {k: base[k] for k in _GATE_ORDER}
 
 
 def build_oracles() -> dict[str, str]:

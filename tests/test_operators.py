@@ -1197,13 +1197,13 @@ def test_streaming_simhash_pairs(spark, docs, ddb):
     """Streamed per-wave index probe+append accumulates exactly the
     whole-corpus pair sweep: oracle parity, and every pair surfaces in
     the batch where its later document arrived (cross-wave pairs exist —
-    the corpus's near-dup pairs straddle the mod-3 batch split)."""
+    the corpus's near-dup pairs straddle the mod-2 batch split)."""
     result = contract.q_streaming_simhash_pairs(spark, SF_DIR)
     rows = result.collect()
     assert_matches_oracle(result, ddb, contract.oracle_streaming_simhash_pairs())
     # the staged split must actually produce cross-batch pairs, or the
     # index-probe path was never exercised
-    assert any(r["doc_a"] % 3 != r["doc_b"] % 3 for r in rows), rows
+    assert any(r["doc_a"] % 2 != r["doc_b"] % 2 for r in rows), rows
     # and no duplicates across waves (exactly-once by construction)
     assert len(rows) == len({(r["doc_a"], r["doc_b"]) for r in rows})
 
@@ -1260,14 +1260,14 @@ def test_streaming_simhash_restart(spark, tmp_path):
 def test_streaming_embedding_pairs(spark, embeds, ddb):
     """Vector twin of the streamed near-dup loop: oracle parity with the
     whole-corpus banded sweep, cross-batch pairs present (planted twins
-    at vec_id+TWIN_ID_OFFSET land in different mod-3 batches whenever
-    offset%3 shifts the residue), no duplicate emissions."""
+    at vec_id+TWIN_ID_OFFSET land in different mod-2 batches — the
+    offset is odd), no duplicate emissions."""
     result = contract.q_streaming_embedding_pairs(spark, SF_DIR)
     rows = result.collect()
     assert_matches_oracle(
         result, ddb, contract.oracle_streaming_embedding_pairs()
     )
-    assert any(r["vec_a"] % 3 != r["vec_b"] % 3 for r in rows), rows
+    assert any(r["vec_a"] % 2 != r["vec_b"] % 2 for r in rows), rows
     assert len(rows) == len({(r["vec_a"], r["vec_b"]) for r in rows})
     assert all(r["cosine"] >= 0.95 for r in rows) and rows
 
