@@ -32,6 +32,7 @@ from pyspark.sql.types import (
 from .operators import (
     dedup,
     multimodal,
+    packing,
     pdf,
     pii,
     sampling,
@@ -2014,6 +2015,28 @@ FROM documents GROUP BY lang
 """
 
 
+def oracle_sequence_pack(seq_len: int = 256) -> str:
+    """Naive single-window twin of packing.sequence_pack — the two-phase
+    bucket cut is row-identical because bucket order (doc_id div B) plus
+    in-bucket doc_id order IS the global doc_id order."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, (len({_TOKENS}) + 1)::BIGINT AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS start_token
+  FROM t
+)
+SELECT doc_id, n_tokens, start_token,
+       (start_token // {seq_len})::BIGINT AS start_seq,
+       ((start_token + n_tokens - 1) // {seq_len})::BIGINT AS end_seq
+FROM c
+"""
+
+
 def oracle_length_stats_approx() -> str:
     """The 10^12-scale mode's oracle: at gate SF every lang group fits
     inside the pinned sketch accuracy, so Spark's percentile_approx is
@@ -2093,6 +2116,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RefinedWeb-style per-domain cap (two-phase prefix cut, unit weights)
         "source_cap_sample": lambda spark, sf: sampling.source_cap_sample(
             load(spark, sf, "documents")
+        ),
+        # concat-then-chunk training-sequence packing manifest (gate uses
+        # a short seq_len + small buckets so chunk boundaries and the
+        # two-phase offset path are both exercised on 500 docs)
+        "sequence_pack": lambda spark, sf: packing.sequence_pack(
+            load(spark, sf, "documents"), seq_len=256, bucket_size=64
         ),
         # streaming extraction (foreachBatch over a multi-trigger file
         # source) against the same golden oracle as the batch path
@@ -2188,6 +2217,7 @@ _GATE_ORDER = [
     "stratified_sample",
     "token_budget_sample",
     "source_cap_sample",
+    "sequence_pack",
     "token_stats",
     "length_stats",
     "length_stats_approx",
@@ -2285,6 +2315,7 @@ def build_oracles() -> dict[str, str]:
         "token_stats": oracle_token_stats(),
         "length_stats": oracle_length_stats(),
         "length_stats_approx": oracle_length_stats_approx(),
+        "sequence_pack": oracle_sequence_pack(),
         "quality_scores": oracle_quality_scores(),
         "quality_filter": oracle_quality_filter(),
         "unigram_logprob": oracle_unigram_logprob(),

@@ -921,6 +921,43 @@ def test_repetition_stats(spark, docs, ddb):
     assert got[3]["n_bigrams"] == 0 and got[3]["top_bigram_frac"] == 0.0
 
 
+def test_sequence_pack(spark, docs, ddb):
+    """Concat-then-chunk packing manifest: oracle parity (two-phase
+    bucket prefix sum ≡ the naive single window), global contiguity of
+    the token layout, boundary-crossing docs present, and a hand-checked
+    micro-fixture."""
+    from paperoni_spark.operators.packing import sequence_pack
+
+    result = contract.build_queries()["sequence_pack"](spark, SF_DIR)
+    rows = sorted(result.collect(), key=lambda r: r["doc_id"])
+    assert_matches_oracle(result, ddb, contract.oracle_sequence_pack())
+    # the layout is gapless and ordered: each doc starts where the
+    # previous one ended
+    cum = 0
+    for r in rows:
+        assert r["start_token"] == cum, r
+        cum += r["n_tokens"]
+    # short gate seq_len guarantees chunk-boundary crossings
+    assert any(r["end_seq"] > r["start_seq"] for r in rows)
+
+    adv = spark.createDataFrame(
+        [
+            (0, "a b c d e f g"),        # 7 tokens + EOD = 8
+            (1, "h i j k"),              # 4 + 1 = 5
+            (2, "l m n o p q r s t u v w"),  # 12 + 1 = 13
+            (3, "x"),                    # 1 + 1 = 2
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r["doc_id"]: r for r in sequence_pack(adv, seq_len=10, bucket_size=2).collect()
+    }
+    assert (got[0]["start_token"], got[0]["start_seq"], got[0]["end_seq"]) == (0, 0, 0)
+    assert (got[1]["start_token"], got[1]["start_seq"], got[1]["end_seq"]) == (8, 0, 1)
+    assert (got[2]["start_token"], got[2]["start_seq"], got[2]["end_seq"]) == (13, 1, 2)
+    assert (got[3]["start_token"], got[3]["start_seq"], got[3]["end_seq"]) == (26, 2, 2)
+
+
 def test_substring_dedup(spark, docs, ddb):
     """Exact-substring dedup (Lee et al.): oracle parity on the planted
     gate corpus, planted-structure assertions, and a hand-checked

@@ -61,6 +61,10 @@ PLAN_CONTRACTS = {
     # rewrite join — 4 shuffles, NO pair enumeration (the cartesian/
     # shuffle ceilings pin that no occurrence×occurrence join appears)
     "substring_dedup": (4, ["lang", "source", "n_chars"]),
+    # two-phase packing prefix sum: bucket-summary agg + in-bucket window
+    # (the global single-partition window runs over the tiny summary only
+    # and is not a hash/range exchange); reads its materialized cut
+    "sequence_pack": (2, []),
 }
 
 
