@@ -116,6 +116,34 @@ def q_extract_fixture_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("span_kind").isNotNull())
 
 
+def q_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaving profile (text/media runs) of the fixture corpus's
+    extracted span sequences — map-side over the span arrays, oracled
+    against the SAME frozen golden spans the span-equality gate uses
+    (the profile is a pure function of the golden sequence)."""
+    extracted = run_extract(fixture_documents_df(spark))
+    return multimodal.interleave_stats(extracted.select("doc_id", "extracted"))
+
+
+def oracle_interleave_stats() -> str:
+    return f"""
+WITH g AS ({golden_spans_values_sql()}),
+r AS (
+  SELECT doc_id, span_kind, span_order,
+         CASE WHEN lag(span_kind) OVER (
+                PARTITION BY doc_id ORDER BY span_order
+              ) IS DISTINCT FROM span_kind THEN 1 ELSE 0 END AS brk
+  FROM g
+)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+       (count(*) FILTER (span_kind = 'text'))::BIGINT AS n_text_spans,
+       (count(*) FILTER (span_kind != 'text'))::BIGINT AS n_media_spans,
+       sum(brk)::BIGINT AS n_runs,
+       round((count(*) FILTER (span_kind != 'text')) / count(*), 6) AS media_frac
+FROM r GROUP BY doc_id
+"""
+
+
 def q_extract_fixture_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted = run_extract(fixture_documents_df(spark))
     return extracted.select(
@@ -2165,6 +2193,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_feature_stats": lambda spark, sf: multimodal.media_feature_stats(
             multimodal.media_table_from_documents(load(spark, sf, "documents"))
         ),
+        # interleaved-payload profile over extracted span sequences
+        "interleave_stats": q_interleave_stats,
         # PDF/layout parse path (stub decoder, real plumbing)
         "pdf_page_stats": lambda spark, sf: pdf.extract_pdf(
             pdf.pdf_table_from_documents(load(spark, sf, "documents"))
@@ -2252,6 +2282,7 @@ _GATE_ORDER = [
     "streaming_windowed_events",
     "streaming_session_stats",
     # moderate (2-5 s)
+    "interleave_stats",
     "winnow_overlap_pairs",
     "ngram_jaccard",
     "embedding_delta_near_dup",
@@ -2316,6 +2347,7 @@ def build_oracles() -> dict[str, str]:
         "length_stats": oracle_length_stats(),
         "length_stats_approx": oracle_length_stats_approx(),
         "sequence_pack": oracle_sequence_pack(),
+        "interleave_stats": oracle_interleave_stats(),
         "quality_scores": oracle_quality_scores(),
         "quality_filter": oracle_quality_filter(),
         "unigram_logprob": oracle_unigram_logprob(),

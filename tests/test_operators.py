@@ -921,6 +921,40 @@ def test_repetition_stats(spark, docs, ddb):
     assert got[3]["n_bigrams"] == 0 and got[3]["top_bigram_frac"] == 0.0
 
 
+def test_interleave_stats(spark, ddb):
+    """Interleaved-payload profile: oracle parity against the frozen
+    golden span sequences, plus a hand-checked micro-fixture (runs,
+    media fraction, single-span doc, empty doc excluded)."""
+    from paperoni_spark.operators.multimodal import interleave_stats
+
+    result = contract.q_interleave_stats(spark, SF_DIR)
+    assert_matches_oracle(result, ddb, contract.oracle_interleave_stats())
+    rows = result.collect()
+    # the fixture corpus really interleaves: some doc alternates kinds
+    assert any(r["n_media_spans"] > 0 and r["n_runs"] >= 3 for r in rows)
+
+    schema = (
+        "doc_id: long, extracted: array<struct<"
+        "kind:string,text:string,media_ref:string,order:int>>"
+    )
+    adv = spark.createDataFrame(
+        [
+            (1, [("text", "a", None, 0), ("image", None, "m1", 1),
+                 ("image", None, "m2", 2), ("text", "b", None, 3)]),
+            (2, [("text", "only", None, 0)]),
+            (3, []),
+        ],
+        schema,
+    )
+    got = {r["doc_id"]: r for r in interleave_stats(adv).collect()}
+    assert set(got) == {1, 2}  # empty doc produces no row
+    r1 = got[1]
+    assert (r1["n_spans"], r1["n_text_spans"], r1["n_media_spans"]) == (4, 2, 2)
+    assert r1["n_runs"] == 3 and r1["media_frac"] == 0.5
+    r2 = got[2]
+    assert (r2["n_spans"], r2["n_runs"], r2["media_frac"]) == (1, 1, 0.0)
+
+
 def test_sequence_pack(spark, docs, ddb):
     """Concat-then-chunk packing manifest: oracle parity (two-phase
     bucket prefix sum ≡ the naive single window), global contiguity of
