@@ -122,35 +122,54 @@ def main(argv: list[str] | None = None) -> None:
         # own segment is deleted BEFORE the probe (a failed attempt's
         # fingerprints would otherwise pair the wave with itself and
         # misclassify every doc as already-ingested, emptying the output).
-        own_seg = hpath(os.path.join(args.dedup_index, f"wave={wave}"))
-        if fs.exists(own_seg):
-            fs.delete(own_seg, True)
-        # "an index exists" means committed wave segments OTHER than this
-        # wave's (just deleted): a first wave that crashed mid-write leaves
-        # the parent dir with no segments, and a retry must take the
-        # bootstrap path — not the --append refusal, and not a probe that
-        # dies schema-inferring an empty directory
-        index_waves = (
-            [
-                st.getPath().getName()
-                for st in fs.listStatus(hpath(args.dedup_index))
-                if st.getPath().getName().startswith("wave=")
-            ]
+        own_name = f"wave={wave}"
+        own_seg = hpath(os.path.join(args.dedup_index, own_name))
+        # Classify the index directory BEFORE touching anything — the
+        # refusal paths below must not mutate state (deleting the own
+        # segment first would destroy a COMMITTED wave's fingerprints on
+        # a re-run that forgot --append, desyncing corpus and index
+        # while claiming to have refused).  "An index exists" means
+        # committed wave segments OTHER than this wave's: a first wave
+        # that crashed mid-write leaves no other segments, and its retry
+        # must take the bootstrap path — not the --append refusal, and
+        # not a probe that dies schema-inferring an empty directory.
+        names = (
+            [st.getPath().getName() for st in fs.listStatus(hpath(args.dedup_index))]
             if fs.exists(hpath(args.dedup_index))
             else []
         )
+        foreign = [
+            n
+            for n in names
+            if not n.startswith("wave=") and not n.startswith((".", "_"))
+        ]
+        if foreign:
+            # e.g. a flat operator-built simhash index (bare part files):
+            # silently bootstrapping would skip the dedup probe AND mix
+            # partitioned/flat layouts in one directory
+            raise SystemExit(
+                "--dedup-index points at a directory that is not a "
+                f"corpus_job wave-segmented index (found {foreign[:3]}): "
+                "corpus_job owns wave=<id> segments only.  Point it at an "
+                "index this job created, or at a fresh path."
+            )
+        index_waves = [n for n in names if n.startswith("wave=") and n != own_name]
+        if index_waves and not args.append:
+            # loud refusal (same convention as write_output's
+            # legacy-dir guard): overwriting the corpus while the
+            # index keeps other waves' fingerprints would reject
+            # future docs against content no longer in the corpus
+            raise SystemExit(
+                "--dedup-index points at an existing index but --append "
+                "was not given: a plain overwrite would desynchronize "
+                "corpus and index.  Pass --append for a wave, or remove "
+                "the index to rebuild from scratch."
+            )
+        # all refusals are behind us — NOW it is safe to clear a failed
+        # attempt's leftover own segment before the probe
+        if fs.exists(own_seg):
+            fs.delete(own_seg, True)
         if index_waves:
-            if not args.append:
-                # loud refusal (same convention as write_output's
-                # legacy-dir guard): overwriting the corpus while the
-                # index keeps other waves' fingerprints would reject
-                # future docs against content no longer in the corpus
-                raise SystemExit(
-                    "--dedup-index points at an existing index but --append "
-                    "was not given: a plain overwrite would desynchronize "
-                    "corpus and index.  Pass --append for a wave, or remove "
-                    "the index to rebuild from scratch."
-                )
             corpus, rejected, resubmitted = dedup_wave_against_index(
                 spark, corpus, args.dedup_index, max_hamming=args.max_hamming
             )

@@ -2306,9 +2306,14 @@ _GATE_ORDER = [
 
 
 def _gate_ordered(base: dict) -> dict:
-    assert set(_GATE_ORDER) == set(base), (
-        sorted(set(_GATE_ORDER) ^ set(base))
-    )
+    # a real raise, not assert: under python -O an unordered query would
+    # silently fall out of the gate — the exact coverage loss this
+    # ordering exists to prevent
+    if set(_GATE_ORDER) != set(base):
+        raise ValueError(
+            f"_GATE_ORDER out of sync with build_queries(): "
+            f"{sorted(set(_GATE_ORDER) ^ set(base))}"
+        )
     return {k: base[k] for k in _GATE_ORDER}
 
 

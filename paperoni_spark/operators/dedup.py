@@ -940,9 +940,11 @@ def substring_dedup(documents: DataFrame, n: int = SUBSTR_DEDUP_N) -> DataFrame:
     Documents with < n tokens produce no shingles and pass through
     unchanged.  Tokenization is the repo-wide whitespace convention
     (textstats.tokens_col); the DuckDB oracle replays every step."""
+    from .textstats import tokens_col
+
     toks_df = documents.select(
         "doc_id",
-        F.explode(F.array(F.split(F.trim("text"), r"\s+"))).alias("toks"),
+        F.explode(F.array(tokens_col(F.col("text")))).alias("toks"),
     )
     shingle_arr = F.expr(
         f"CASE WHEN size(toks) >= {n} THEN "
@@ -974,7 +976,7 @@ def substring_dedup(documents: DataFrame, n: int = SUBSTR_DEDUP_N) -> DataFrame:
             F.size("cov").alias("n_removed"),
         )
     )
-    toks = F.split(F.trim("text"), r"\s+")
+    toks = tokens_col(F.col("text"))
     kept_pos = F.array_except(
         F.sequence(F.lit(0), F.size("toks") - 1), F.coalesce("cov", F.array())
     )
