@@ -518,6 +518,75 @@ GROUP BY 1, 2
 """
 
 
+_NORM_PLANT_N = 20
+
+
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup.  The corpus has no natural
+    case/punctuation mirror copies, so they are PLANTED: doc_id <
+    _NORM_PLANT_N re-enters uppercased with trailing punctuation and
+    doubled spaces — byte-distinct (raw exact dedup sees nothing) but
+    normalization-identical, so each planted digest group has n_docs=2
+    with the seed as survivor."""
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.where(F.col("doc_id") < _NORM_PLANT_N).select(
+        (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"),
+        F.concat(
+            F.regexp_replace(F.upper("text"), " ", "  "), F.lit("!!!")
+        ).alias("text"),
+    )
+    return dedup.normalized_dedup(
+        docs.select("doc_id", "text").unionByName(planted)
+    )
+
+
+def oracle_normalized_dedup() -> str:
+    return f"""
+WITH probed AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_ID_OFFSET},
+         regexp_replace(upper(text), ' ', '  ', 'g') || '!!!'
+  FROM documents WHERE doc_id < {_NORM_PLANT_N}
+)
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ', 'g'),
+                               '\\s+', ' ', 'g'))) AS digest,
+       min(doc_id) AS first_doc_id, count(*)::BIGINT AS n_docs
+FROM probed GROUP BY 1
+"""
+
+
+def oracle_edit_verified_pairs(max_norm: float = dedup.EDIT_VERIFY_MAX_NORM) -> str:
+    """DuckDB twin of dedup.edit_verified_pairs: the capped candidate CTE
+    of lsh_candidate_doc_pairs + levenshtein verification.  The engine's
+    length prefilter is OMITTED here on purpose — |len_a−len_b| is a
+    lower bound on edit distance, so the prefilter never changes the
+    result set, only when the DP table is computed."""
+    return f"""
+WITH {_SIG_CTE}, bands AS ({_minhash_bands_sql()}),
+capped AS (
+  SELECT b.* FROM bands b
+  JOIN (SELECT band, bucket FROM bands GROUP BY 1, 2
+        HAVING count(*) <= {dedup.MINHASH_BUCKET_CAP}) ok USING (band, bucket)
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_bands
+  FROM capped a JOIN capped b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared_bands,
+       levenshtein(da.text, db.text)::BIGINT AS edit_dist,
+       round(levenshtein(da.text, db.text)
+             / greatest(length(da.text), length(db.text)), 6) AS norm_dist
+FROM cand
+JOIN documents da ON da.doc_id = doc_a
+JOIN documents db ON db.doc_id = doc_b
+WHERE round(levenshtein(da.text, db.text)
+            / greatest(length(da.text), length(db.text)), 6) <= {max_norm}
+"""
+
+
 def _simhash_cte(bits: int) -> str:
     """CTE chain ending in ``sh(doc_id, simhash)`` for a given bit width."""
     sums = []
@@ -2111,6 +2180,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": lambda spark, sf: dedup.minhash_signatures(load(spark, sf, "documents")),
         "lsh_candidate_pairs": lambda spark, sf: dedup.lsh_candidate_pairs(load(spark, sf, "documents")),
         "lsh_candidate_doc_pairs": lambda spark, sf: dedup.lsh_candidate_doc_pairs(load(spark, sf, "documents")),
+        # two-stage near-dup: exact Levenshtein verification over the
+        # banded candidate set (never all-pairs)
+        "edit_verified_pairs": lambda spark, sf: dedup.edit_verified_pairs(
+            load(spark, sf, "documents")
+        ),
+        # normalization-aware exact dedup (planted case/punct mirrors)
+        "normalized_dedup": q_normalized_dedup,
         "simhash": lambda spark, sf: dedup.simhash(load(spark, sf, "documents")),
         "simhash_near_dup_pairs": lambda spark, sf: dedup.simhash_near_dup_pairs(load(spark, sf, "documents")),
         "ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(load(spark, sf, "documents")),
@@ -2266,6 +2342,7 @@ _GATE_ORDER = [
     "session_stats",
     "windowed_events",
     "exact_dedup",
+    "normalized_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "lsh_candidate_doc_pairs",
@@ -2283,6 +2360,7 @@ _GATE_ORDER = [
     "streaming_session_stats",
     # moderate (2-5 s)
     "interleave_stats",
+    "edit_verified_pairs",
     "winnow_overlap_pairs",
     "ngram_jaccard",
     "embedding_delta_near_dup",
@@ -2329,6 +2407,8 @@ def build_oracles() -> dict[str, str]:
         "minhash_signatures": oracle_minhash_signatures(),
         "lsh_candidate_pairs": oracle_lsh_candidate_pairs(),
         "lsh_candidate_doc_pairs": oracle_lsh_candidate_doc_pairs(),
+        "edit_verified_pairs": oracle_edit_verified_pairs(),
+        "normalized_dedup": oracle_normalized_dedup(),
         "simhash": oracle_simhash(),
         "simhash_near_dup_pairs": oracle_simhash_near_dup_pairs(),
         "ngram_jaccard": oracle_ngram_jaccard(),

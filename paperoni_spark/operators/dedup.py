@@ -897,6 +897,90 @@ def dup_ngram_stats(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def normalize_for_dedup(col):
+    """CCNet-style text normalization for dedup keys: lowercase, strip
+    punctuation/symbols to spaces, collapse whitespace, trim.  Catches
+    the trivially-mutated mirror copies (case changes, added punctuation,
+    reflowed whitespace) that byte-exact hashing misses — applied to the
+    KEY only; the stored text is never rewritten.  Pure codegen
+    expression chain; the DuckDB oracle mirrors it verbatim (with the
+    'g' flag — DuckDB's regexp_replace is first-match by default where
+    Spark's is global)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9\\s]+", " "), "\\s+", " "
+        )
+    )
+
+
+def normalized_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup on the NORMALIZED text digest: per normalized-digest
+    group, the min-id survivor and member count (the repo-wide
+    canonical-survivor convention).  Same single digest-keyed shuffle as
+    exact dedup — normalization adds zero data movement."""
+    return (
+        documents.select(
+            F.md5(normalize_for_dedup(F.col("text"))).alias("digest"), "doc_id"
+        )
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("first_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+EDIT_VERIFY_MAX_NORM = 0.3
+
+
+def edit_verified_pairs(
+    documents: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    cap: int = MINHASH_BUCKET_CAP,
+    max_norm_dist: float = EDIT_VERIFY_MAX_NORM,
+) -> DataFrame:
+    """Two-stage near-dup detection, verification stage: exact
+    (Levenshtein) edit distance over the BANDED CANDIDATE SET — the
+    standard production shape (cheap hash-based recall, expensive exact
+    precision only on the bounded candidates; never all-pairs).  Emits
+    pairs whose normalized distance (edit_dist / max(len_a, len_b)) is
+    within ``max_norm_dist``.
+
+    Scale shape: the candidate set is DF-capped by
+    :func:`lsh_candidate_doc_pairs`; the two text joins are doc_id
+    equi-joins that move text only for candidate rows.  A length
+    prefilter runs before the O(len_a × len_b) Levenshtein:
+    ``|len_a − len_b|`` is a lower bound on edit distance, so pairs
+    whose length gap alone exceeds the threshold are rejected by two
+    ``length()`` calls instead of a DP table — at production doc sizes
+    this is the difference between verifying a candidate and burning a
+    core on it."""
+    cands = lsh_candidate_doc_pairs(documents, k, bands, cap)
+    ta = documents.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    tb = documents.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    la, lb = F.length("text_a"), F.length("text_b")
+    mx = F.greatest(la, lb)
+    d = F.levenshtein("text_a", "text_b")
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where((F.abs(la - lb) / mx) <= max_norm_dist)  # lower-bound gate
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            d.cast("long").alias("edit_dist"),
+            F.round(d / mx, 6).alias("norm_dist"),
+        )
+        .where(F.col("norm_dist") <= max_norm_dist)
+    )
+
+
 SUBSTR_DEDUP_N = 50  # Lee et al.'s 50-token duplicated-span threshold
 
 

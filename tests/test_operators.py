@@ -921,6 +921,54 @@ def test_repetition_stats(spark, docs, ddb):
     assert got[3]["n_bigrams"] == 0 and got[3]["top_bigram_frac"] == 0.0
 
 
+def test_normalized_dedup(spark, docs, ddb):
+    """Normalization-aware dedup: oracle parity on the planted mirror
+    corpus (every planted case/punct variant collapses onto its seed),
+    plus a fixture pinning the normalization rules one by one."""
+    from paperoni_spark.operators.dedup import normalized_dedup
+
+    result = contract.q_normalized_dedup(spark, SF_DIR)
+    rows = result.collect()
+    assert_matches_oracle(result, ddb, contract.oracle_normalized_dedup())
+    merged = {r["first_doc_id"]: r["n_docs"] for r in rows if r["n_docs"] > 1}
+    assert {i: 2 for i in range(contract._NORM_PLANT_N)}.items() <= merged.items()
+
+    adv = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),       # case + punct + whitespace variant
+            (3, "  HELLO — world.  "),  # unicode punct + padding
+            (4, "hello worlds"),        # genuinely different
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r["first_doc_id"]: r["n_docs"] for r in normalized_dedup(adv).collect()}
+    assert got == {1: 3, 4: 1}
+
+
+def test_edit_verified_pairs(spark, docs, ddb):
+    """Two-stage near-dup verification: oracle parity (the length
+    prefilter is proven result-neutral by the oracle omitting it), plus
+    an exact-twin fixture pinning the all-bands candidate and the zero
+    distance."""
+    from paperoni_spark.operators.dedup import LSH_BANDS, edit_verified_pairs
+
+    result = edit_verified_pairs(docs)
+    assert_matches_oracle(result, ddb, contract.oracle_edit_verified_pairs())
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    adv = spark.createDataFrame(
+        [(1, t), (2, t), (3, "completely unrelated words nothing shared here at all")],
+        "doc_id: long, text: string",
+    )
+    got = edit_verified_pairs(adv).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["n_shared_bands"] == LSH_BANDS
+    assert r["edit_dist"] == 0 and r["norm_dist"] == 0.0
+
+
 def test_interleave_stats(spark, ddb):
     """Interleaved-payload profile: oracle parity against the frozen
     golden span sequences, plus a hand-checked micro-fixture (runs,
