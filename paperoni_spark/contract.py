@@ -1574,6 +1574,101 @@ def oracle_ann_ivf_topk(
     )
 
 
+def oracle_ann_pq_topk(
+    m: int = similarity.PQ_M,
+    n_codes: int = similarity.PQ_K,
+    iters: int = similarity.PQ_ITERS,
+    n_queries: int = 10,
+    k: int = 5,
+    dim: int = similarity.EMBED_DIM,
+) -> str:
+    """DuckDB twin of similarity.ann_pq_topk: the per-subspace
+    deterministic k-means (same rules as the IVF oracle) unrolled as one
+    CTE chain PER SUBSPACE, then the ADC scan — each candidate's
+    approximate distance is the left-associated sum of its m rounded
+    subspace distances, exactly the engine's table-lookup arithmetic."""
+    r = similarity.IVF_ROUND
+    sd = dim // m
+
+    def dist(e: str, c: str) -> str:
+        return (
+            f"round(list_dot_product({e}, {e}) - 2 * list_dot_product({e}, {c})"
+            f" + list_dot_product({c}, {c}), {r})"
+        )
+
+    ctes = ["base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"]
+    final_books = []
+    for mi in range(m):
+        lo, hi = mi * sd + 1, (mi + 1) * sd
+        ctes.append(f"s{mi} AS (SELECT vec_id, emb[{lo}:{hi}] AS sub FROM base)")
+        ctes.append(
+            f"""c0_{mi} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sub AS c
+  FROM (SELECT vec_id, sub FROM s{mi} ORDER BY vec_id LIMIT {n_codes}))"""
+        )
+        prev = f"c0_{mi}"
+        for it in range(1, iters + 1):
+            ctes.append(
+                f"""a{it}_{mi} AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT b.vec_id, b.sub, s.cid,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {dist('b.sub', 's.c')} ASC, s.cid ASC) AS rn
+    FROM s{mi} b CROSS JOIN {prev} s) WHERE rn = 1)"""
+            )
+            ctes.append(
+                f"""m{it}_{mi} AS (
+  SELECT a.cid, i AS dim, round(avg(a.sub[i]), {r}) AS m
+  FROM a{it}_{mi} a, unnest(generate_series(1, {sd})) AS t(i) GROUP BY 1, 2)"""
+            )
+            ctes.append(
+                f"""c{it}_{mi} AS (
+  SELECT s.cid, coalesce(mm.c, s.c) AS c
+  FROM {prev} s LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS c
+                           FROM m{it}_{mi} GROUP BY cid) mm USING (cid))"""
+            )
+            prev = f"c{it}_{mi}"
+        ctes.append(
+            f"""code{mi} AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, s.cid,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {dist('b.sub', 's.c')} ASC, s.cid ASC) AS rn
+    FROM s{mi} b CROSS JOIN {prev} s) WHERE rn = 1)"""
+        )
+        final_books.append(prev)
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, emb FROM base WHERE vec_id < {n_queries})"
+    )
+    joins, terms = [], []
+    for mi in range(m):
+        lo, hi = mi * sd + 1, (mi + 1) * sd
+        joins.append(
+            f"JOIN code{mi} k{mi} ON k{mi}.vec_id = v.vec_id "
+            f"JOIN {final_books[mi]} f{mi} ON f{mi}.cid = k{mi}.cid"
+        )
+        terms.append(dist(f"q.emb[{lo}:{hi}]", f"f{mi}.c"))
+    adc = " + ".join(terms)
+    ctes.append(
+        f"""scored AS (
+  SELECT q.query_id, v.vec_id, round({adc}, {r}) AS adc_dist
+  FROM base v CROSS JOIN q {' '.join(joins)}
+  WHERE v.vec_id != q.query_id)"""
+    )
+    ctes.append(
+        """ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM scored)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, vec_id, adc_dist, rank::INT AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
 N_PLANTED_TWINS = 10
 TWIN_ID_OFFSET = 1_000_001  # odd + ≢0 mod 3: crosses 2- and 3-batch staging
 
@@ -2252,6 +2347,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-means made engine-portable (rounded distances/means, cid
         # tie-breaks) so the DuckDB twin replays the exact Lloyd iterations
         "ann_ivf_topk": lambda spark, sf: similarity.ann_ivf_topk(load(spark, sf, "embeddings")),
+        # PQ ADC: compressed-linear-scan ANN (per-subspace deterministic
+        # k-means, same Lloyd-replay oracle family as IVF)
+        "ann_pq_topk": lambda spark, sf: similarity.ann_pq_topk(load(spark, sf, "embeddings")),
         "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(
             planted_embeddings(load(spark, sf, "embeddings"))
         ),
@@ -2373,7 +2471,9 @@ _GATE_ORDER = [
     "simhash_near_dup_pairs",
     "streaming_exact_dedup",
     "streaming_embedding_pairs",
-    # heavy tail (>5 s: stream startup × batches, index builds, CC loops)
+    # heavy tail (>5 s: stream startup × batches, index builds, CC loops,
+    # the PQ Lloyd training collects + 4-subspace oracle replay)
+    "ann_pq_topk",
     "simhash_dedup_clusters",
     "simhash_delta_pairs",
     "ann_lsh_topk_indexed",
@@ -2445,6 +2545,7 @@ def build_oracles() -> dict[str, str]:
         "ann_lsh_topk": oracle_ann_lsh_topk(),
         "ann_lsh_topk_indexed": oracle_ann_lsh_topk(),
         "ann_ivf_topk": oracle_ann_ivf_topk(),
+        "ann_pq_topk": oracle_ann_pq_topk(),
         "media_feature_stats": oracle_media_feature_stats(),
         "pdf_page_stats": oracle_pdf_page_stats(),
         "embedding_near_dup": oracle_embedding_near_dup(),

@@ -599,6 +599,167 @@ def ann_ivf_topk(
     return _rank_topk(scored, k)
 
 
+PQ_M = 4  # subspaces
+PQ_K = 16  # centroids per subspace (codes fit one byte up to 256)
+PQ_ITERS = 2
+
+
+def _pq_assign_col(codebooks: list[list[list[float]]]):
+    """Per-subspace nearest-centroid codes as one ``array<int>`` column:
+    one numpy matmul PER SUBSPACE per Arrow batch (the vectorized path —
+    interpreted HOF distances are ~10× slower here, same measurement as
+    IVF assignment).  Distances are rounded before argmin and np.argmin
+    takes the first minimum — ties break to the lowest code, matching
+    the oracle's (d, cid) ordering."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    sqs = [(cm * cm).sum(axis=1) for cm in mats]
+    sd = mats[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def assign_udf(emb):
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        codes = np.empty((len(mat), len(mats)), dtype=np.int32)
+        for mi, (cm, cs) in enumerate(zip(mats, sqs)):
+            sub = mat[:, mi * sd : (mi + 1) * sd]
+            d = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * (sub @ cm.T)
+                + cs[None, :]
+            )
+            codes[:, mi] = np.argmin(np.round(d, IVF_ROUND), axis=1)
+        return pd.Series(list(codes))
+
+    return assign_udf(F.col("emb"))
+
+
+def pq_codebooks_and_codes(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dim: int = EMBED_DIM,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product-quantization training + encoding: deterministic k-means
+    per SUBSPACE (the vector split into ``m`` contiguous blocks), with
+    the exact rules that make IVF engine-portable — lowest-vec_id
+    seeds, rounded distances with first-min ties, per-iteration means
+    rounded to IVF_ROUND, empty clusters keep their centroid — so the
+    DuckDB oracle replays every Lloyd step per subspace.
+
+    All ``m`` subspaces train TOGETHER: each iteration is one combined
+    assignment pass (one UDF, m matmuls) plus one dimension-exploded
+    partial-aggregated mean — 2 jobs per iteration regardless of m,
+    and the codebooks (m × n_codes × dim/m doubles) stay driver-side
+    control-plane, like the IVF quantizer.  Returns the materialized
+    ``(vec_id, emb, codes)`` frame and the codebooks."""
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    sd = dim // m
+    seeds = base.orderBy("vec_id").limit(n_codes).select("emb").collect()
+    codebooks = [
+        [list(r["emb"])[mi * sd : (mi + 1) * sd] for r in seeds]
+        for mi in range(m)
+    ]
+    for _ in range(iters):
+        coded = base.withColumn("codes", _pq_assign_col(codebooks))
+        rows = (
+            coded.select("codes", F.posexplode("emb").alias("dim", "val"))
+            .select(
+                F.expr(f"int(dim div {sd})").alias("sub"),
+                F.expr(f"int(dim % {sd})").alias("subdim"),
+                F.expr(f"element_at(codes, int(dim div {sd}) + 1)").alias("code"),
+                "val",
+            )
+            .groupBy("sub", "code", "subdim")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        new_books = [[list(c) for c in cb] for cb in codebooks]
+        for r in rows:
+            new_books[r["sub"]][r["code"]][r["subdim"]] = round(
+                r["mean"], IVF_ROUND
+            )
+        codebooks = new_books
+    # the coded frame feeds the ADC scan AND the query-table collect —
+    # materialize so the m-matmul encoding runs once (the IVF rule)
+    coded = materialize(base.withColumn("codes", _pq_assign_col(codebooks)))
+    return coded, codebooks
+
+
+def ann_pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """PQ ADC top-k: the compressed-linear-scan ANN path.  The corpus is
+    encoded once into ``m`` small codes per vector (m bytes at k≤256 —
+    at 10^12 vectors the scan reads m-byte codes instead of dim×4-byte
+    floats, a ~64× IO reduction at the default geometry); each query
+    carries a per-subspace distance lookup TABLE (n_queries × m ×
+    n_codes doubles — bounded driver-side control-plane, computed with
+    the same rounded expanded-form distance the assignment uses), and
+    the approximate squared-L2 is m table lookups + (m−1) adds per
+    candidate, pure JVM expressions over the broadcast query row.
+    Ranking is (adc_dist asc, vec_id asc) — rank 1 = nearest."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    spark = embeddings.sparkSession
+    coded, codebooks = pq_codebooks_and_codes(embeddings, m, n_codes, iters, dim)
+    sd = dim // m
+    qrows = (
+        coded.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "emb")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qtables = []
+    for r in qrows:
+        q = np.array(r["emb"], dtype=np.float64)
+        flat: list[float] = []
+        for mi, cb in enumerate(codebooks):
+            sub = q[mi * sd : (mi + 1) * sd]
+            cm = np.array(cb, dtype=np.float64)
+            # the SAME expanded form + rounding as assignment/oracle —
+            # (sub-cm)**2 sums in a different FP order and can diverge
+            d = (sub @ sub) - 2.0 * (cm @ sub) + (cm * cm).sum(axis=1)
+            flat.extend(float(x) for x in np.round(d, IVF_ROUND))
+        qtables.append((int(r["vec_id"]), flat))
+    queries = spark.createDataFrame(qtables, "query_id: long, tbl: array<double>")
+    adc = None
+    for mi in range(m):
+        term = F.expr(
+            f"element_at(tbl, {mi * n_codes} + element_at(codes, {mi + 1}) + 1)"
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        coded.select("vec_id", "codes")
+        .crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", F.round(adc, IVF_ROUND).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
 def _write_lsh_wave(embeddings: DataFrame, path: str, wave: int) -> None:
     """Write ONE wave's rows + counts segments, delete-before-overwrite:
     the shared body of :func:`write_lsh_bucket_index` (wave 0) and

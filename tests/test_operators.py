@@ -921,6 +921,37 @@ def test_repetition_stats(spark, docs, ddb):
     assert got[3]["n_bigrams"] == 0 and got[3]["top_bigram_frac"] == 0.0
 
 
+def test_ann_pq_topk(spark, embeds, ddb):
+    """PQ ADC ANN: oracle parity (per-subspace Lloyd replay), rank/
+    distance monotonicity, and the reconstruction-minimum property — an
+    exact twin of a query shares all its codes, so its ADC distance is
+    the query's attainable minimum (assignment picks each subspace's
+    argmin code) and the twin lands at rank 1."""
+    from paperoni_spark.operators.similarity import ann_pq_topk
+
+    result = ann_pq_topk(embeds)
+    rows = result.collect()
+    assert_matches_oracle(result, ddb, contract.oracle_ann_pq_topk())
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists), (q, dists)
+
+    twin = contract.planted_embeddings(embeds)
+    got = {
+        (r["query_id"], r["vec_id"]): r
+        for r in ann_pq_topk(twin).collect()
+    }
+    twin_row = got.get((0, contract.TWIN_ID_OFFSET))
+    assert twin_row is not None
+    q0 = [r for (q, _), r in got.items() if q == 0]
+    assert twin_row["adc_dist"] == min(r["adc_dist"] for r in q0)
+
+
 def test_normalized_dedup(spark, docs, ddb):
     """Normalization-aware dedup: oracle parity on the planted mirror
     corpus (every planted case/punct variant collapses onto its seed),
