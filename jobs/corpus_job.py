@@ -51,6 +51,17 @@ def main(argv: list[str] | None = None) -> None:
         help="near-dup Hamming threshold; implies --near-dup",
     )
     parser.add_argument(
+        "--substring-clean",
+        type=int,
+        nargs="?",
+        const=-1,
+        default=None,
+        metavar="N",
+        help="rewrite surviving texts removing duplicated >=N-token spans "
+        "(Lee-et-al. exact-substring stage; default N when given bare). "
+        "Wave-local in incremental mode.",
+    )
+    parser.add_argument(
         "--dedup-index",
         default=None,
         help="persisted SimHash fingerprint index: the wave is deduped "
@@ -100,6 +111,12 @@ def main(argv: list[str] | None = None) -> None:
         persist=True,
         near_dup=args.near_dup,
         max_hamming=args.max_hamming,
+        substring_clean=args.substring_clean is not None,
+        substring_n=(
+            None
+            if args.substring_clean in (None, -1)
+            else args.substring_clean
+        ),
     )
     if args.dedup_index is not None:
         from paperoni_spark.pipeline.compose import dedup_wave_against_index

@@ -61,6 +61,8 @@ def build_training_corpus(
     persist: bool = False,
     near_dup: bool = False,
     max_hamming: int | None = None,
+    substring_clean: bool = False,
+    substring_n: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The full training-data funnel as one lazy program:
 
@@ -81,6 +83,11 @@ def build_training_corpus(
     scale the survivor window shuffles on the fingerprint key — exact
     duplicates co-locate, so skew equals the duplicate multiplicity
     (bounded by crawl frequency, salt if a fixture explodes it).
+
+    ``substring_clean=True`` appends the Lee-et-al. exact-substring
+    REWRITE stage after survivor selection (duplicated ≥``substring_n``-
+    token spans removed from surviving texts; nothing rejected — the
+    ``cleaned:substring_dup`` funnel row counts affected docs).
 
     ``near_dup=True`` inserts the production near-duplicate stage between
     exact dedup and the sink: 64-bit SimHash pairs (pigeonhole-exact
@@ -187,6 +194,44 @@ def build_training_corpus(
         funnel = funnel.unionByName(
             near_losers.select(
                 F.lit("rejected:near_duplicate").alias("stage"), "n_docs"
+            )
+        )
+
+    if substring_clean:
+        # Lee-et-al. exact-substring cleaning as a REWRITE stage after
+        # survivor selection: duplicated ≥n-token spans are removed from
+        # the surviving texts (no document is rejected — the funnel row
+        # counts affected docs, and kept − rejected == written still
+        # reconciles).  Scope note: the histogram covers THIS build's
+        # corpus frame; in incremental wave mode that means wave-local
+        # cleaning (cross-wave duplicated spans are the near-dup index's
+        # job).  The corpus frame is materialized first so the substring
+        # histogram + rewrite never re-run the extraction kernel.
+        from ..materialize import materialize
+        from ..operators.dedup import SUBSTR_DEDUP_N, substring_dedup
+
+        n = SUBSTR_DEDUP_N if substring_n is None else substring_n
+        corpus = materialize(corpus)
+        cleaned = substring_dedup(corpus.select("doc_id", "text"), n=n)
+        corpus = (
+            corpus.drop("text", "n_tokens")
+            .join(
+                cleaned.select(
+                    "doc_id",
+                    F.col("text_clean").alias("text"),
+                    (F.col("n_tokens") - F.col("n_removed")).alias("n_tokens"),
+                    "n_removed",
+                ),
+                "doc_id",
+            )
+        )
+        affected = corpus.where(F.col("n_removed") > 0).agg(
+            F.count("*").alias("n_docs")
+        )
+        corpus = corpus.drop("n_removed")
+        funnel = funnel.unionByName(
+            affected.select(
+                F.lit("cleaned:substring_dup").alias("stage"), "n_docs"
             )
         )
     return corpus, funnel

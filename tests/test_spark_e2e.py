@@ -360,6 +360,53 @@ def test_build_training_corpus_funnel(spark):
     assert len(fps) == len(set(fps))
 
 
+def test_build_training_corpus_substring_clean(spark):
+    """The opt-in exact-substring REWRITE stage: a ≥n-token passage
+    shared by two documents is removed from both surviving texts (each
+    doc's unique body survives — junction shingles are unique), nothing
+    is rejected, n_tokens tracks the cleaned text, and the funnel's
+    cleaned:substring_dup row counts the affected docs."""
+    from paperoni_spark.pipeline.compose import build_training_corpus
+
+    passage = " ".join(f"shared{i:02d}" for i in range(24))
+
+    def doc(tag, with_passage):
+        body = "the start and middle of " + " ".join(
+            f"{tag}{i:03d}" for i in range(70)
+        )
+        paras = f"<p>{body}</p>"
+        if with_passage:
+            paras += f"<p>{passage}</p>"
+        html = (
+            f"<html><head><title>T {tag}</title></head>"
+            f"<body><article>{paras}</article></body></html>"
+        )
+        return {
+            "doc_id": f"doc-{tag}",
+            "spans": [
+                {"kind": "text", "text": html, "media_ref": None, "offset": 0}
+            ],
+        }
+
+    docs = make_documents_df(
+        spark, [doc("aaa", True), doc("bbb", True), doc("ccc", False)]
+    )
+    corpus, funnel = build_training_corpus(
+        docs, substring_clean=True, substring_n=8, persist=True
+    )
+    rows = {r["doc_id"]: r for r in corpus.collect()}
+    assert set(rows) == {"doc-aaa", "doc-bbb", "doc-ccc"}
+    assert "shared00" not in rows["doc-aaa"]["text"]
+    assert "shared23" not in rows["doc-bbb"]["text"]
+    assert "aaa000" in rows["doc-aaa"]["text"]  # unique body survives
+    assert "ccc000" in rows["doc-ccc"]["text"]
+    for r in rows.values():
+        assert r["n_tokens"] == len(r["text"].split())
+    stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    assert stages["cleaned:substring_dup"] == 2
+    assert stages["kept"] == 3  # cleaning rejects nothing
+
+
 def test_build_training_corpus_near_dup_stage(spark):
     """The near-dup funnel stage (driver-gated via corpus_funnel): planted
     SimHash near-variants are rejected after surviving exact dedup, and the
