@@ -503,19 +503,28 @@ def _minhash_bands_sql() -> str:
     return " UNION ALL ".join(band_selects)
 
 
-def oracle_lsh_candidate_doc_pairs() -> str:
-    return f"""
-WITH {_SIG_CTE}, bands AS ({_minhash_bands_sql()}),
+def _capped_cand_ctes() -> str:
+    """Shared WITH-chain body ending in ``capped`` (under-cap MinHash
+    band rows) — the single source for every oracle that consumes the
+    banded candidate set (lsh_candidate_doc_pairs, edit_verified_pairs);
+    a candidate-shape change edits ONE place."""
+    return f"""{_SIG_CTE}, bands AS ({_minhash_bands_sql()}),
 capped AS (
   SELECT b.* FROM bands b
   JOIN (SELECT band, bucket FROM bands GROUP BY 1, 2
         HAVING count(*) <= {dedup.MINHASH_BUCKET_CAP}) ok USING (band, bucket)
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_bands
-FROM capped a JOIN capped b USING (band, bucket)
-WHERE a.doc_id < b.doc_id
-GROUP BY 1, 2
-"""
+)"""
+
+
+_CAND_SELECT = """
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_bands
+  FROM capped a JOIN capped b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2"""
+
+
+def oracle_lsh_candidate_doc_pairs() -> str:
+    return f"WITH {_capped_cand_ctes()}\n{_CAND_SELECT}"
 
 
 _NORM_PLANT_N = 20
@@ -557,33 +566,29 @@ FROM probed GROUP BY 1
 
 
 def oracle_edit_verified_pairs(max_norm: float = dedup.EDIT_VERIFY_MAX_NORM) -> str:
-    """DuckDB twin of dedup.edit_verified_pairs: the capped candidate CTE
-    of lsh_candidate_doc_pairs + levenshtein verification.  The engine's
-    length prefilter is OMITTED here on purpose — |len_a−len_b| is a
-    lower bound on edit distance, so the prefilter never changes the
+    """DuckDB twin of dedup.edit_verified_pairs: the shared capped
+    candidate CTEs + levenshtein verification over the same ASCII
+    projection the engine uses (DuckDB's levenshtein counts BYTES where
+    Spark's counts code points — on the projection they agree).  The
+    engine's length prefilter is OMITTED here on purpose —
+    |len_a−len_b| is a lower bound on edit distance and both filters
+    compare the same rounded form, so the prefilter never changes the
     result set, only when the DP table is computed."""
+    proj = "regexp_replace({}, '[^\\x00-\\x7F]', '?', 'g')"
+    ta, tb = proj.format("da.text"), proj.format("db.text")
     return f"""
-WITH {_SIG_CTE}, bands AS ({_minhash_bands_sql()}),
-capped AS (
-  SELECT b.* FROM bands b
-  JOIN (SELECT band, bucket FROM bands GROUP BY 1, 2
-        HAVING count(*) <= {dedup.MINHASH_BUCKET_CAP}) ok USING (band, bucket)
-),
-cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_bands
-  FROM capped a JOIN capped b USING (band, bucket)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
+WITH {_capped_cand_ctes()},
+cand AS ({_CAND_SELECT}
 )
 SELECT doc_a, doc_b, n_shared_bands,
-       levenshtein(da.text, db.text)::BIGINT AS edit_dist,
-       round(levenshtein(da.text, db.text)
-             / greatest(length(da.text), length(db.text)), 6) AS norm_dist
+       levenshtein({ta}, {tb})::BIGINT AS edit_dist,
+       round(levenshtein({ta}, {tb})
+             / greatest(length({ta}), length({tb})), 6) AS norm_dist
 FROM cand
 JOIN documents da ON da.doc_id = doc_a
 JOIN documents db ON db.doc_id = doc_b
-WHERE round(levenshtein(da.text, db.text)
-            / greatest(length(da.text), length(db.text)), 6) <= {max_norm}
+WHERE round(levenshtein({ta}, {tb})
+            / greatest(length({ta}), length({tb})), 6) <= {max_norm}
 """
 
 
@@ -1587,6 +1592,8 @@ def oracle_ann_pq_topk(
     CTE chain PER SUBSPACE, then the ADC scan — each candidate's
     approximate distance is the left-associated sum of its m rounded
     subspace distances, exactly the engine's table-lookup arithmetic."""
+    if dim % m:
+        raise ValueError(f"PQ oracle: m={m} must divide dim={dim}")
     r = similarity.IVF_ROUND
     sd = dim // m
 

@@ -955,13 +955,26 @@ def edit_verified_pairs(
     whose length gap alone exceeds the threshold are rejected by two
     ``length()`` calls instead of a DP table — at production doc sizes
     this is the difference between verifying a candidate and burning a
-    core on it."""
+    core on it.  The prefilter compares the ROUNDED ratio, the same
+    form as the final filter and the oracle, so it is provably
+    result-neutral even at the rounding boundary.
+
+    Portability: the distance runs over an ASCII PROJECTION of the text
+    (every non-ASCII code point → '?'): Spark's levenshtein counts code
+    points but DuckDB's counts BYTES, so multi-byte characters would
+    silently desynchronize the oracle (the same byte-vs-char trap as
+    the kernel's blen rule); on the projection byte == char and both
+    engines agree.  A '?'-substitution costs exactly one edit either
+    way, so distances over the projection differ from true code-point
+    distances only where distinct non-ASCII chars map to the same '?'
+    — acceptable for a near-dup verdict, and documented."""
     cands = lsh_candidate_doc_pairs(documents, k, bands, cap)
+    ascii_proj = F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", "?")
     ta = documents.select(
-        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+        F.col("doc_id").alias("doc_a"), ascii_proj.alias("text_a")
     )
     tb = documents.select(
-        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+        F.col("doc_id").alias("doc_b"), ascii_proj.alias("text_b")
     )
     la, lb = F.length("text_a"), F.length("text_b")
     mx = F.greatest(la, lb)
@@ -969,7 +982,7 @@ def edit_verified_pairs(
     return (
         cands.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .where((F.abs(la - lb) / mx) <= max_norm_dist)  # lower-bound gate
+        .where(F.round(F.abs(la - lb) / mx, 6) <= max_norm_dist)
         .select(
             "doc_a",
             "doc_b",

@@ -656,6 +656,11 @@ def pq_codebooks_and_codes(
     and the codebooks (m × n_codes × dim/m doubles) stay driver-side
     control-plane, like the IVF quantizer.  Returns the materialized
     ``(vec_id, emb, codes)`` frame and the codebooks."""
+    if dim % m:
+        raise ValueError(
+            f"PQ requires m to divide the dimension evenly: dim={dim}, m={m} "
+            f"would silently drop the trailing {dim % m} dimension(s)"
+        )
     base = embeddings.select(
         "vec_id", _to_double(F.col("embedding")).alias("emb")
     )

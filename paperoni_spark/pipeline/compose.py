@@ -212,23 +212,45 @@ def build_training_corpus(
 
         n = SUBSTR_DEDUP_N if substring_n is None else substring_n
         corpus = materialize(corpus)
-        cleaned = substring_dedup(corpus.select("doc_id", "text"), n=n)
-        corpus = (
-            corpus.drop("text", "n_tokens")
-            .join(
-                cleaned.select(
-                    "doc_id",
-                    F.col("text_clean").alias("text"),
-                    (F.col("n_tokens") - F.col("n_removed")).alias("n_tokens"),
-                    "n_removed",
-                ),
-                "doc_id",
+        # the rewrite + funnel count both consume the cleaned frame, and
+        # the histogram/covered aggregations behind it are NOT covered by
+        # substring_dedup's internal cut — materialize the compact result
+        # (ids + rewritten text) so neither consumer re-derives it
+        cleaned = materialize(
+            substring_dedup(corpus.select("doc_id", "text"), n=n).where(
+                F.col("n_removed") > 0
             )
         )
-        affected = corpus.where(F.col("n_removed") > 0).agg(
-            F.count("*").alias("n_docs")
+        # only ACTUALLY-cleaned docs are rewritten: text_clean is a
+        # single-space token rejoin, so applying it to n_removed=0 docs
+        # would collapse their original whitespace — a corpus-wide
+        # mutation the funnel row wouldn't account for
+        corpus = (
+            corpus.join(
+                cleaned.select(
+                    "doc_id",
+                    F.col("text_clean").alias("_text_clean"),
+                    F.col("n_removed").alias("_n_removed"),
+                ),
+                "doc_id",
+                "left",
+            )
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("_n_removed").isNotNull(), F.col("_text_clean")
+                ).otherwise(F.col("text")),
+            )
+            .withColumn(
+                "n_tokens",
+                F.when(
+                    F.col("_n_removed").isNotNull(),
+                    F.col("n_tokens") - F.col("_n_removed"),
+                ).otherwise(F.col("n_tokens")),
+            )
+            .drop("_text_clean", "_n_removed")
         )
-        corpus = corpus.drop("n_removed")
+        affected = cleaned.agg(F.count("*").alias("n_docs"))
         funnel = funnel.unionByName(
             affected.select(
                 F.lit("cleaned:substring_dup").alias("stage"), "n_docs"

@@ -999,6 +999,31 @@ def test_edit_verified_pairs(spark, docs, ddb):
     assert r["n_shared_bands"] == LSH_BANDS
     assert r["edit_dist"] == 0 and r["norm_dist"] == 0.0
 
+    # non-ASCII portability: Spark levenshtein counts code points,
+    # DuckDB's counts BYTES — both sides measure over the ASCII
+    # projection, so a multibyte edit ('café'→'cafe': 2 bytes, 1 char)
+    # cannot desynchronize the gate.  Candidacy here is deterministic
+    # (md5 minhash), pinned by the candidate assertion.
+    base_t = "café rösti naïve " + " ".join(f"tok{i}" for i in range(40))
+    nadv = spark.createDataFrame(
+        [
+            (1, base_t),
+            (2, base_t.replace("café", "cafe")),
+            (3, "all totally different words here nothing common"),
+        ],
+        "doc_id: long, text: string",
+    )
+    nres = edit_verified_pairs(nadv)
+    nrows = nres.collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in nrows] == [(1, 2)], nrows
+    assert nrows[0]["edit_dist"] == 1  # café→caf?, cafe: one substitution
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in [(1, base_t), (2, base_t.replace("café", "cafe")),
+                 (3, "all totally different words here nothing common")]:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    assert_matches_oracle(nres, con, contract.oracle_edit_verified_pairs())
+
 
 def test_interleave_stats(spark, ddb):
     """Interleaved-payload profile: oracle parity against the frozen

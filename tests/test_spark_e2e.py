@@ -405,6 +405,12 @@ def test_build_training_corpus_substring_clean(spark):
     stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
     assert stages["cleaned:substring_dup"] == 2
     assert stages["kept"] == 3  # cleaning rejects nothing
+    # untouched docs are BYTE-identical to the flag-off build: the
+    # single-space rejoin must never rewrite a doc with no removed spans
+    plain, _ = build_training_corpus(docs)
+    plain_rows = {r["doc_id"]: r for r in plain.collect()}
+    assert rows["doc-ccc"]["text"] == plain_rows["doc-ccc"]["text"]
+    assert rows["doc-ccc"]["n_tokens"] == plain_rows["doc-ccc"]["n_tokens"]
 
 
 def test_build_training_corpus_near_dup_stage(spark):
