@@ -199,6 +199,14 @@ def main() -> None:
         "length_stats",
         "streaming_simhash_pairs",
         "streaming_embedding_pairs",
+        # round-5 operators (new keys; absent from earlier BENCH_r{N})
+        "substring_dedup",
+        "sequence_pack",
+        "interleave_stats",
+        "length_stats_approx",
+        "edit_verified_pairs",
+        "normalized_dedup",
+        "ann_pq_topk",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed
