@@ -213,8 +213,10 @@ def main(argv: list[str] | None = None) -> None:
         # the wave's index segment, written LAST (a failed wave never
         # poisons the index; corpus descends from the persisted judged
         # frame, so this re-runs no extraction).  Bootstraps a missing
-        # index on the first run — corpus_job-owned indexes are always
-        # wave-segmented; don't point it at a flat operator-built index.
+        # index on the first run.  Since round 5 the operator-built
+        # simhash indexes share this wave=<id> layout (write = wave 0),
+        # so the two are layout-compatible; anything WITHOUT wave=
+        # segments is refused above as foreign.
         from paperoni_spark.operators.dedup import SIMHASH_PAIR_BITS, simhash
 
         simhash(corpus.select("doc_id", "text"), SIMHASH_PAIR_BITS).write.mode(

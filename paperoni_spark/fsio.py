@@ -1,0 +1,44 @@
+"""Tiny Hadoop-FS helpers shared by the persisted-index writers.
+
+Every persisted index in this repo (MinHash band, SimHash fingerprint,
+embedding sign-LSH, IVF, the LSH bucket index, and the streamed wave
+loops) follows ONE durability rule: a writer owns exactly one
+``wave=<id>`` (or ``batch=<id>``) segment and replays it with
+delete-before-overwrite, so an at-least-once retry is idempotent and
+committed segments are never touched.  These helpers are the shared
+mechanics; they go through the Hadoop FileSystem API so any scheme the
+cluster mounts (file://, hdfs://, s3a://) behaves identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def hadoop_path(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def delete_path(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` if it exists (no-op otherwise)."""
+    p = hadoop_path(spark, path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def write_wave_segment(
+    df: DataFrame, path: str, wave: int, partition_by: tuple[str, ...] = ()
+) -> None:
+    """Write ``df`` as ``path/wave=<wave>`` with delete-before-overwrite:
+    a crashed attempt's leftovers are removed first, so retrying the same
+    wave id replays the segment instead of double-appending (the repo's
+    index-append idempotency rule).  Caller contract: ``wave`` is stable
+    across retries of the same wave and unique across waves."""
+    spark = df.sparkSession
+    seg = f"{path}/wave={wave}"
+    delete_path(spark, seg)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(seg)

@@ -310,28 +310,47 @@ def write_minhash_band_index(
     documents: DataFrame, path: str, k: int = MINHASH_K, bands: int = LSH_BANDS
 ) -> None:
     """Persist the MinHash-LSH band index — (doc_id, band, bucket) written
-    PARTITIONED BY band — so a recurring crawl never re-shingles the
-    corpus: incremental dedup (:func:`dedup_delta_pairs_against_index`)
-    probes this table instead of re-deriving 10^12 documents' signatures.
-    ``mode="append"`` lets each ingestion wave add its own delta's rows
-    after probing, keeping the index current without rewrites (same
-    partitioned-sink pattern as similarity.write_ivf_index; Iceberg
-    equivalent: ``writeTo(tbl).partitionedBy(col("band")).createOrReplace()``
-    / ``.append()``)."""
-    _minhash_band_rows(documents, k, bands, materialized=False).write.partitionBy(
-        "band"
-    ).mode("overwrite").parquet(path)
+    PARTITIONED BY band inside a ``wave=0`` segment — so a recurring
+    crawl never re-shingles the corpus: incremental dedup
+    (:func:`dedup_delta_pairs_against_index`) probes this table instead
+    of re-deriving 10^12 documents' signatures.  WAVE-KEYED like every
+    persisted index since round 5: each append owns one ``wave=<id>``
+    segment with delete-before-overwrite (fsio.write_wave_segment), so
+    at-least-once retries replay instead of double-appending (Iceberg
+    equivalent: ``writeTo(tbl).partitionedBy(col("band"))`` with
+    per-wave overwrite-by-filter)."""
+    from ..fsio import write_wave_segment
+
+    write_wave_segment(
+        _minhash_band_rows(documents, k, bands, materialized=False),
+        path,
+        0,
+        partition_by=("band",),
+    )
 
 
 def append_to_minhash_band_index(
-    documents: DataFrame, path: str, k: int = MINHASH_K, bands: int = LSH_BANDS
+    documents: DataFrame,
+    path: str,
+    wave: int,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
 ) -> None:
-    """Add a delta's band rows to an existing index (post-probe step of the
-    recurring-crawl loop).  Caller contract: the delta's doc_ids must not
-    already be present (the pipeline's anti-join resume guarantees this)."""
-    _minhash_band_rows(documents, k, bands, materialized=False).write.partitionBy(
-        "band"
-    ).mode("append").parquet(path)
+    """Add a delta's band rows as its own ``wave=<id>`` segment (post-
+    probe step of the recurring-crawl loop).  Caller contract: the
+    delta's doc_ids must not already be present (the pipeline's
+    anti-join resume guarantees this), and ``wave`` ≥ 1 is stable across
+    retries of the same wave — a retry replays its segment."""
+    from ..fsio import write_wave_segment
+
+    if wave < 1:
+        raise ValueError(f"append wave id must be >= 1 (0 is the build): {wave}")
+    write_wave_segment(
+        _minhash_band_rows(documents, k, bands, materialized=False),
+        path,
+        wave,
+        partition_by=("band",),
+    )
 
 
 def dedup_delta_pairs_against_index(
@@ -553,17 +572,28 @@ def write_simhash_index(
     10^12 docs ≈ 16 TB, trivially smaller than re-tokenizing the corpus).
     Band rows derive MAP-SIDE at probe time from the single fingerprint,
     so unlike the MinHash band index nothing per-band is stored.
-    ``mode="append"`` via :func:`append_to_simhash_index` closes the
-    recurring-crawl loop."""
-    simhash(documents, bits).write.mode("overwrite").parquet(path)
+    WAVE-KEYED (``wave=0`` build + one segment per append, delete-
+    before-overwrite) — the same layout corpus_job's own incremental
+    index uses, so the two are interchangeable;
+    :func:`append_to_simhash_index` closes the recurring-crawl loop
+    retry-idempotently."""
+    from ..fsio import write_wave_segment
+
+    write_wave_segment(simhash(documents, bits), path, 0)
 
 
 def append_to_simhash_index(
-    documents: DataFrame, path: str, bits: int = SIMHASH_PAIR_BITS
+    documents: DataFrame, path: str, wave: int, bits: int = SIMHASH_PAIR_BITS
 ) -> None:
-    """Add a probed delta's fingerprints to the index.  Caller contract:
-    delta doc_ids are disjoint from the index (anti-join resume)."""
-    simhash(documents, bits).write.mode("append").parquet(path)
+    """Add a probed delta's fingerprints as its own ``wave=<id>`` segment
+    (retry replays, never double-appends).  Caller contract: delta
+    doc_ids are disjoint from the index (anti-join resume) and ``wave``
+    ≥ 1, stable across retries of the same wave."""
+    from ..fsio import write_wave_segment
+
+    if wave < 1:
+        raise ValueError(f"append wave id must be >= 1 (0 is the build): {wave}")
+    write_wave_segment(simhash(documents, bits), path, wave)
 
 
 def simhash_delta_pairs_against_index(

@@ -297,21 +297,36 @@ def write_embedding_lsh_index(embeddings: DataFrame, path: str) -> None:
     (:func:`embedding_delta_near_dup_against_index`) never re-runs the
     coding UDF over the corpus and reads exact vectors for the cosine
     gate from the same scan.  The index is one coding pass over the
-    corpus, amortized across every future delta wave;
+    corpus, amortized across every future delta wave; WAVE-KEYED
+    (``wave=0`` build, one segment per append) so retries replay —
     :func:`append_to_embedding_lsh_index` adds a probed wave's rows."""
+    from ..fsio import write_wave_segment
+
     base = embeddings.select("vec_id", _to_double(F.col("embedding")).alias("emb"))
-    base.select("vec_id", "emb", lsh_code_col(F.col("emb")).alias("code")).write.mode(
-        "overwrite"
-    ).parquet(path)
+    write_wave_segment(
+        base.select("vec_id", "emb", lsh_code_col(F.col("emb")).alias("code")),
+        path,
+        0,
+    )
 
 
-def append_to_embedding_lsh_index(embeddings: DataFrame, path: str) -> None:
-    """Add a delta wave to the index.  Caller contract: vec_ids disjoint
-    from the index (anti-join resume)."""
+def append_to_embedding_lsh_index(
+    embeddings: DataFrame, path: str, wave: int
+) -> None:
+    """Add a delta wave as its own ``wave=<id>`` segment (delete-before-
+    overwrite — a retried wave replays, never double-appends).  Caller
+    contract: vec_ids disjoint from the index (anti-join resume) and
+    ``wave`` ≥ 1, stable across retries of the same wave."""
+    from ..fsio import write_wave_segment
+
+    if wave < 1:
+        raise ValueError(f"append wave id must be >= 1 (0 is the build): {wave}")
     base = embeddings.select("vec_id", _to_double(F.col("embedding")).alias("emb"))
-    base.select("vec_id", "emb", lsh_code_col(F.col("emb")).alias("code")).write.mode(
-        "append"
-    ).parquet(path)
+    write_wave_segment(
+        base.select("vec_id", "emb", lsh_code_col(F.col("emb")).alias("code")),
+        path,
+        wave,
+    )
 
 
 def embedding_delta_near_dup_against_index(
@@ -490,8 +505,13 @@ def write_ivf_index(
     (an underscore-prefixed side table — invisible to partition
     discovery), making the index self-contained: waves then append via
     :func:`append_to_ivf_index` without the caller carrying quantizer
-    state."""
-    assigned.write.partitionBy("centroid").mode("overwrite").parquet(path)
+    state.  WAVE-KEYED since round 5 (``wave=0/centroid=…`` + one
+    segment per append): probes still prune on the centroid partition
+    column within every wave segment, and a retried append replays its
+    own segment instead of double-appending."""
+    from ..fsio import write_wave_segment
+
+    write_wave_segment(assigned, path, 0, partition_by=("centroid",))
     if centroids is not None:
         spark = assigned.sparkSession
         spark.createDataFrame(
@@ -515,21 +535,29 @@ def read_ivf_centroids(spark, path: str) -> list[list[float]]:
     return [list(r["coords"]) for r in rows]
 
 
-def append_to_ivf_index(embeddings: DataFrame, path: str) -> None:
+def append_to_ivf_index(embeddings: DataFrame, path: str, wave: int) -> None:
     """Add a wave to the IVF index: assign against the FROZEN persisted
     centroids (standard production IVF — the coarse quantizer is trained
-    once and reused; re-clustering is an offline rebuild) and append
-    into the centroid partition directories.  Pure map-side: one matmul
-    per Arrow batch, no shuffle.  Caller contract: vec_ids disjoint from
-    the index."""
+    once and reused; re-clustering is an offline rebuild) and write the
+    wave's own ``wave=<id>/centroid=…`` segment (delete-before-overwrite
+    — retries replay).  Pure map-side: one matmul per Arrow batch, no
+    shuffle.  Caller contract: vec_ids disjoint from the index and
+    ``wave`` ≥ 1, stable across retries of the same wave."""
+    from ..fsio import write_wave_segment
+
+    if wave < 1:
+        raise ValueError(f"append wave id must be >= 1 (0 is the build): {wave}")
     spark = embeddings.sparkSession
     cents = read_ivf_centroids(spark, path)
     base = embeddings.select(
         "vec_id", _to_double(F.col("embedding")).alias("emb")
     )
-    base.withColumn("centroid", _ivf_assign_col(cents)).write.partitionBy(
-        "centroid"
-    ).mode("append").parquet(path)
+    write_wave_segment(
+        base.withColumn("centroid", _ivf_assign_col(cents)),
+        path,
+        wave,
+        partition_by=("centroid",),
+    )
 
 
 def ivf_probe_scan(

@@ -212,7 +212,12 @@ def test_dedup_delta_never_reshingles(spark, docs, ddb, tmp_path):
 
     # the recurring loop's write-back: append the probed delta, then a
     # second wave finds its duplicate against a WAVE-1 doc via the index
-    dedup.append_to_minhash_band_index(delta, index_path)
+    dedup.append_to_minhash_band_index(delta, index_path, wave=1)
+    # at-least-once retry of the SAME wave replays its segment —
+    # the index does not grow and probes stay correct
+    n_before = spark.read.parquet(index_path).count()
+    dedup.append_to_minhash_band_index(delta, index_path, wave=1)
+    assert spark.read.parquet(index_path).count() == n_before
     seed = delta.orderBy("doc_id").limit(1).collect()[0]
     wave2 = spark.createDataFrame(
         [(10_000_001, seed["text"])], "doc_id: long, text: string"
@@ -255,7 +260,10 @@ def test_simhash_delta_never_rehashes(spark, docs, ddb, tmp_path):
 
     # append the wave, then an exact copy of a delta doc (hamming 0)
     # surfaces against the WAVE-1 fingerprint via the index
-    dedup.append_to_simhash_index(delta, index_path)
+    dedup.append_to_simhash_index(delta, index_path, wave=1)
+    n_before = spark.read.parquet(index_path).count()
+    dedup.append_to_simhash_index(delta, index_path, wave=1)  # retry replays
+    assert spark.read.parquet(index_path).count() == n_before
     seed = delta.orderBy("doc_id").limit(1).collect()[0]
     wave2 = spark.createDataFrame(
         [(10_000_001, seed["text"])], "doc_id: long, text: string"
@@ -557,7 +565,7 @@ def test_embedding_delta_never_recodes(spark, embeds, ddb, tmp_path):
     # the recurring loop's write-back: append the probed wave, then an
     # exact copy of a wave-1 delta vector surfaces (cosine 1.0) against
     # the appended codes via the index — mirrors the MinHash/SimHash twins
-    append_to_embedding_lsh_index(delta, index_path)
+    append_to_embedding_lsh_index(delta, index_path, wave=1)
     seed = delta.orderBy("vec_id").limit(1).collect()[0]
     wave2 = spark.createDataFrame(
         [(10_000_001, list(seed["embedding"]))], "vec_id: long, embedding: array<double>"
@@ -818,7 +826,7 @@ def test_ivf_probe_scan_partition_pruned(spark, embeds, tmp_path_factory):
     wave = spark.createDataFrame(
         [(10_000_001, list(seed["emb"]))], "vec_id: long, embedding: array<double>"
     )
-    similarity.append_to_ivf_index(wave, path)
+    similarity.append_to_ivf_index(wave, path, 1)
     got = similarity.ivf_probe_scan(spark, path, [seed["centroid"]]).where(
         F.col("vec_id") == 10_000_001
     ).collect()

@@ -537,7 +537,7 @@ def test_incremental_corpus_waves(spark, tmp_path_factory):
     corpus1 = corpus1.persist()
     n1 = corpus1.count()
     assert n1 > 0
-    append_to_simhash_index(corpus1.select("doc_id", "text"), index)
+    append_to_simhash_index(corpus1.select("doc_id", "text"), index, wave=1)
 
     # wave 2: 4 new docs + 3 re-crawls of wave-1 content under new ids
     recrawl = []
@@ -564,7 +564,7 @@ def test_incremental_corpus_waves(spark, tmp_path_factory):
     assert surv_ids and surv_ids.isdisjoint(wave1_ids)
     assert all(not i.startswith("w2-") for i in surv_ids)
     # index grows by exactly the survivors
-    append_to_simhash_index(survivors.select("doc_id", "text"), index)
+    append_to_simhash_index(survivors.select("doc_id", "text"), index, wave=2)
     n_index = spark.read.parquet(index).count()
     assert n_index == n1 + len(surv_ids)
     # retry idempotence: re-submitting the SAME wave yields zero
