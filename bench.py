@@ -207,6 +207,7 @@ def main() -> None:
         "edit_verified_pairs",
         "normalized_dedup",
         "ann_pq_topk",
+        "ann_ivfpq_topk",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

@@ -1491,26 +1491,26 @@ def q_ann_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk_indexed(spark, embeds, index_path)
 
 
-def oracle_ann_ivf_topk(
-    n_centroids: int = 16,
-    iters: int = 2,
-    n_queries: int = 10,
-    k: int = 5,
-    nprobe: int = 2,
-    dim: int = similarity.EMBED_DIM,
-) -> str:
-    """DuckDB twin of similarity.ann_ivf_topk: the same deterministic
-    k-means (seed = k lowest vec_ids, rounded distances with lowest-cid
-    tie-break, rounded per-dim means, empty clusters keep their centroid)
-    unrolled as one CTE chain per Lloyd iteration."""
+def _sq_dist_sql(e: str, c: str) -> str:
+    """The rounded expanded-form squared distance every IVF/PQ oracle
+    shares (mirrors the engine's numpy form term-for-term)."""
     r = similarity.IVF_ROUND
+    return (
+        f"round(list_dot_product({e}, {e}) - 2 * list_dot_product({e}, {c})"
+        f" + list_dot_product({c}, {c}), {r})"
+    )
 
-    def dist(e: str, c: str) -> str:
-        return (
-            f"round(list_dot_product({e}, {e}) - 2 * list_dot_product({e}, {c})"
-            f" + list_dot_product({c}, {c}), {r})"
-        )
 
+def _ivf_lloyd_ctes(
+    n_centroids: int, iters: int, dim: int, n_queries: int, nprobe: int
+) -> list[str]:
+    """Shared coarse-quantizer CTE chain: ``base`` → Lloyd iterations →
+    ``af`` (final assignment), ``q`` (query vectors), ``probes`` (the
+    nprobe nearest centroids per query, rounded-distance + cid
+    tie-break).  Single source for oracle_ann_ivf_topk and
+    oracle_ann_ivfpq_topk — the deterministic-k-means replay lives once."""
+    r = similarity.IVF_ROUND
+    dist = _sq_dist_sql
     ctes = [
         "base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
         f"""c0 AS (
@@ -1558,6 +1558,22 @@ def oracle_ann_ivf_topk(
                               ORDER BY {dist('q.qemb', 's.c')} ASC, s.cid ASC) AS rn
     FROM q CROSS JOIN {prev} s) WHERE rn <= {nprobe})"""
     )
+    return ctes
+
+
+def oracle_ann_ivf_topk(
+    n_centroids: int = 16,
+    iters: int = 2,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 2,
+    dim: int = similarity.EMBED_DIM,
+) -> str:
+    """DuckDB twin of similarity.ann_ivf_topk: the same deterministic
+    k-means (seed = k lowest vec_ids, rounded distances with lowest-cid
+    tie-break, rounded per-dim means, empty clusters keep their centroid)
+    unrolled as one CTE chain per Lloyd iteration."""
+    ctes = _ivf_lloyd_ctes(n_centroids, iters, dim, n_queries, nprobe)
     ctes.append(
         """scored AS (
   SELECT q.query_id, a.vec_id,
@@ -1579,32 +1595,21 @@ def oracle_ann_ivf_topk(
     )
 
 
-def oracle_ann_pq_topk(
-    m: int = similarity.PQ_M,
-    n_codes: int = similarity.PQ_K,
-    iters: int = similarity.PQ_ITERS,
-    n_queries: int = 10,
-    k: int = 5,
-    dim: int = similarity.EMBED_DIM,
-) -> str:
-    """DuckDB twin of similarity.ann_pq_topk: the per-subspace
-    deterministic k-means (same rules as the IVF oracle) unrolled as one
-    CTE chain PER SUBSPACE, then the ADC scan — each candidate's
-    approximate distance is the left-associated sum of its m rounded
-    subspace distances, exactly the engine's table-lookup arithmetic."""
+def _pq_subspace_ctes(
+    m: int, n_codes: int, iters: int, dim: int
+) -> tuple[list[str], list[str]]:
+    """Shared per-subspace PQ CTE chains (assumes ``base`` is already in
+    the WITH list): for each subspace mi, the sliced subvectors, the
+    Lloyd iterations, and ``code{mi}`` (final code per vector).  Returns
+    (ctes, final_codebook_cte_names).  Single source for
+    oracle_ann_pq_topk and oracle_ann_ivfpq_topk."""
     if dim % m:
         raise ValueError(f"PQ oracle: m={m} must divide dim={dim}")
     r = similarity.IVF_ROUND
     sd = dim // m
-
-    def dist(e: str, c: str) -> str:
-        return (
-            f"round(list_dot_product({e}, {e}) - 2 * list_dot_product({e}, {c})"
-            f" + list_dot_product({c}, {c}), {r})"
-        )
-
-    ctes = ["base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"]
-    final_books = []
+    dist = _sq_dist_sql
+    ctes: list[str] = []
+    final_books: list[str] = []
     for mi in range(m):
         lo, hi = mi * sd + 1, (mi + 1) * sd
         ctes.append(f"s{mi} AS (SELECT vec_id, emb[{lo}:{hi}] AS sub FROM base)")
@@ -1644,30 +1649,100 @@ def oracle_ann_pq_topk(
     FROM s{mi} b CROSS JOIN {prev} s) WHERE rn = 1)"""
         )
         final_books.append(prev)
-    ctes.append(
-        f"q AS (SELECT vec_id AS query_id, emb FROM base WHERE vec_id < {n_queries})"
-    )
+    return ctes, final_books
+
+
+def _adc_sql(
+    m: int, sd: int, final_books: list[str], qemb: str, vec_alias: str
+) -> tuple[str, str]:
+    """(joins, adc_expr) for the ADC sum: per-subspace code + codebook
+    joins against candidate alias ``vec_alias``, and the LEFT-ASSOCIATED
+    sum of rounded subspace distances from the query's raw subvectors —
+    the engine's table-lookup arithmetic term-for-term."""
     joins, terms = [], []
     for mi in range(m):
         lo, hi = mi * sd + 1, (mi + 1) * sd
         joins.append(
-            f"JOIN code{mi} k{mi} ON k{mi}.vec_id = v.vec_id "
+            f"JOIN code{mi} k{mi} ON k{mi}.vec_id = {vec_alias}.vec_id "
             f"JOIN {final_books[mi]} f{mi} ON f{mi}.cid = k{mi}.cid"
         )
-        terms.append(dist(f"q.emb[{lo}:{hi}]", f"f{mi}.c"))
-    adc = " + ".join(terms)
-    ctes.append(
-        f"""scored AS (
-  SELECT q.query_id, v.vec_id, round({adc}, {r}) AS adc_dist
-  FROM base v CROSS JOIN q {' '.join(joins)}
-  WHERE v.vec_id != q.query_id)"""
-    )
-    ctes.append(
-        """ranked AS (
+        terms.append(_sq_dist_sql(f"{qemb}[{lo}:{hi}]", f"f{mi}.c"))
+    return " ".join(joins), " + ".join(terms)
+
+
+_PQ_RANKED_TAIL = """ranked AS (
   SELECT query_id, vec_id, adc_dist,
          row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rank
   FROM scored)"""
+
+
+def oracle_ann_pq_topk(
+    m: int = similarity.PQ_M,
+    n_codes: int = similarity.PQ_K,
+    iters: int = similarity.PQ_ITERS,
+    n_queries: int = 10,
+    k: int = 5,
+    dim: int = similarity.EMBED_DIM,
+) -> str:
+    """DuckDB twin of similarity.ann_pq_topk: the per-subspace
+    deterministic k-means (same rules as the IVF oracle) unrolled as one
+    CTE chain PER SUBSPACE, then the ADC linear scan."""
+    r = similarity.IVF_ROUND
+    sd = dim // m
+    pq_ctes, final_books = _pq_subspace_ctes(m, n_codes, iters, dim)
+    ctes = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"
+    ] + pq_ctes
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, emb FROM base WHERE vec_id < {n_queries})"
     )
+    joins, adc = _adc_sql(m, sd, final_books, "q.emb", "v")
+    ctes.append(
+        f"""scored AS (
+  SELECT q.query_id, v.vec_id, round({adc}, {r}) AS adc_dist
+  FROM base v CROSS JOIN q {joins}
+  WHERE v.vec_id != q.query_id)"""
+    )
+    ctes.append(_PQ_RANKED_TAIL)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, vec_id, adc_dist, rank::INT AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+def oracle_ann_ivfpq_topk(
+    n_centroids: int = 16,
+    ivf_iters: int = 2,
+    nprobe: int = 2,
+    m: int = similarity.PQ_M,
+    n_codes: int = similarity.PQ_K,
+    pq_iters: int = similarity.PQ_ITERS,
+    n_queries: int = 10,
+    k: int = 5,
+    dim: int = similarity.EMBED_DIM,
+) -> str:
+    """DuckDB twin of similarity.ann_ivfpq_topk: the coarse-quantizer
+    Lloyd replay (shared with the IVF oracle) restricts candidates to
+    each query's probed clusters, and the per-subspace PQ replay (shared
+    with the PQ oracle) scores them by the ADC sum — the full production
+    composition replayed end-to-end.  Note the IVF chain's ``q`` CTE
+    carries the query vectors as ``qemb``; the ADC terms slice it."""
+    r = similarity.IVF_ROUND
+    sd = dim // m
+    ctes = _ivf_lloyd_ctes(n_centroids, ivf_iters, dim, n_queries, nprobe)
+    pq_ctes, final_books = _pq_subspace_ctes(m, n_codes, pq_iters, dim)
+    ctes += pq_ctes
+    joins, adc = _adc_sql(m, sd, final_books, "q.qemb", "a")
+    ctes.append(
+        f"""scored AS (
+  SELECT q.query_id, a.vec_id, round({adc}, {r}) AS adc_dist
+  FROM af a JOIN probes p ON a.cid = p.cid JOIN q ON q.query_id = p.query_id
+  {joins}
+  WHERE a.vec_id != q.query_id)"""
+    )
+    ctes.append(_PQ_RANKED_TAIL)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -2357,6 +2432,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PQ ADC: compressed-linear-scan ANN (per-subspace deterministic
         # k-means, same Lloyd-replay oracle family as IVF)
         "ann_pq_topk": lambda spark, sf: similarity.ann_pq_topk(load(spark, sf, "embeddings")),
+        # IVF-PQ: the production composition (coarse probe restriction +
+        # ADC ranking over codes)
+        "ann_ivfpq_topk": lambda spark, sf: similarity.ann_ivfpq_topk(load(spark, sf, "embeddings")),
         "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(
             planted_embeddings(load(spark, sf, "embeddings"))
         ),
@@ -2481,6 +2559,7 @@ _GATE_ORDER = [
     # heavy tail (>5 s: stream startup × batches, index builds, CC loops,
     # the PQ Lloyd training collects + 4-subspace oracle replay)
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "simhash_dedup_clusters",
     "simhash_delta_pairs",
     "ann_lsh_topk_indexed",
@@ -2553,6 +2632,7 @@ def build_oracles() -> dict[str, str]:
         "ann_lsh_topk_indexed": oracle_ann_lsh_topk(),
         "ann_ivf_topk": oracle_ann_ivf_topk(),
         "ann_pq_topk": oracle_ann_pq_topk(),
+        "ann_ivfpq_topk": oracle_ann_ivfpq_topk(),
         "media_feature_stats": oracle_media_feature_stats(),
         "pdf_page_stats": oracle_pdf_page_stats(),
         "embedding_near_dup": oracle_embedding_near_dup(),

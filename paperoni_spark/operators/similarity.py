@@ -589,28 +589,9 @@ def ann_ivf_topk(
     queries = assigned.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
-
-    def dist_to(cent):
-        return F.round(
-            _dot(F.col("qemb"), F.col("qemb"))
-            - F.lit(2.0) * _dot(F.col("qemb"), F.array(*[F.lit(c) for c in cent]))
-            + F.lit(sum(x * x for x in cent)),
-            IVF_ROUND,
-        )
-
-    # sort (distance, centroid-id) structs so probe selection is total-order
-    # deterministic even under distance ties (array_position on a sorted
-    # distance array would duplicate probes on ties)
-    pairs = F.array_sort(
-        F.array(
-            *[
-                F.struct(dist_to(c).alias("d"), F.lit(i).alias("cid"))
-                for i, c in enumerate(centroids)
-            ]
-        )
+    queries = queries.withColumn(
+        "probes", _ivf_probes_col(centroids, nprobe, F.col("qemb"))
     )
-    probe_cols = [pairs[p]["cid"].cast("int") for p in range(nprobe)]
-    queries = queries.withColumn("probes", F.array(*probe_cols))
 
     scored = (
         assigned.join(
@@ -743,44 +724,19 @@ def ann_pq_topk(
     the approximate squared-L2 is m table lookups + (m−1) adds per
     candidate, pure JVM expressions over the broadcast query row.
     Ranking is (adc_dist asc, vec_id asc) — rank 1 = nearest."""
-    import numpy as np
-
     from pyspark.sql.window import Window
 
     spark = embeddings.sparkSession
     coded, codebooks = pq_codebooks_and_codes(embeddings, m, n_codes, iters, dim)
-    sd = dim // m
-    qrows = (
-        coded.where(F.col("vec_id") < n_queries)
-        .select("vec_id", "emb")
-        .orderBy("vec_id")
-        .collect()
-    )
-    qtables = []
-    for r in qrows:
-        q = np.array(r["emb"], dtype=np.float64)
-        flat: list[float] = []
-        for mi, cb in enumerate(codebooks):
-            sub = q[mi * sd : (mi + 1) * sd]
-            cm = np.array(cb, dtype=np.float64)
-            # the SAME expanded form + rounding as assignment/oracle —
-            # (sub-cm)**2 sums in a different FP order and can diverge
-            d = (sub @ sub) - 2.0 * (cm @ sub) + (cm * cm).sum(axis=1)
-            flat.extend(float(x) for x in np.round(d, IVF_ROUND))
-        qtables.append((int(r["vec_id"]), flat))
-    queries = spark.createDataFrame(qtables, "query_id: long, tbl: array<double>")
-    adc = None
-    for mi in range(m):
-        term = F.expr(
-            f"element_at(tbl, {mi * n_codes} + element_at(codes, {mi + 1}) + 1)"
-        )
-        adc = term if adc is None else adc + term
+    queries = _pq_query_tables(spark, coded, codebooks, n_queries, dim // m)
     scored = (
         coded.select("vec_id", "codes")
         .crossJoin(F.broadcast(queries))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
-            "query_id", "vec_id", F.round(adc, IVF_ROUND).alias("adc_dist")
+            "query_id",
+            "vec_id",
+            F.round(_adc_expr(m, n_codes), IVF_ROUND).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -833,6 +789,138 @@ def _write_lsh_wave(embeddings: DataFrame, path: str, wave: int) -> None:
     rows.groupBy("band", "bkey").agg(
         F.count("*").alias("n_vecs")
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/counts/wave={wave}")
+
+
+def _ivf_probes_col(
+    centroids: list[list[float]], nprobe: int, qemb_col
+):
+    """The query's ``nprobe`` nearest coarse centroids as an int array —
+    sorted (rounded distance, centroid-id) structs, so probe selection
+    is total-order deterministic even under distance ties
+    (array_position on a sorted distance array would duplicate probes
+    on ties).  Shared by ann_ivf_topk and ann_ivfpq_topk, mirrored by
+    both oracles' ``probes`` CTE."""
+
+    def dist_to(cent):
+        return F.round(
+            _dot(qemb_col, qemb_col)
+            - F.lit(2.0) * _dot(qemb_col, F.array(*[F.lit(c) for c in cent]))
+            + F.lit(sum(x * x for x in cent)),
+            IVF_ROUND,
+        )
+
+    pairs = F.array_sort(
+        F.array(
+            *[
+                F.struct(dist_to(c).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    return F.array(*[pairs[p]["cid"].cast("int") for p in range(nprobe)])
+
+
+def _pq_query_tables(
+    spark,
+    coded: DataFrame,
+    codebooks: list[list[list[float]]],
+    n_queries: int,
+    sd: int,
+) -> DataFrame:
+    """Per-query ADC lookup tables as a broadcastable (query_id, tbl)
+    frame — n_queries × m × n_codes doubles of bounded driver-side
+    control-plane, computed with the same rounded EXPANDED-form distance
+    the assignment uses ((q−c)² sums in a different FP order and can
+    diverge after rounding).  Shared by ann_pq_topk and ann_ivfpq_topk."""
+    import numpy as np
+
+    qrows = (
+        coded.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "emb")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qtables = []
+    for r in qrows:
+        q = np.array(r["emb"], dtype=np.float64)
+        flat: list[float] = []
+        for mi, cb in enumerate(codebooks):
+            sub = q[mi * sd : (mi + 1) * sd]
+            cm = np.array(cb, dtype=np.float64)
+            d = (sub @ sub) - 2.0 * (cm @ sub) + (cm * cm).sum(axis=1)
+            flat.extend(float(x) for x in np.round(d, IVF_ROUND))
+        qtables.append((int(r["vec_id"]), flat))
+    return spark.createDataFrame(qtables, "query_id: long, tbl: array<double>")
+
+
+def _adc_expr(m: int, n_codes: int):
+    """The ADC distance: m table lookups + (m−1) LEFT-ASSOCIATED adds —
+    the oracles sum their per-subspace terms in the same order, so the
+    IEEE result is bit-identical before the final round."""
+    adc = None
+    for mi in range(m):
+        term = F.expr(
+            f"element_at(tbl, {mi * n_codes} + element_at(codes, {mi + 1}) + 1)"
+        )
+        adc = term if adc is None else adc + term
+    return adc
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """IVF-PQ ANN — the production 10^12-vector composition: the coarse
+    IVF quantizer restricts each query to its ``nprobe`` clusters
+    (partition-prunable at scale via write_ivf_index), and within them
+    candidates are ranked by PQ ADC distance over m-byte codes — the
+    scan reads codes, never the float vectors.  Both trainings follow
+    the deterministic engine-portable rules, so the DuckDB oracle
+    replays coarse Lloyd + per-subspace Lloyd + probe selection + the
+    ADC sum end-to-end.
+
+    Simplification vs classical IVFADC, documented: PQ encodes RAW
+    vectors, not per-cluster residuals — residual encoding would add a
+    second rounding-replay layer to the oracle for a recall gain the
+    fixture scale cannot measure.  Ranking is (adc_dist asc, vec_id
+    asc)."""
+    from pyspark.sql.window import Window
+
+    spark = embeddings.sparkSession
+    assigned, centroids = ivf_assignments(embeddings, n_centroids)
+    coded, codebooks = pq_codebooks_and_codes(embeddings, m, n_codes, iters, dim)
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    queries = queries.withColumn(
+        "probes", _ivf_probes_col(centroids, nprobe, F.col("qemb"))
+    ).drop("qemb")
+    qtables = _pq_query_tables(spark, coded, codebooks, n_queries, dim // m)
+    queries = queries.join(qtables, "query_id")
+    cand = assigned.select("vec_id", "centroid").join(
+        F.broadcast(queries),
+        F.array_contains(F.col("probes"), F.col("centroid")),
+    ).where(F.col("vec_id") != F.col("query_id"))
+    scored = cand.join(coded.select("vec_id", "codes"), "vec_id").select(
+        "query_id",
+        "vec_id",
+        F.round(_adc_expr(m, n_codes), IVF_ROUND).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
 
 
 def write_lsh_bucket_index(embeddings: DataFrame, path: str) -> None:

@@ -960,6 +960,43 @@ def test_ann_pq_topk(spark, embeds, ddb):
     assert twin_row["adc_dist"] == min(r["adc_dist"] for r in q0)
 
 
+def test_ann_ivfpq_topk(spark, embeds, ddb):
+    """IVF-PQ composition: oracle parity (coarse Lloyd + per-subspace
+    Lloyd + probe restriction + ADC replayed end-to-end), rank/distance
+    monotonicity, and probe restriction actually binds (with nprobe <
+    n_centroids some query's top set differs from the unrestricted PQ
+    scan — the composition is not a no-op)."""
+    from paperoni_spark.operators.similarity import ann_ivfpq_topk, ann_pq_topk
+
+    result = ann_ivfpq_topk(embeds)
+    rows = result.collect()
+    assert_matches_oracle(result, ddb, contract.oracle_ann_ivfpq_topk())
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists), (q, dists)
+    # the probe restriction binds: every IVF-PQ hit scores identically
+    # to the full PQ scan on the shared pairs (same codes, same tables),
+    # and at least one query's top set differs from the unrestricted scan
+    full = {
+        (r["query_id"], r["vec_id"]): r["adc_dist"]
+        for r in ann_pq_topk(embeds, k=50).collect()
+    }
+    restricted = {(r["query_id"], r["vec_id"]): r["adc_dist"] for r in rows}
+    for key, d in restricted.items():
+        if key in full:
+            assert full[key] == d, key
+    top_full = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_pq_topk(embeds).collect()
+    }
+    assert set(restricted) != top_full
+
+
 def test_normalized_dedup(spark, docs, ddb):
     """Normalization-aware dedup: oracle parity on the planted mirror
     corpus (every planted case/punct variant collapses onto its seed),
