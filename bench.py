@@ -61,6 +61,7 @@ INDEXED_QUERIES = {
     "simhash_delta_pairs",
     "embedding_delta_near_dup",
     "ann_lsh_topk_indexed",
+    "ann_pq_topk_indexed",
 }
 
 
@@ -208,6 +209,7 @@ def main() -> None:
         "normalized_dedup",
         "ann_pq_topk",
         "ann_ivfpq_topk",
+        "ann_pq_topk_indexed",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

@@ -1561,6 +1561,18 @@ def _ivf_lloyd_ctes(
     return ctes
 
 
+def q_ann_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served from the persisted PQ codes index — result-identical
+    to ann_pq_topk (same oracle): the corpus side is the m-ints-per-
+    vector codes table, the quantizer is the persisted _codebooks side
+    table, and no corpus vector is read or re-encoded at probe time."""
+    embeds = load(spark, sf_dir, "embeddings")
+    index_path = _memo_index(
+        "pq_index", sf_dir, lambda p: similarity.write_pq_index(embeds, p)
+    )
+    return similarity.ann_pq_topk_indexed(spark, embeds, index_path)
+
+
 def oracle_ann_ivf_topk(
     n_centroids: int = 16,
     iters: int = 2,
@@ -2435,6 +2447,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF-PQ: the production composition (coarse probe restriction +
         # ADC ranking over codes)
         "ann_ivfpq_topk": lambda spark, sf: similarity.ann_ivfpq_topk(load(spark, sf, "embeddings")),
+        # PQ served from the persisted codes index (frozen codebooks)
+        "ann_pq_topk_indexed": q_ann_pq_topk_indexed,
         "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(
             planted_embeddings(load(spark, sf, "embeddings"))
         ),
@@ -2560,6 +2574,7 @@ _GATE_ORDER = [
     # the PQ Lloyd training collects + 4-subspace oracle replay)
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_pq_topk_indexed",
     "simhash_dedup_clusters",
     "simhash_delta_pairs",
     "ann_lsh_topk_indexed",
@@ -2633,6 +2648,7 @@ def build_oracles() -> dict[str, str]:
         "ann_ivf_topk": oracle_ann_ivf_topk(),
         "ann_pq_topk": oracle_ann_pq_topk(),
         "ann_ivfpq_topk": oracle_ann_ivfpq_topk(),
+        "ann_pq_topk_indexed": oracle_ann_pq_topk(),
         "media_feature_stats": oracle_media_feature_stats(),
         "pdf_page_stats": oracle_pdf_page_stats(),
         "embedding_near_dup": oracle_embedding_near_dup(),

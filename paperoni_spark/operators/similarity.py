@@ -791,6 +791,133 @@ def _write_lsh_wave(embeddings: DataFrame, path: str, wave: int) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/counts/wave={wave}")
 
 
+def write_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dim: int = EMBED_DIM,
+) -> None:
+    """Materialize the PQ index: the corpus's codes (vec_id + m small
+    ints; m BYTES per vector at production k≤256 — the whole point: a
+    10^12-vector ANN scan that reads ~4 TB of codes instead of ~256 TB
+    of floats) in a ``wave=0`` segment, plus the trained codebooks as an
+    ``_codebooks`` side table (m × n_codes × dim/m doubles — invisible
+    to partition discovery, same convention as the IVF ``_centroids``),
+    making the index self-contained: waves append with the FROZEN
+    codebooks via :func:`append_to_pq_index`, and probes never touch
+    corpus vectors (:func:`ann_pq_topk_indexed`)."""
+    from ..fsio import write_wave_segment
+
+    spark = embeddings.sparkSession
+    coded, codebooks = pq_codebooks_and_codes(embeddings, m, n_codes, iters, dim)
+    write_wave_segment(coded.select("vec_id", "codes"), path, 0)
+    rows = [
+        (mi, ci, [float(x) for x in c])
+        for mi, cb in enumerate(codebooks)
+        for ci, c in enumerate(cb)
+    ]
+    spark.createDataFrame(
+        rows, "sub: int, code: int, coords: array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebooks")
+
+
+def read_pq_codebooks(
+    spark, path: str, m: int = PQ_M, n_codes: int = PQ_K
+) -> list[list[list[float]]]:
+    """The persisted PQ quantizer (control-plane, like IVF centroids)."""
+    jvm = spark._jvm
+    cpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_codebooks")
+    fs = cpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(cpath):
+        raise ValueError(
+            f"PQ index at {path} has no _codebooks side table — it was "
+            "written without its quantizer and cannot serve appends or "
+            "probes; rebuild with write_pq_index"
+        )
+    rows = spark.read.parquet(f"{path}/_codebooks").collect()
+    books: list[list] = [[None] * n_codes for _ in range(m)]
+    for r in rows:
+        books[r["sub"]][r["code"]] = list(r["coords"])
+    missing = [(mi, ci) for mi in range(m) for ci in range(n_codes) if books[mi][ci] is None]
+    if missing:
+        raise ValueError(f"PQ codebooks at {path} are incomplete: {missing[:4]}")
+    return books
+
+
+def append_to_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    wave: int,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> None:
+    """Add a wave: encode against the FROZEN persisted codebooks
+    (standard production PQ — retraining is an offline rebuild) and
+    write the wave's own ``wave=<id>`` segment (delete-before-overwrite
+    → retries replay).  Pure map-side: m matmuls per Arrow batch, no
+    shuffle.  Caller contract: vec_ids disjoint from the index and
+    ``wave`` ≥ 1, stable across retries."""
+    from ..fsio import write_wave_segment
+
+    if wave < 1:
+        raise ValueError(f"append wave id must be >= 1 (0 is the build): {wave}")
+    spark = embeddings.sparkSession
+    books = read_pq_codebooks(spark, path, m, n_codes)
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    write_wave_segment(
+        base.withColumn("codes", _pq_assign_col(books)).select("vec_id", "codes"),
+        path,
+        wave,
+    )
+
+
+def ann_pq_topk_indexed(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """PQ ADC served from the PERSISTED index — result-identical to
+    :func:`ann_pq_topk` when the index was built from ``embeddings``,
+    but the corpus side is the codes table alone: the scan never reads
+    (or re-encodes) a corpus vector.  Query vectors come from the
+    caller's frame; their ADC tables are built against the persisted
+    codebooks (driver control-plane)."""
+    from pyspark.sql.window import Window
+
+    books = read_pq_codebooks(spark, index_path, m, n_codes)
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    qtables = _pq_query_tables(spark, base, books, n_queries, dim // m)
+    codes = spark.read.parquet(index_path).select("vec_id", "codes")
+    scored = (
+        codes.crossJoin(F.broadcast(qtables))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_adc_expr(m, n_codes), IVF_ROUND).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
 def _ivf_probes_col(
     centroids: list[list[float]], nprobe: int, qemb_col
 ):

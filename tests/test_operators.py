@@ -960,6 +960,55 @@ def test_ann_pq_topk(spark, embeds, ddb):
     assert twin_row["adc_dist"] == min(r["adc_dist"] for r in q0)
 
 
+def test_ann_pq_index(spark, embeds, ddb, tmp_path):
+    """Persisted PQ index: result-identical to the in-query scan, corpus
+    side served entirely from the codes table (source deleted after the
+    build), frozen-codebook append surfaces a twin at the query's
+    attainable-minimum ADC, retries replay, and a quantizer-less index
+    fails loudly."""
+    import shutil
+
+    from paperoni_spark.operators.similarity import (
+        ann_pq_topk,
+        ann_pq_topk_indexed,
+        append_to_pq_index,
+        read_pq_codebooks,
+        write_pq_index,
+    )
+
+    corpus_path = str(tmp_path / "emb_src")
+    embeds.write.parquet(corpus_path)
+    path = str(tmp_path / "pq_index")
+    write_pq_index(spark.read.parquet(corpus_path), path)
+    shutil.rmtree(corpus_path)  # corpus vectors gone — re-encoding impossible
+    got = ann_pq_topk_indexed(spark, embeds, path)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ann_pq_topk(embeds).collect())
+    )
+    assert_matches_oracle(got, ddb, contract.oracle_ann_pq_topk())
+
+    seed = embeds.orderBy("vec_id").limit(1).collect()[0]
+    wave_df = spark.createDataFrame(
+        [(10_000_001, list(seed["embedding"]))],
+        "vec_id: long, embedding: array<double>",
+    )
+    append_to_pq_index(wave_df, path, 1)
+    after = {
+        (r["query_id"], r["vec_id"]): r
+        for r in ann_pq_topk_indexed(spark, embeds, path).collect()
+    }
+    twin = after.get((seed["vec_id"], 10_000_001))
+    assert twin is not None  # identical codes → attainable-minimum ADC
+    q0 = [r for (q, _), r in after.items() if q == seed["vec_id"]]
+    assert twin["adc_dist"] == min(r["adc_dist"] for r in q0)
+    # at-least-once retry of the same wave replays its segment
+    n_before = spark.read.parquet(path).count()
+    append_to_pq_index(wave_df, path, 1)
+    assert spark.read.parquet(path).count() == n_before
+    with pytest.raises(ValueError):
+        read_pq_codebooks(spark, str(tmp_path / "no_such_index"))
+
+
 def test_ann_ivfpq_topk(spark, embeds, ddb):
     """IVF-PQ composition: oracle parity (coarse Lloyd + per-subspace
     Lloyd + probe restriction + ADC replayed end-to-end), rank/distance
