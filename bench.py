@@ -210,6 +210,8 @@ def main() -> None:
         "ann_pq_topk",
         "ann_ivfpq_topk",
         "ann_pq_topk_indexed",
+        "ngram_containment",
+        "streaming_normalized_dedup",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

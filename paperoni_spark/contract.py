@@ -673,6 +673,71 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.1
 """
 
 
+_CONTAIN_PLANT_N = 15
+_CONTAIN_PREFIX_TOKENS = 40
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment over a corpus with PLANTED sub-document
+    duplication: the first _CONTAIN_PLANT_N docs re-enter under new ids
+    as their own 40-token PREFIX — a 'quote' whose shingles are a strict
+    subset of the seed's, so containment ≈ 1 while Jaccard is small (the
+    exact case symmetric similarity misses)."""
+    docs = load(spark, sf_dir, "documents")
+    quote = F.concat_ws(
+        " ",
+        F.slice(
+            F.split(F.trim("text"), r"\s+"), 1, _CONTAIN_PREFIX_TOKENS
+        ),
+    )
+    planted = docs.where(F.col("doc_id") < _CONTAIN_PLANT_N).select(
+        (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"),
+        quote.alias("text"),
+    )
+    return dedup.ngram_containment_pairs(
+        docs.select("doc_id", "text").unionByName(planted)
+    )
+
+
+def oracle_ngram_containment() -> str:
+    return f"""
+WITH probed AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_ID_OFFSET},
+         array_to_string(({_TOKENS})[1:{_CONTAIN_PREFIX_TOKENS}], ' ')
+  FROM documents WHERE doc_id < {_CONTAIN_PLANT_N}
+),
+toks AS (SELECT doc_id, {_TOKENS} AS arr FROM probed),
+sh AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+  FROM toks, unnest(generate_series(1, len(arr) - 2)) AS t(i)
+  WHERE len(arr) >= 3
+),
+blocked AS (
+  SELECT s.* FROM sh s
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {dedup.SHINGLE_DF_CAP}) ok USING (shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM blocked GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM blocked a JOIN blocked b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         round(common::DOUBLE / least(na.n_sh, nb.n_sh), 6) AS containment,
+         round(common::DOUBLE / (na.n_sh + nb.n_sh - common), 6) AS jaccard
+  FROM pairs
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, containment, jaccard FROM scored
+WHERE containment >= {dedup.CONTAINMENT_THRESHOLD}
+"""
+
+
 _STRATA_FRACTIONS = {"en": 0.5, "zh": 0.25, "de": 0.1}
 _STRATA_DEFAULT = 0.05
 
@@ -798,6 +863,55 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_exact_dedup(
         spark, docs_dir, os.path.join(tmp, "out"), max_files_per_trigger=1
     )
+
+
+def q_streaming_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time NORMALIZED dedup as a stateful stream: the planted
+    case/punct mirror corpus (same plants as normalized_dedup) staged as
+    two mtime-ordered micro-batches; the odd offset puts every mirror in
+    a different batch than its seed, so each collapse is a real
+    cross-batch state update keyed on the normalized digest."""
+    import atexit
+    import shutil
+
+    from .streaming.dedup import run_streaming_exact_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.where(F.col("doc_id") < _NORM_PLANT_N).select(
+        (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"),
+        F.concat(
+            F.regexp_replace(F.upper("text"), " ", "  "), F.lit("!!!")
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    probed = docs.unionByName(planted)
+    tmp, docs_dir = _stage_micro_batches(probed, prefix="sndedup_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return run_streaming_exact_dedup(
+        spark,
+        docs_dir,
+        os.path.join(tmp, "out"),
+        max_files_per_trigger=1,
+        normalized=True,
+    )
+
+
+def oracle_streaming_normalized_dedup() -> str:
+    return f"""
+WITH probed AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_ID_OFFSET},
+         regexp_replace(upper(text), ' ', '  ', 'g') || '!!!'
+  FROM documents WHERE doc_id < {_NORM_PLANT_N}
+)
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ', 'g'),
+                               '\\s+', ' ', 'g'))) AS digest,
+       min(doc_id) AS first_doc_id, count(*)::BIGINT AS n_docs
+FROM probed GROUP BY 1
+"""
 
 
 def _stage_micro_batches(
@@ -2379,6 +2493,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": lambda spark, sf: dedup.simhash(load(spark, sf, "documents")),
         "simhash_near_dup_pairs": lambda spark, sf: dedup.simhash_near_dup_pairs(load(spark, sf, "documents")),
         "ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(load(spark, sf, "documents")),
+        # asymmetric containment (sub-document duplication; planted quotes)
+        "ngram_containment": q_ngram_containment,
         "winnow_fingerprints": lambda spark, sf: dedup.winnow_fingerprints(load(spark, sf, "documents")),
         "winnow_overlap_pairs": lambda spark, sf: dedup.winnow_overlap_pairs(load(spark, sf, "documents")),
         "benchmark_contamination": q_benchmark_contamination,
@@ -2488,6 +2604,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_stats_evicting": q_streaming_session_stats_evicting,
         # ingest-time exact dedup: per-digest stateful stream vs batch groupBy
         "streaming_exact_dedup": q_streaming_exact_dedup,
+        # the normalized-key twin (mirror copies collapse at ingest)
+        "streaming_normalized_dedup": q_streaming_normalized_dedup,
         # recurring-crawl near-dup: per-wave index probe + append as a stream
         "streaming_simhash_pairs": q_streaming_simhash_pairs,
         # the vector twin: per-wave sign-LSH probe + segment append
@@ -2560,6 +2678,7 @@ _GATE_ORDER = [
     "edit_verified_pairs",
     "winnow_overlap_pairs",
     "ngram_jaccard",
+    "ngram_containment",
     "embedding_delta_near_dup",
     "embedding_dedup_clusters",
     "streaming_extract_spans",
@@ -2569,6 +2688,7 @@ _GATE_ORDER = [
     "substring_dedup",
     "simhash_near_dup_pairs",
     "streaming_exact_dedup",
+    "streaming_normalized_dedup",
     "streaming_embedding_pairs",
     # heavy tail (>5 s: stream startup × batches, index builds, CC loops,
     # the PQ Lloyd training collects + 4-subspace oracle replay)
@@ -2613,6 +2733,7 @@ def build_oracles() -> dict[str, str]:
         "simhash": oracle_simhash(),
         "simhash_near_dup_pairs": oracle_simhash_near_dup_pairs(),
         "ngram_jaccard": oracle_ngram_jaccard(),
+        "ngram_containment": oracle_ngram_containment(),
         "winnow_fingerprints": oracle_winnow_fingerprints(),
         "winnow_overlap_pairs": oracle_winnow_overlap_pairs(),
         "benchmark_contamination": oracle_benchmark_contamination(),
@@ -2664,6 +2785,7 @@ def build_oracles() -> dict[str, str]:
         "streaming_session_stats": oracle_session_stats(),
         "streaming_session_stats_evicting": oracle_session_stats(),
         "streaming_exact_dedup": oracle_streaming_exact_dedup(),
+        "streaming_normalized_dedup": oracle_streaming_normalized_dedup(),
         "streaming_simhash_pairs": oracle_streaming_simhash_pairs(),
         "streaming_embedding_pairs": oracle_streaming_embedding_pairs(),
     }

@@ -823,6 +823,65 @@ def ngram_jaccard_pairs(
     )
 
 
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def ngram_containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    df_cap: int = SHINGLE_DF_CAP,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment over the same DF-capped blocked
+    shingle space as :func:`ngram_jaccard_pairs`: for each candidate
+    pair, ``containment = |A∩B| / min(|A|, |B|)`` — the sub-document
+    duplication detector.  A short document wholly quoted inside a long
+    one has tiny Jaccard (the union is dominated by the long doc) but
+    containment ≈ 1; production pipelines use it to catch quote farms,
+    wrapper pages, and partial mirrors that symmetric similarity misses.
+
+    Emits (doc_a, doc_b, containment, jaccard) for pairs with
+    containment ≥ ``threshold`` — the Jaccard rides along from the same
+    aggregation so a consumer can separate "near-identical" from
+    "one-contains-the-other" without a second pass.  Identical plan
+    shape (and scale story) as ngram_jaccard_pairs: capped blocking,
+    direct per-doc size aggregation, one pair-count aggregation."""
+    sh = _shingles(documents, n)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    blocked = sh.join(hot, "shingle", "left_anti")
+    pairs = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sizes = blocked.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("common") / F.least("na", "nb"), 6),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment", "jaccard")
+    )
+
+
 LINE_DF_CAP = 3  # lines appearing in more distinct docs than this are boilerplate
 
 

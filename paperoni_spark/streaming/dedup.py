@@ -87,6 +87,7 @@ def run_streaming_exact_dedup(
     out_dir: str,
     max_files_per_trigger: int | None = None,
     path_glob: str = "*.parquet",
+    normalized: bool = False,
 ) -> DataFrame:
     """Run the ingest-dedup stream (availableNow) over a documents
     directory and return the final per-digest survivors + counts.
@@ -100,7 +101,19 @@ def run_streaming_exact_dedup(
     checkpoint lives at ``out_dir + "_ckpt"``: a restart with the same
     dirs skips committed batches, keeps their segments, and resumes the
     per-digest state (n_docs keeps counting across runs), so the
-    read-back's last-write-wins is stable across restarts too."""
+    read-back's last-write-wins is stable across restarts too.
+
+    ``normalized=True`` keys the state on the CCNet-normalized digest
+    (operators.dedup.normalize_for_dedup) instead of the raw text hash —
+    ingest-time mirror-copy collapse; the state/emission machinery is
+    byte-identical, only the key expression changes."""
+    from ..operators.dedup import normalize_for_dedup
+
+    key = (
+        F.md5(normalize_for_dedup(F.col("text")))
+        if normalized
+        else F.md5("text")
+    )
     reader = spark.readStream.schema(DOCUMENTS_TABLE_SCHEMA).option(
         "pathGlobFilter", path_glob
     )
@@ -108,7 +121,7 @@ def run_streaming_exact_dedup(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = (
         reader.parquet(docs_dir)
-        .select(F.md5("text").alias("digest"), "doc_id")
+        .select(key.alias("digest"), "doc_id")
         .groupBy("digest")
         .applyInPandasWithState(
             _update_digest_group,

@@ -1371,6 +1371,60 @@ def test_streaming_exact_dedup(spark, docs, ddb):
     assert {i: 2 for i in range(contract.LINE_PLANT_N)}.items() <= dups.items()
 
 
+def test_ngram_containment(spark, docs, ddb):
+    """Asymmetric containment: oracle parity on the planted-quote
+    corpus, every planted prefix-quote fully contained in its seed
+    (containment exactly 1.0 — the quote's blocked shingle set is a
+    subset, and the DF cap removes hot shingles from both sides), and a
+    hand-checked prefix fixture where Jaccard is small."""
+    from paperoni_spark.operators.dedup import ngram_containment_pairs
+
+    result = contract.q_ngram_containment(spark, SF_DIR)
+    rows = {(r["doc_a"], r["doc_b"]): r for r in result.collect()}
+    assert_matches_oracle(result, ddb, contract.oracle_ngram_containment())
+    planted = []
+    for i in range(contract._CONTAIN_PLANT_N):
+        r = rows.get((i, i + contract.PLANT_ID_OFFSET))
+        assert r is not None, i
+        assert r["containment"] == 1.0
+        planted.append(r)
+    # the asymmetry is real: some seed is longer than its 40-token quote,
+    # so containment 1.0 coexists with jaccard < 1.0 (a seed shorter than
+    # the prefix makes its quote a full twin — jaccard 1.0 — also fine)
+    assert any(r["jaccard"] < 1.0 for r in planted)
+
+    adv = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+            (2, "w1 w2 w3 w4 w5"),
+            (3, "x1 x2 x3 x4 x5 x6"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in ngram_containment_pairs(adv).collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r["containment"] == 1.0
+    assert r["jaccard"] == 0.375  # 3 common / (8 + 3 − 3)
+
+
+def test_streaming_normalized_dedup(spark, docs, ddb):
+    """Normalized-key ingest dedup stream: oracle parity, and every
+    planted case/punct mirror collapses onto its seed via a real
+    cross-batch state update (the odd offset splits seed and mirror
+    across the two staged micro-batches)."""
+    result = contract.q_streaming_normalized_dedup(spark, SF_DIR)
+    rows = result.collect()
+    assert_matches_oracle(
+        result, ddb, contract.oracle_streaming_normalized_dedup()
+    )
+    merged = {r["first_doc_id"]: r["n_docs"] for r in rows if r["n_docs"] > 1}
+    assert {i: 2 for i in range(contract._NORM_PLANT_N)}.items() <= merged.items()
+
+
 def test_streaming_exact_dedup_restart(spark, tmp_path):
     """Survivor state and committed batch segments survive a stream
     restart: run 1 ingests two batches; run 2 reuses the same dirs and
