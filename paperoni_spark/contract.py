@@ -334,14 +334,39 @@ def golden_img_urls_values_sql() -> str:
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 _STOP_LIST = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
 
-_SHINGLE_CTE = f"""
-toks AS (SELECT doc_id, {_TOKENS} AS arr FROM documents),
+def _shingle_cte_sql(src: str = "documents") -> str:
+    """``toks`` + ``sh`` (distinct 3-gram shingles) over a (doc_id,
+    text) source — the single shingle definition every shingle-space
+    oracle composes on."""
+    return f"""
+toks AS (SELECT doc_id, {_TOKENS} AS arr FROM {src}),
 sh AS (
   SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
   FROM toks, unnest(generate_series(1, len(arr) - 2)) AS t(i)
   WHERE len(arr) >= 3
 )
 """
+
+
+_SHINGLE_CTE = _shingle_cte_sql()
+
+
+def _blocked_pairs_sql(src: str = "documents") -> str:
+    """CTE chain through ``blocked``/``sizes``/``pairs`` — the DuckDB
+    twin of dedup._blocked_pair_counts, shared by the jaccard and
+    containment oracles (cap/blocking semantics live once)."""
+    return f"""{_shingle_cte_sql(src)},
+blocked AS (
+  SELECT s.* FROM sh s
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {dedup.SHINGLE_DF_CAP}) ok USING (shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM blocked GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM blocked a JOIN blocked b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)"""
 
 _SIG_CTE = (
     _SHINGLE_CTE
@@ -650,18 +675,7 @@ WHERE a.doc_id < b.doc_id
 
 def oracle_ngram_jaccard() -> str:
     return f"""
-WITH {_SHINGLE_CTE},
-blocked AS (
-  SELECT s.* FROM sh s
-  JOIN (SELECT shingle FROM sh GROUP BY shingle
-        HAVING count(*) <= {dedup.SHINGLE_DF_CAP}) ok USING (shingle)
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM blocked GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM blocked a JOIN blocked b USING (shingle)
-  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-),
+WITH {_blocked_pairs_sql()},
 scored AS (
   SELECT doc_a, doc_b,
          round(common::DOUBLE / (na.n_sh + nb.n_sh - common), 6) AS jaccard
@@ -708,23 +722,7 @@ WITH probed AS (
          array_to_string(({_TOKENS})[1:{_CONTAIN_PREFIX_TOKENS}], ' ')
   FROM documents WHERE doc_id < {_CONTAIN_PLANT_N}
 ),
-toks AS (SELECT doc_id, {_TOKENS} AS arr FROM probed),
-sh AS (
-  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
-  FROM toks, unnest(generate_series(1, len(arr) - 2)) AS t(i)
-  WHERE len(arr) >= 3
-),
-blocked AS (
-  SELECT s.* FROM sh s
-  JOIN (SELECT shingle FROM sh GROUP BY shingle
-        HAVING count(*) <= {dedup.SHINGLE_DF_CAP}) ok USING (shingle)
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM blocked GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM blocked a JOIN blocked b USING (shingle)
-  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-),
+{_blocked_pairs_sql("probed")},
 scored AS (
   SELECT doc_a, doc_b,
          round(common::DOUBLE / least(na.n_sh, nb.n_sh), 6) AS containment,
@@ -899,19 +897,10 @@ def q_streaming_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_streaming_normalized_dedup() -> str:
-    return f"""
-WITH probed AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + {PLANT_ID_OFFSET},
-         regexp_replace(upper(text), ' ', '  ', 'g') || '!!!'
-  FROM documents WHERE doc_id < {_NORM_PLANT_N}
-)
-SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ', 'g'),
-                               '\\s+', ' ', 'g'))) AS digest,
-       min(doc_id) AS first_doc_id, count(*)::BIGINT AS n_docs
-FROM probed GROUP BY 1
-"""
+    """Same planted corpus, same normalized-key groupBy as the batch
+    operator — the stream must equal it row-for-row, so the oracle IS
+    oracle_normalized_dedup (one copy of the normalization SQL)."""
+    return oracle_normalized_dedup()
 
 
 def _stage_micro_batches(

@@ -19,6 +19,12 @@ def hadoop_path(spark: SparkSession, path: str):
     return spark._jvm.org.apache.hadoop.fs.Path(path)
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    p = hadoop_path(spark, path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def delete_path(spark: SparkSession, path: str) -> None:
     """Recursively delete ``path`` if it exists (no-op otherwise)."""
     p = hadoop_path(spark, path)
@@ -34,8 +40,30 @@ def write_wave_segment(
     a crashed attempt's leftovers are removed first, so retrying the same
     wave id replays the segment instead of double-appending (the repo's
     index-append idempotency rule).  Caller contract: ``wave`` is stable
-    across retries of the same wave and unique across waves."""
+    across retries of the same wave and unique across waves.
+
+    Refuses a target whose root carries non-wave entries (e.g. a legacy
+    flat pre-round-5 index, or an arbitrary data directory): writing a
+    wave segment next to bare part files creates the mixed layout
+    Spark's partition discovery rejects at the NEXT probe — fail at the
+    write, not after the index is polluted (the operator-side twin of
+    corpus_job's foreign-layout refusal)."""
     spark = df.sparkSession
+    root = hadoop_path(spark, path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(root):
+        foreign = [
+            st.getPath().getName()
+            for st in fs.listStatus(root)
+            if not st.getPath().getName().startswith(("wave=", "_", "."))
+        ]
+        if foreign:
+            raise ValueError(
+                f"{path} is not a wave-segmented index (found {foreign[:3]}): "
+                "writing wave=<id> next to flat files would break partition "
+                "discovery at the next read.  Rebuild the index with its "
+                "write_* function, or point at a fresh path."
+            )
     seg = f"{path}/wave={wave}"
     delete_path(spark, seg)
     writer = df.write.mode("overwrite")

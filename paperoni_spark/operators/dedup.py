@@ -783,6 +783,33 @@ def ngram_jaccard_pairs(
     documents (the behavior a dedup pass wants).  A true near-dup pair
     shares rare shingles, so it always survives the cap.
     """
+    return (
+        _blocked_pair_counts(documents, n, df_cap)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _blocked_pair_counts(
+    documents: DataFrame, n: int, df_cap: int
+) -> DataFrame:
+    """(doc_a, doc_b, common, na, nb) over the DF-capped blocked shingle
+    space — the shared scaffolding of ngram_jaccard_pairs and
+    ngram_containment_pairs (a cap/blocking change edits ONE place).
+    Per-doc sizes are a DIRECT aggregation over blocked — round 2
+    derived them from the a<=b self-join's diagonal "for free", but
+    physically the pairs/diagonal filter split pushes a.doc_id<b.doc_id
+    vs == DOWN into two now-non-identical subtrees, destroying every
+    ReusedExchange and re-deriving the whole shingle pipeline per branch
+    (13 scans → 9 and 0 → 3 reused exchanges with the direct agg; rows
+    identical, measured equal-or-faster at sf0.1).  The direct agg
+    shares blocked's exchange with the join sides instead."""
     sh = _shingles(documents, n)
     hot = (
         sh.groupBy("shingle")
@@ -791,14 +818,6 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     blocked = sh.join(hot, "shingle", "left_anti")
-    # Per-doc sizes are a DIRECT aggregation over blocked — round 2 derived
-    # them from the a<=b self-join's diagonal "for free", but physically the
-    # pairs/diagonal filter split pushes a.doc_id<b.doc_id vs == DOWN into
-    # two now-non-identical subtrees, destroying every ReusedExchange and
-    # re-deriving the whole shingle pipeline per branch (13 scans → 9 and
-    # 0 → 3 reused exchanges with the direct agg; rows identical, measured
-    # equal-or-faster at sf0.1).  The direct agg shares blocked's exchange
-    # with the join sides instead.
     pairs = (
         blocked.alias("a")
         .join(blocked.alias("b"), on="shingle")
@@ -809,18 +828,7 @@ def ngram_jaccard_pairs(
     sizes = blocked.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return pairs.join(sa, "doc_a").join(sb, "doc_b")
 
 
 CONTAINMENT_THRESHOLD = 0.5
@@ -844,29 +852,11 @@ def ngram_containment_pairs(
     containment ≥ ``threshold`` — the Jaccard rides along from the same
     aggregation so a consumer can separate "near-identical" from
     "one-contains-the-other" without a second pass.  Identical plan
-    shape (and scale story) as ngram_jaccard_pairs: capped blocking,
-    direct per-doc size aggregation, one pair-count aggregation."""
-    sh = _shingles(documents, n)
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") > df_cap)
-        .select("shingle")
-    )
-    blocked = sh.join(hot, "shingle", "left_anti")
-    pairs = (
-        blocked.alias("a")
-        .join(blocked.alias("b"), on="shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    sizes = blocked.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    shape (and scale story) as ngram_jaccard_pairs: the shared
+    :func:`_blocked_pair_counts` scaffolding (capped blocking, direct
+    per-doc size aggregation, one pair-count aggregation)."""
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _blocked_pair_counts(documents, n, df_cap)
         .withColumn(
             "containment",
             F.round(F.col("common") / F.least("na", "nb"), 6),

@@ -522,10 +522,9 @@ def write_ivf_index(
 
 def read_ivf_centroids(spark, path: str) -> list[list[float]]:
     """The persisted coarse quantizer (k × dim floats — control-plane)."""
-    jvm = spark._jvm
-    cpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_centroids")
-    fs = cpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(cpath):
+    from ..fsio import path_exists
+
+    if not path_exists(spark, f"{path}/_centroids"):
         raise ValueError(
             f"IVF index at {path} has no _centroids side table — it was "
             "written without its quantizer and cannot serve appends; "
@@ -826,11 +825,14 @@ def write_pq_index(
 def read_pq_codebooks(
     spark, path: str, m: int = PQ_M, n_codes: int = PQ_K
 ) -> list[list[list[float]]]:
-    """The persisted PQ quantizer (control-plane, like IVF centroids)."""
-    jvm = spark._jvm
-    cpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_codebooks")
-    fs = cpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(cpath):
+    """The persisted PQ quantizer (control-plane, like IVF centroids).
+    Fails LOUDLY on a missing side table, a geometry mismatch (an index
+    written with different m/n_codes than the reader expects), or an
+    incomplete codebook — each would otherwise mis-encode appends and
+    mis-score probes silently."""
+    from ..fsio import path_exists
+
+    if not path_exists(spark, f"{path}/_codebooks"):
         raise ValueError(
             f"PQ index at {path} has no _codebooks side table — it was "
             "written without its quantizer and cannot serve appends or "
@@ -839,6 +841,12 @@ def read_pq_codebooks(
     rows = spark.read.parquet(f"{path}/_codebooks").collect()
     books: list[list] = [[None] * n_codes for _ in range(m)]
     for r in rows:
+        if r["sub"] >= m or r["code"] >= n_codes:
+            raise ValueError(
+                f"PQ index at {path} was written with a different geometry "
+                f"than requested (found sub={r['sub']}, code={r['code']} vs "
+                f"m={m}, n_codes={n_codes})"
+            )
         books[r["sub"]][r["code"]] = list(r["coords"])
     missing = [(mi, ci) for mi in range(m) for ci in range(n_codes) if books[mi][ci] is None]
     if missing:

@@ -566,6 +566,10 @@ def test_embedding_delta_never_recodes(spark, embeds, ddb, tmp_path):
     # exact copy of a wave-1 delta vector surfaces (cosine 1.0) against
     # the appended codes via the index — mirrors the MinHash/SimHash twins
     append_to_embedding_lsh_index(delta, index_path, wave=1)
+    # at-least-once retry of the SAME wave replays its segment
+    n_before = spark.read.parquet(index_path).count()
+    append_to_embedding_lsh_index(delta, index_path, wave=1)
+    assert spark.read.parquet(index_path).count() == n_before
     seed = delta.orderBy("vec_id").limit(1).collect()[0]
     wave2 = spark.createDataFrame(
         [(10_000_001, list(seed["embedding"]))], "vec_id: long, embedding: array<double>"
@@ -827,6 +831,10 @@ def test_ivf_probe_scan_partition_pruned(spark, embeds, tmp_path_factory):
         [(10_000_001, list(seed["emb"]))], "vec_id: long, embedding: array<double>"
     )
     similarity.append_to_ivf_index(wave, path, 1)
+    # at-least-once retry of the SAME wave replays its segment
+    n_before = spark.read.parquet(path).count()
+    similarity.append_to_ivf_index(wave, path, 1)
+    assert spark.read.parquet(path).count() == n_before
     got = similarity.ivf_probe_scan(spark, path, [seed["centroid"]]).where(
         F.col("vec_id") == 10_000_001
     ).collect()
@@ -1007,6 +1015,15 @@ def test_ann_pq_index(spark, embeds, ddb, tmp_path):
     assert spark.read.parquet(path).count() == n_before
     with pytest.raises(ValueError):
         read_pq_codebooks(spark, str(tmp_path / "no_such_index"))
+    # a legacy flat directory (bare part files) is refused at the WRITE,
+    # not discovered as a broken mixed layout at the next probe
+    from paperoni_spark.fsio import write_wave_segment
+
+    flat = tmp_path / "flatdir"
+    flat.mkdir()
+    (flat / "part-00000.parquet").touch()
+    with pytest.raises(ValueError):
+        write_wave_segment(embeds.limit(1), str(flat), 1)
 
 
 def test_ann_ivfpq_topk(spark, embeds, ddb):
