@@ -39,11 +39,24 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "5"))
 BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/paperoni_bench")
-QUERIES = (
-    "ngram_jaccard",
-    "dedup_clusters",
-    "lsh_candidate_doc_pairs",
-    "ann_ivf_topk",
+QUERIES = tuple(
+    q
+    for q in (
+        "ngram_jaccard",
+        "dedup_clusters",
+        "lsh_candidate_doc_pairs",
+        "ann_ivf_topk",
+        # round 5: the PQ family shares IVF's fixed driver-side
+        # training-loop latency (2 Lloyd iterations of collects) — same
+        # amortization claim, probed the same way
+        "ann_pq_topk",
+        "ann_ivfpq_topk",
+    )
+    # big-copy runs (e.g. 40× embeddings) target the ANN legs only —
+    # a 40× DOCUMENTS corpus would turn the text legs into half-hour
+    # runs for a claim the 5× probe already settles
+    if not os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    or q in os.environ["SPARK_GRAFT_SCALE_QUERIES"].split(",")
 )
 
 
