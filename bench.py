@@ -212,6 +212,7 @@ def main() -> None:
         "ann_pq_topk_indexed",
         "ngram_containment",
         "streaming_normalized_dedup",
+        "shard_assignments",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

@@ -2426,6 +2426,25 @@ FROM c
 """
 
 
+def oracle_shard_assignments(n_shards: int = 8) -> str:
+    """Naive single-window twin of packing.shard_assignments — the
+    two-phase bucket rank is row-identical because bucket-DESC order +
+    in-bucket (n_tokens DESC, doc_id ASC) IS the global order."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKENS})::BIGINT AS n_tokens FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rank
+  FROM t
+)
+SELECT doc_id, n_tokens, rank::BIGINT AS rank,
+       ((rank - 1) % {n_shards})::INT AS shard
+FROM r
+"""
+
+
 def oracle_length_stats_approx() -> str:
     """The 10^12-scale mode's oracle: at gate SF every lang group fits
     inside the pinned sketch accuracy, so Spark's percentile_approx is
@@ -2520,6 +2539,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-phase offset path are both exercised on 500 docs)
         "sequence_pack": lambda spark, sf: packing.sequence_pack(
             load(spark, sf, "documents"), seq_len=256, bucket_size=64
+        ),
+        # size-balanced round-robin shard export (two-phase DESC rank;
+        # small bucket width so multiple rank buckets exist at gate SF)
+        "shard_assignments": lambda spark, sf: packing.shard_assignments(
+            load(spark, sf, "documents"), n_shards=8, bucket_tokens=16
         ),
         # streaming extraction (foreachBatch over a multi-trigger file
         # source) against the same golden oracle as the batch path
@@ -2628,6 +2652,7 @@ _GATE_ORDER = [
     "token_budget_sample",
     "source_cap_sample",
     "sequence_pack",
+    "shard_assignments",
     "token_stats",
     "length_stats",
     "length_stats_approx",
@@ -2743,6 +2768,7 @@ def build_oracles() -> dict[str, str]:
         "length_stats": oracle_length_stats(),
         "length_stats_approx": oracle_length_stats_approx(),
         "sequence_pack": oracle_sequence_pack(),
+        "shard_assignments": oracle_shard_assignments(),
         "interleave_stats": oracle_interleave_stats(),
         "quality_scores": oracle_quality_scores(),
         "quality_filter": oracle_quality_filter(),

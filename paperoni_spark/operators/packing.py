@@ -38,6 +38,8 @@ from .textstats import tokens_col
 
 SEQ_LEN = 2048
 PACK_BUCKET = 1024  # docs per offset bucket; ~10^6 at 10^12-doc scale
+N_SHARDS = 16
+SHARD_BUCKET_TOKENS = 1024  # n_tokens per rank bucket (two-phase rank)
 
 
 def sequence_pack(
@@ -89,5 +91,60 @@ def sequence_pack(
             "start_token",
             F.expr(f"start_token div {seq_len}").alias("start_seq"),
             F.expr(f"(start_token + n_tokens - 1) div {seq_len}").alias("end_seq"),
+        )
+    )
+
+
+def shard_assignments(
+    documents: DataFrame,
+    n_shards: int = N_SHARDS,
+    bucket_tokens: int = SHARD_BUCKET_TOKENS,
+) -> DataFrame:
+    """Deterministic size-balanced shard assignment for corpus export:
+    rank documents by (n_tokens DESC, doc_id ASC) and deal them
+    round-robin — ``shard = (rank − 1) % n_shards`` — so every shard
+    receives an interleaved sample of large and small documents (the
+    classic longest-first dealing; per-shard token totals land within
+    one max-document of each other, without any driver-side bin-packing
+    state).
+
+    The global rank is the same scale problem as sequence_pack's prefix
+    sum with a DIFFERENT sort key, solved the same two-phase way but
+    bucketed on the key itself: bucket = n_tokens div ``bucket_tokens``
+    is MONOTONE in n_tokens, so bucket-DESC order + in-bucket
+    (n_tokens DESC, doc_id ASC) order == the global order; per-bucket
+    counts make the offsets (a tiny summary window), and each in-bucket
+    window task sees one token-range slice.  The DuckDB oracle is the
+    naive single-window plan, row-identical by the alignment argument."""
+    from .textstats import tokens_col
+
+    base = materialize(
+        documents.select(
+            "doc_id",
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        ).withColumn("bkt", F.expr(f"n_tokens div {bucket_tokens}"))
+    )
+    w_b = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        base.groupBy("bkt")
+        .agg(F.count("*").alias("bkt_docs"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bkt_docs").over(w_b), F.lit(0)).alias("offset"),
+        )
+    )
+    w_in = Window.partitionBy("bkt").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        base.join(offsets, "bkt")
+        .withColumn("rank", F.col("offset") + F.row_number().over(w_in))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "rank",
+            ((F.col("rank") - 1) % n_shards).cast("int").alias("shard"),
         )
     )

@@ -1207,6 +1207,36 @@ def test_sequence_pack(spark, docs, ddb):
     assert (got[3]["start_token"], got[3]["start_seq"], got[3]["end_seq"]) == (26, 2, 2)
 
 
+def test_shard_assignments(spark, docs, ddb):
+    """Size-balanced shard export: oracle parity (two-phase DESC rank ≡
+    the naive single window), ranks form a permutation, and the
+    longest-first round-robin dealing bounds the per-shard token spread
+    by one maximum document (telescoping over dealing rounds)."""
+    from paperoni_spark.operators.packing import shard_assignments
+
+    result = contract.build_queries()["shard_assignments"](spark, SF_DIR)
+    rows = result.collect()
+    assert_matches_oracle(result, ddb, contract.oracle_shard_assignments())
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    totals: dict[int, int] = {}
+    for r in rows:
+        totals[r["shard"]] = totals.get(r["shard"], 0) + r["n_tokens"]
+    assert len(totals) == 8
+    max_doc = max(r["n_tokens"] for r in rows)
+    assert max(totals.values()) - min(totals.values()) <= max_doc
+
+    adv = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d"), (3, "a b c"), (4, "a b")],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r["doc_id"]: (r["rank"], r["shard"])
+        for r in shard_assignments(adv, n_shards=2, bucket_tokens=2).collect()
+    }
+    assert got == {1: (1, 0), 2: (2, 1), 3: (3, 0), 4: (4, 1)}
+
+
 def test_substring_dedup(spark, docs, ddb):
     """Exact-substring dedup (Lee et al.): oracle parity on the planted
     gate corpus, planted-structure assertions, and a hand-checked
