@@ -170,6 +170,17 @@ def main(argv: list[str] | None = None) -> None:
                 "corpus_job owns wave=<id> segments only.  Point it at an "
                 "index this job created, or at a fresh path."
             )
+        # the operator-built indexes carry an _index_kind_<kind> marker
+        # (fsio.assert_index_kind); only a simhash root is probe-compatible
+        # — any other family's wave=<id> layout passes the foreign check
+        # but would die (or worse, mis-probe) on missing columns later
+        kinds = [n[len("_index_kind_"):] for n in names if n.startswith("_index_kind_")]
+        if kinds and kinds != ["simhash"]:
+            raise SystemExit(
+                f"--dedup-index points at a {kinds[0]!r} index: corpus_job's "
+                "dedup probe needs a simhash index.  Point it at an index "
+                "this job (or write_simhash_index) created, or a fresh path."
+            )
         index_waves = [n for n in names if n.startswith("wave=") and n != own_name]
         if index_waves and not args.append:
             # loud refusal (same convention as write_output's

@@ -33,22 +33,13 @@ def delete_path(spark: SparkSession, path: str) -> None:
         fs.delete(p, True)
 
 
-def write_wave_segment(
-    df: DataFrame, path: str, wave: int, partition_by: tuple[str, ...] = ()
-) -> None:
-    """Write ``df`` as ``path/wave=<wave>`` with delete-before-overwrite:
-    a crashed attempt's leftovers are removed first, so retrying the same
-    wave id replays the segment instead of double-appending (the repo's
-    index-append idempotency rule).  Caller contract: ``wave`` is stable
-    across retries of the same wave and unique across waves.
-
-    Refuses a target whose root carries non-wave entries (e.g. a legacy
-    flat pre-round-5 index, or an arbitrary data directory): writing a
-    wave segment next to bare part files creates the mixed layout
-    Spark's partition discovery rejects at the NEXT probe — fail at the
-    write, not after the index is polluted (the operator-side twin of
-    corpus_job's foreign-layout refusal)."""
-    spark = df.sparkSession
+def refuse_foreign_layout(spark: SparkSession, path: str) -> None:
+    """Raise if ``path`` exists and carries entries that are neither
+    ``wave=<id>`` segments nor underscore/dot side files: writing a wave
+    segment next to bare part files (a legacy flat index, an arbitrary
+    data directory) creates the mixed layout Spark's partition discovery
+    rejects at the NEXT probe — fail at the write, not after the index
+    is polluted."""
     root = hadoop_path(spark, path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(root):
@@ -64,6 +55,69 @@ def write_wave_segment(
                 "discovery at the next read.  Rebuild the index with its "
                 "write_* function, or point at a fresh path."
             )
+
+
+def assert_index_kind(spark: SparkSession, path: str, kind: str) -> None:
+    """Refuse to touch an index root claimed by a DIFFERENT index kind.
+
+    All round-5+ indexes share the ``wave=<id>`` layout, so the layout
+    guard alone cannot stop e.g. ``write_pq_index`` pointed at a simhash
+    index: the wave=0 delete-before-overwrite would silently destroy the
+    other family's committed build segment and the damage only surfaces
+    as missing columns at the next probe.  Each index root therefore
+    carries an empty ``_index_kind_<kind>`` marker file (underscore
+    prefix, NO "=": Spark's file index keeps underscore names containing
+    "=" as partition-style paths and would read the marker as data);
+    writers verify it BEFORE
+    deleting anything.  A root without a marker (pre-round-6 index, or a
+    fresh path) is adopted: the marker is created here."""
+    root = hadoop_path(spark, path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = hadoop_path(spark, f"{path}/_index_kind_{kind}")
+    if fs.exists(root):
+        found = [
+            name[len("_index_kind_"):]
+            for st in fs.listStatus(root)
+            if (name := st.getPath().getName()).startswith("_index_kind_")
+        ]
+        if found and kind not in found:
+            raise ValueError(
+                f"{path} is a {found[0]!r} index — refusing to write "
+                f"{kind!r} segments into it (the wave=0 overwrite would "
+                "destroy the other index's committed build).  Point at a "
+                "fresh path or the matching index root."
+            )
+        if found:
+            return
+    fs.create(marker, True).close()
+
+
+def write_wave_segment(
+    df: DataFrame,
+    path: str,
+    wave: int,
+    partition_by: tuple[str, ...] = (),
+    kind: str | None = None,
+) -> None:
+    """Write ``df`` as ``path/wave=<wave>`` with delete-before-overwrite:
+    a crashed attempt's leftovers are removed first, so retrying the same
+    wave id replays the segment instead of double-appending (the repo's
+    index-append idempotency rule).  Caller contract: ``wave`` is stable
+    across retries of the same wave and unique across waves.
+
+    Refuses a target whose root carries non-wave entries (e.g. a legacy
+    flat pre-round-5 index, or an arbitrary data directory): writing a
+    wave segment next to bare part files creates the mixed layout
+    Spark's partition discovery rejects at the NEXT probe — fail at the
+    write, not after the index is polluted (the operator-side twin of
+    corpus_job's foreign-layout refusal).  ``kind`` additionally pins the
+    index FAMILY via :func:`assert_index_kind` — two different index
+    kinds share this layout, so the layout check alone would let one
+    family's build destroy another's."""
+    spark = df.sparkSession
+    refuse_foreign_layout(spark, path)
+    if kind is not None:
+        assert_index_kind(spark, path, kind)
     seg = f"{path}/wave={wave}"
     delete_path(spark, seg)
     writer = df.write.mode("overwrite")

