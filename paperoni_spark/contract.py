@@ -601,19 +601,25 @@ def oracle_edit_verified_pairs(max_norm: float = dedup.EDIT_VERIFY_MAX_NORM) -> 
     result set, only when the DP table is computed."""
     proj = "regexp_replace({}, '[^\\x00-\\x7F]', '?', 'g')"
     ta, tb = proj.format("da.text"), proj.format("db.text")
+    # levenshtein is evaluated ONCE per candidate in a wrapping subquery
+    # (it is the dominant cost of this gate query — inlining it into the
+    # projection AND the WHERE roughly tripled the DP work)
     return f"""
 WITH {_capped_cand_ctes()},
 cand AS ({_CAND_SELECT}
+),
+measured AS (
+  SELECT doc_a, doc_b, n_shared_bands,
+         levenshtein({ta}, {tb})::BIGINT AS edit_dist,
+         greatest(length({ta}), length({tb})) AS max_len
+  FROM cand
+  JOIN documents da ON da.doc_id = doc_a
+  JOIN documents db ON db.doc_id = doc_b
 )
-SELECT doc_a, doc_b, n_shared_bands,
-       levenshtein({ta}, {tb})::BIGINT AS edit_dist,
-       round(levenshtein({ta}, {tb})
-             / greatest(length({ta}), length({tb})), 6) AS norm_dist
-FROM cand
-JOIN documents da ON da.doc_id = doc_a
-JOIN documents db ON db.doc_id = doc_b
-WHERE round(levenshtein({ta}, {tb})
-            / greatest(length({ta}), length({tb})), 6) <= {max_norm}
+SELECT doc_a, doc_b, n_shared_bands, edit_dist,
+       round(edit_dist / max_len, 6) AS norm_dist
+FROM measured
+WHERE round(edit_dist / max_len, 6) <= {max_norm}
 """
 
 
@@ -744,6 +750,36 @@ _TOKEN_BUDGETS = {"en": 20_000, "es": 8_000}
 _TOKEN_BUDGET_DEFAULT = 2_000
 
 
+_STREAM_TMPS: dict[str, str] = {}
+
+
+def _stream_tmp(name: str) -> str:
+    """One LIVE temp root per streamed gate query (keyed by query name,
+    like _memo_index): these queries return lazy frames over their
+    staged corpus / sink / checkpoint, so the dir must outlive the call
+    — but re-entry reaps the PREVIOUS invocation's generation instead
+    of deferring every generation to interpreter exit, which in a
+    long-lived driver re-running the gate accumulates unbounded /tmp.
+    The final generation of each query is reaped by one atexit hook."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _STREAM_TMPS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in _STREAM_TMPS.values()
+            ]
+        )
+    prev = _STREAM_TMPS.pop(name, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix=f"{name}_")
+    _STREAM_TMPS[name] = tmp
+    return tmp
+
+
 def q_streaming_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming extraction (file source, 2 files → 2
     availableNow triggers through foreachBatch — the minimum multi-batch
@@ -751,17 +787,15 @@ def q_streaming_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the fixture corpus, verified against the same golden-spans
     VALUES oracle as the batch path — streaming and batch must be
     span-identical."""
-    import atexit
     import shutil
-    import tempfile
 
     from .streaming.extract_stream import run_streaming_extraction
 
-    base = tempfile.mkdtemp(prefix="stream_extract_")
-    # out_dir must outlive this call (the caller collects lazily); the
-    # whole tree is reaped at interpreter exit, and the inputs/checkpoint
-    # are dropped as soon as the stream has drained
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    # out_dir must outlive this call (the caller collects lazily):
+    # _stream_tmp keeps ONE live generation per query and reaps the
+    # previous one on re-entry; inputs/checkpoint are dropped as soon
+    # as the stream has drained
+    base = _stream_tmp("stream_extract")
     docs_dir = os.path.join(base, "docs")
     out_dir = os.path.join(base, "out")
     ck_dir = os.path.join(base, "ck")
@@ -844,9 +878,6 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the offset is odd every twin lands in a DIFFERENT micro-batch than
     its seed — each duplicate digest exercises a real cross-batch state
     update, not a within-batch shortcut."""
-    import atexit
-    import shutil
-
     from .streaming.dedup import run_streaming_exact_dedup
 
     base = load(spark, sf_dir, "documents")
@@ -855,9 +886,9 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("doc_id") + PLANT_ID_OFFSET
         )
     )
-    tmp, docs_dir = _stage_micro_batches(docs, prefix="sdedup_")
-    # survivors are read lazily from the batch-segmented sink — reap at exit
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    # survivors are read lazily from the batch-segmented sink — the root
+    # stays live until the next invocation (_stream_tmp) or exit
+    tmp, docs_dir = _stage_micro_batches(docs, root=_stream_tmp("sdedup"))
     return run_streaming_exact_dedup(
         spark, docs_dir, os.path.join(tmp, "out"), max_files_per_trigger=1
     )
@@ -869,9 +900,6 @@ def q_streaming_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     two mtime-ordered micro-batches; the odd offset puts every mirror in
     a different batch than its seed, so each collapse is a real
     cross-batch state update keyed on the normalized digest."""
-    import atexit
-    import shutil
-
     from .streaming.dedup import run_streaming_exact_dedup
 
     docs = load(spark, sf_dir, "documents")
@@ -885,8 +913,7 @@ def q_streaming_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     probed = docs.unionByName(planted)
-    tmp, docs_dir = _stage_micro_batches(probed, prefix="sndedup_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    tmp, docs_dir = _stage_micro_batches(probed, root=_stream_tmp("sndedup"))
     return run_streaming_exact_dedup(
         spark,
         docs_dir,
@@ -904,20 +931,24 @@ def oracle_streaming_normalized_dedup() -> str:
 
 
 def _stage_micro_batches(
-    docs: DataFrame, prefix: str, n_batches: int = 2, key_col: str = "doc_id"
+    docs: DataFrame,
+    prefix: str = "stage_",
+    n_batches: int = 2,
+    key_col: str = "doc_id",
+    root: str | None = None,
 ) -> tuple[str, str]:
     """Stage a documents frame as ``n_batches`` mtime-ordered parquet
-    files (doc_id mod ``n_batches``) under a fresh temp dir — the shared
-    harness for the streaming gates (file sources order batches by
-    modification time).  Returns ``(tmp_root, docs_dir)``; the caller
-    owns cleanup (rmtree after the stream drains, or atexit when the
-    returned frame reads lazily)."""
+    files (doc_id mod ``n_batches``) under ``root`` (or a fresh temp dir)
+    — the shared harness for the streaming gates (file sources order
+    batches by modification time).  Returns ``(tmp_root, docs_dir)``;
+    the caller owns cleanup (rmtree after the stream drains, or a
+    _stream_tmp root when the returned frame reads lazily)."""
     import glob
     import shutil
     import tempfile
     import time
 
-    tmp = tempfile.mkdtemp(prefix=prefix)
+    tmp = root if root is not None else tempfile.mkdtemp(prefix=prefix)
     docs_dir = os.path.join(tmp, "docs")
     os.makedirs(docs_dir)
     now = time.time()
@@ -951,15 +982,12 @@ def q_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap lifted so the accumulated pair set provably equals the
     whole-corpus naive Hamming≤max sweep (banding is pigeonhole-exact);
     production keeps the default cap."""
-    import atexit
-    import shutil
-
     from .streaming.dedup import run_streaming_simhash_dedup
 
     docs = load(spark, sf_dir, "documents")
-    # results are read lazily from the accumulator dir — reap at exit
-    tmp, docs_dir = _stage_micro_batches(docs, prefix="ssimhash_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    # results are read lazily from the accumulator dir — root stays live
+    # until the next invocation (_stream_tmp) or exit
+    tmp, docs_dir = _stage_micro_batches(docs, root=_stream_tmp("ssimhash"))
     return run_streaming_simhash_dedup(
         spark,
         docs_dir,
@@ -991,16 +1019,12 @@ def q_streaming_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably equals the whole-corpus banded sweep (band collision is a
     global property of two codes, independent of which wave carried
     each vector)."""
-    import atexit
-    import shutil
-
     from .streaming.dedup import run_streaming_embedding_dedup
 
     embeds = planted_embeddings(load(spark, sf_dir, "embeddings"))
     tmp, emb_dir = _stage_micro_batches(
-        embeds, prefix="semb_", key_col="vec_id"
+        embeds, root=_stream_tmp("semb"), key_col="vec_id"
     )
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     return run_streaming_embedding_dedup(
         spark,
         emb_dir,

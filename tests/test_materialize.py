@@ -80,3 +80,25 @@ def test_materialize_mode_guards(spark, small_docs):
     with materialize_mode("table"):
         with pytest.raises(ValueError, match="paperoni.materialize.dir"):
             materialize(small_docs)
+
+
+def test_stream_tmp_reaps_previous_generation():
+    """The streamed gate queries return lazy frames over _stream_tmp
+    roots: re-entry must reap the PREVIOUS generation (a long-lived
+    driver re-running the gate otherwise accumulates unbounded /tmp),
+    while distinct query names keep independent live roots."""
+    import os
+
+    from paperoni_spark.contract import _STREAM_TMPS, _stream_tmp
+
+    a1 = _stream_tmp("reaptest_a")
+    b1 = _stream_tmp("reaptest_b")
+    assert os.path.isdir(a1) and os.path.isdir(b1)
+    a2 = _stream_tmp("reaptest_a")
+    assert not os.path.exists(a1)  # previous generation reaped on re-entry
+    assert os.path.isdir(a2) and os.path.isdir(b1)  # other names untouched
+    assert _STREAM_TMPS["reaptest_a"] == a2
+    for name in ("reaptest_a", "reaptest_b"):
+        import shutil
+
+        shutil.rmtree(_STREAM_TMPS.pop(name), ignore_errors=True)
