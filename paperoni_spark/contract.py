@@ -750,6 +750,15 @@ _TOKEN_BUDGETS = {"en": 20_000, "es": 8_000}
 _TOKEN_BUDGET_DEFAULT = 2_000
 
 
+# State-store / probe-shuffle width for the gate's streamed queries:
+# Structured Streaming allocates and commits spark.sql.shuffle.partitions
+# state partitions per micro-batch with no AQE coalescing, so the session
+# default (32) is pure fixed cost at gate key cardinalities (~10^3) —
+# measured 4-7 s -> ~2 s per stateful stream at sf0.01.  Production
+# callers size state_partitions to peak key cardinality instead (the
+# width freezes into the checkpoint at the first batch).
+_STREAM_STATE_PARTITIONS = 8
+
 _STREAM_TMPS: dict[str, str] = {}
 
 
@@ -858,7 +867,11 @@ def q_streaming_session_stats_evicting(spark: SparkSession, sf_dir: str) -> Data
         path = os.path.join(events_dir, f"b{i}.parquet")
         os.utime(path, (now + 10 * i, now + 10 * i))
     finals = run_streaming_sessionization_evicting(
-        spark, events_dir, max_files_per_trigger=1, path_glob="*.parquet"
+        spark,
+        events_dir,
+        max_files_per_trigger=1,
+        path_glob="*.parquet",
+        state_partitions=_STREAM_STATE_PARTITIONS,
     )
     shutil.rmtree(tmp, ignore_errors=True)
     return finals.where(F.col("user_id") >= 0)
@@ -890,7 +903,11 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stays live until the next invocation (_stream_tmp) or exit
     tmp, docs_dir = _stage_micro_batches(docs, root=_stream_tmp("sdedup"))
     return run_streaming_exact_dedup(
-        spark, docs_dir, os.path.join(tmp, "out"), max_files_per_trigger=1
+        spark,
+        docs_dir,
+        os.path.join(tmp, "out"),
+        max_files_per_trigger=1,
+        state_partitions=_STREAM_STATE_PARTITIONS,
     )
 
 
@@ -920,6 +937,7 @@ def q_streaming_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(tmp, "out"),
         max_files_per_trigger=1,
         normalized=True,
+        state_partitions=_STREAM_STATE_PARTITIONS,
     )
 
 
@@ -952,11 +970,22 @@ def _stage_micro_batches(
     docs_dir = os.path.join(tmp, "docs")
     os.makedirs(docs_dir)
     now = time.time()
+    # ONE pass over the corpus (partitionBy on the batch class) instead of
+    # n_batches filter+write jobs; the explicit repartition count puts each
+    # class in exactly one task → exactly one file per class (and keeps AQE
+    # from coalescing the write, per the round-4 partitioned-write finding)
+    sdir = os.path.join(tmp, "staged")
+    (
+        docs.withColumn("_b", (F.col(key_col) % n_batches).cast("int"))
+        .repartition(n_batches, "_b")
+        .write.partitionBy("_b")
+        .parquet(sdir)
+    )
     for i in range(n_batches):
-        sdir = os.path.join(tmp, f"s{i}")
-        docs.where(F.col(key_col) % n_batches == i).coalesce(1).write.parquet(sdir)
         dst = os.path.join(docs_dir, f"b{i}.parquet")
-        shutil.move(glob.glob(os.path.join(sdir, "part-*.parquet"))[0], dst)
+        shutil.move(
+            glob.glob(os.path.join(sdir, f"_b={i}", "part-*.parquet"))[0], dst
+        )
         os.utime(dst, (now + 10 * i, now + 10 * i))
     return tmp, docs_dir
 
@@ -979,9 +1008,10 @@ def q_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recurring-crawl near-dup pipeline AS a stream: each
     micro-batch probes the persisted SimHash index then appends itself
     (streaming/dedup.run_streaming_simhash_dedup).  Gate runs with the
-    cap lifted so the accumulated pair set provably equals the
-    whole-corpus naive Hamming≤max sweep (banding is pigeonhole-exact);
-    production keeps the default cap."""
+    cap lifted (structurally — no per-wave bucket histogram) so the
+    accumulated pair set provably equals the whole-corpus naive
+    Hamming≤max sweep (banding is pigeonhole-exact); production keeps
+    the default cap."""
     from .streaming.dedup import run_streaming_simhash_dedup
 
     docs = load(spark, sf_dir, "documents")
@@ -994,7 +1024,8 @@ def q_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(tmp, "index"),
         os.path.join(tmp, "results"),
         max_files_per_trigger=1,
-        cap=10**9,
+        cap=None,  # structurally lifted: no per-wave histogram jobs
+        state_partitions=_STREAM_STATE_PARTITIONS,
     )
 
 
@@ -1031,7 +1062,8 @@ def q_streaming_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(tmp, "index"),
         os.path.join(tmp, "results"),
         max_files_per_trigger=1,
-        cap=10**9,
+        cap=None,  # structurally lifted: no per-wave histogram jobs
+        state_partitions=_STREAM_STATE_PARTITIONS,
     )
 
 
@@ -2632,11 +2664,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (batch shape + true Structured Streaming run + custom
         # stateful operator via applyInPandasWithState)
         "windowed_events": lambda spark, sf: windowed_event_counts(load(_utc(spark), sf, "events")),
-        "streaming_windowed_events": lambda spark, sf: run_streaming_window_counts(_utc(spark), sf),
-        "stateful_user_totals": lambda spark, sf: running_user_totals(spark, sf),
+        "streaming_windowed_events": lambda spark, sf: run_streaming_window_counts(
+            _utc(spark), sf, state_partitions=_STREAM_STATE_PARTITIONS
+        ),
+        "stateful_user_totals": lambda spark, sf: running_user_totals(
+            spark, sf, state_partitions=_STREAM_STATE_PARTITIONS
+        ),
         # streaming gap-sessionization: applyInPandasWithState, verified
         # against the SAME oracle as the batch session_stats window plan
-        "streaming_session_stats": lambda spark, sf: run_streaming_sessionization(_utc(spark), sf),
+        "streaming_session_stats": lambda spark, sf: run_streaming_sessionization(
+            _utc(spark), sf, state_partitions=_STREAM_STATE_PARTITIONS
+        ),
         # the production eviction path (bounded state) under the SAME oracle
         "streaming_session_stats_evicting": q_streaming_session_stats_evicting,
         # ingest-time exact dedup: per-digest stateful stream vs batch groupBy

@@ -632,13 +632,19 @@ def simhash_delta_pairs_from_sh(
     bits: int = SIMHASH_PAIR_BITS,
     max_hamming: int = SIMHASH_HAMMING_MAX,
     bands: int = SIMHASH_BANDS,
-    cap: int = SIMHASH_BAND_CAP,
+    cap: int | None = SIMHASH_BAND_CAP,
 ) -> DataFrame:
     """The probe with a PRECOMPUTED (doc_id, simhash) delta frame — for
     callers that also append the wave to the index and must not run the
     tokenize+hash UDF twice per document (the streaming recurring-crawl
     loop hashes once, probes, then writes the same frame as the wave's
-    index segment)."""
+    index segment).
+
+    ``cap=None`` LIFTS the hot-bucket cap structurally: the per-wave
+    bucket histogram and both anti-joins are skipped entirely (2 jobs +
+    a materialize per wave), not merely given an unreachable threshold —
+    the exactness-gate shape, where the result must equal the uncapped
+    whole-corpus sweep anyway."""
     _simhash_pair_guard(bits, bands, max_hamming)
     delta_rows = materialize(
         _simhash_band_rows_from(delta_sh, bits, bands)
@@ -649,17 +655,21 @@ def simhash_delta_pairs_from_sh(
     all_rows = index_rows.withColumn("from_delta", F.lit(False)).unionByName(
         delta_rows.withColumn("from_delta", F.lit(True))
     )
-    hot = (
-        all_rows.groupBy("band", "bkey")
-        .agg(F.count("*").alias("n_in_bucket"))
-        .where(F.col("n_in_bucket") > cap)
-        .select("band", "bkey")
-    )
-    hot = materialize(hot)  # feeds both anti-joins (see MinHash twin)
-    probe = delta_rows.join(hot, ["band", "bkey"], "left_anti").select(
+    kept_delta, kept_all = delta_rows, all_rows
+    if cap is not None:
+        hot = (
+            all_rows.groupBy("band", "bkey")
+            .agg(F.count("*").alias("n_in_bucket"))
+            .where(F.col("n_in_bucket") > cap)
+            .select("band", "bkey")
+        )
+        hot = materialize(hot)  # feeds both anti-joins (see MinHash twin)
+        kept_delta = delta_rows.join(hot, ["band", "bkey"], "left_anti")
+        kept_all = all_rows.join(hot, ["band", "bkey"], "left_anti")
+    probe = kept_delta.select(
         F.col("doc_id").alias("probe_id"), F.col("simhash").alias("sh_p"), "band", "bkey"
     )
-    target = all_rows.join(hot, ["band", "bkey"], "left_anti").select(
+    target = kept_all.select(
         F.col("doc_id").alias("target_id"),
         F.col("simhash").alias("sh_t"),
         "band",

@@ -366,30 +366,37 @@ def embedding_delta_near_dup_from_coded(
     delta_coded: DataFrame,
     index_path: str,
     threshold: float = EMBED_NEAR_DUP_THRESHOLD,
-    cap: int = MAX_BUCKET,
+    cap: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """The probe with PRECOMPUTED delta codes — ``delta_base`` carries
     (vec_id, emb double[]), ``delta_coded`` (vec_id, code).  For callers
     that also append the wave to the index and must not run the coding
     UDF twice per vector (the streaming recurring-crawl loop codes once,
-    probes, then writes the same frame as the wave's index segment)."""
+    probes, then writes the same frame as the wave's index segment).
+
+    ``cap=None`` lifts the hot-bucket cap STRUCTURALLY (no histogram, no
+    anti-joins) — the exactness-gate shape; see the SimHash twin."""
     index_coded = spark.read.parquet(index_path)
     delta_bands = _bands_from_coded(delta_coded)
     index_bands = _bands_from_coded(index_coded.select("vec_id", "code"))
     all_bands = index_bands.withColumn("from_delta", F.lit(False)).unionByName(
         delta_bands.withColumn("from_delta", F.lit(True))
     )
-    hot = (
-        all_bands.groupBy("band", "bkey")
-        .agg(F.count("*").alias("n_in_bucket"))
-        .where(F.col("n_in_bucket") > cap)
-        .select("band", "bkey")
-    )
-    hot = materialize(hot)  # feeds both anti-joins
-    probe = delta_bands.join(hot, ["band", "bkey"], "left_anti").select(
+    kept_delta, kept_all = delta_bands, all_bands
+    if cap is not None:
+        hot = (
+            all_bands.groupBy("band", "bkey")
+            .agg(F.count("*").alias("n_in_bucket"))
+            .where(F.col("n_in_bucket") > cap)
+            .select("band", "bkey")
+        )
+        hot = materialize(hot)  # feeds both anti-joins
+        kept_delta = delta_bands.join(hot, ["band", "bkey"], "left_anti")
+        kept_all = all_bands.join(hot, ["band", "bkey"], "left_anti")
+    probe = kept_delta.select(
         F.col("vec_id").alias("probe_id"), "band", "bkey"
     )
-    target = all_bands.join(hot, ["band", "bkey"], "left_anti").select(
+    target = kept_all.select(
         F.col("vec_id").alias("target_id"), "band", "bkey", "from_delta"
     )
     cand = (

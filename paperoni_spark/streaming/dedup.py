@@ -37,6 +37,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# "caller did not pass a cap" sentinel: None now means CAP LIFTED
+# (structurally — the probes skip the bucket histogram and anti-joins),
+# so the production default has to be expressed as absence, not None
+_DEFAULT_CAP = object()
+
 DOCUMENTS_TABLE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -88,6 +93,7 @@ def run_streaming_exact_dedup(
     max_files_per_trigger: int | None = None,
     path_glob: str = "*.parquet",
     normalized: bool = False,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run the ingest-dedup stream (availableNow) over a documents
     directory and return the final per-digest survivors + counts.
@@ -106,8 +112,14 @@ def run_streaming_exact_dedup(
     ``normalized=True`` keys the state on the CCNet-normalized digest
     (operators.dedup.normalize_for_dedup) instead of the raw text hash —
     ingest-time mirror-copy collapse; the state/emission machinery is
-    byte-identical, only the key expression changes."""
+    byte-identical, only the key expression changes.
+
+    ``state_partitions`` sizes the state-store width for this stream
+    (see streaming.util.state_shuffle_partitions): size it to peak
+    distinct-digest cardinality — it is frozen into the checkpoint by
+    the first batch."""
     from ..operators.dedup import normalize_for_dedup
+    from .util import state_shuffle_partitions
 
     key = (
         F.md5(normalize_for_dedup(F.col("text")))
@@ -135,14 +147,15 @@ def run_streaming_exact_dedup(
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
-    query = (
-        stream.writeStream.foreachBatch(sink_batch)
-        .outputMode("update")
-        .option("checkpointLocation", f"{out_dir}_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with state_shuffle_partitions(spark, state_partitions):
+        query = (
+            stream.writeStream.foreachBatch(sink_batch)
+            .outputMode("update")
+            .option("checkpointLocation", f"{out_dir}_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     # latest emission per digest: n_docs is strictly monotone across a
     # group's emissions (within a run AND across checkpoint-resumed
     # runs); the struct-max keeps (n_docs, first_doc_id) from the SAME
@@ -167,7 +180,8 @@ def run_streaming_simhash_dedup(
     results_dir: str,
     max_files_per_trigger: int | None = None,
     path_glob: str = "*.parquet",
-    cap: int | None = None,
+    cap=_DEFAULT_CAP,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """The recurring-crawl near-dup pipeline run AS a stream: every
     micro-batch (a crawl wave) is probed against the persisted SimHash
@@ -181,10 +195,11 @@ def run_streaming_simhash_dedup(
     whole-corpus pair sweep and never re-emits — exactly-once by
     construction, not by sink dedup.
 
-    ``cap=None`` keeps the production band cap; the gate passes a huge
-    cap so the accumulated result is provably the corpus's complete
-    Hamming≤max pair set (per-wave cap sets aren't expressible as one
-    batch query — the cap is counted over index ∪ wave at each wave).
+    Omitting ``cap`` keeps the production band cap; ``cap=None`` LIFTS
+    it structurally (no per-wave bucket histogram at all) so the
+    accumulated result is provably the corpus's complete Hamming≤max
+    pair set (per-wave cap sets aren't expressible as one batch query —
+    the cap is counted over index ∪ wave at each wave).
 
     Durability layout: the index and the results are directories of
     ``batch=<id>`` segments, and every batch writes ONLY its own segment
@@ -201,7 +216,7 @@ def run_streaming_simhash_dedup(
     # the 64-bit PAIR fingerprint everywhere (simhash() alone defaults to
     # the 16-bit statistics width — a silent 700× pair explosion)
     bits = dedup_ops.SIMHASH_PAIR_BITS
-    kwargs = {} if cap is None else {"cap": cap}
+    kwargs = {} if cap is _DEFAULT_CAP else {"cap": cap}
 
     def bootstrap(seed_path: str) -> None:
         dedup_ops.simhash(
@@ -220,7 +235,7 @@ def run_streaming_simhash_dedup(
     return _run_indexed_wave_stream(
         spark, docs_dir, index_dir, results_dir, DOCUMENTS_TABLE_SCHEMA,
         bootstrap, wave, ["doc_a", "doc_b", "hamming"],
-        max_files_per_trigger, path_glob,
+        max_files_per_trigger, path_glob, state_partitions,
     )
 
 
@@ -235,6 +250,7 @@ def _run_indexed_wave_stream(
     out_cols: list[str],
     max_files_per_trigger: int | None = None,
     path_glob: str = "*.parquet",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Shared scaffolding for the streamed recurring-crawl loops — the
     exactly-once/restart machinery lives HERE, once: conditional empty
@@ -243,7 +259,13 @@ def _run_indexed_wave_stream(
     restore the disjoint-ids contract), batch-keyed overwrite writes for
     both sinks, and the accumulated read-back.  ``process_wave(batch_df,
     batch_id)`` returns ``(pairs_df, index_segment_df)``; the
-    restart-retention test covers every loop built on this driver."""
+    restart-retention test covers every loop built on this driver.
+    These loops keep NO operator state (the index is the state), but
+    ``state_partitions`` still pins the shuffle width of the per-batch
+    probe jobs — a gate-scale wave doesn't need the session's full
+    width."""
+    from .util import state_shuffle_partitions
+
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
 
@@ -267,14 +289,15 @@ def _run_indexed_wave_stream(
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    query = (
-        reader.parquet(input_dir)
-        .writeStream.foreachBatch(process_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{results_dir}_ckpt")
-        .start()
-    )
-    query.awaitTermination()
+    with state_shuffle_partitions(spark, state_partitions):
+        query = (
+            reader.parquet(input_dir)
+            .writeStream.foreachBatch(process_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{results_dir}_ckpt")
+            .start()
+        )
+        query.awaitTermination()
     return spark.read.parquet(results_dir).select(*out_cols)
 
 
@@ -295,7 +318,8 @@ def run_streaming_embedding_dedup(
     max_files_per_trigger: int | None = None,
     path_glob: str = "*.parquet",
     threshold: float | None = None,
-    cap: int | None = None,
+    cap=_DEFAULT_CAP,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """The vector twin of :func:`run_streaming_simhash_dedup` — semantic
     near-dup sweep as a stream: each wave is sign-LSH-coded ONCE (the
@@ -312,7 +336,7 @@ def run_streaming_embedding_dedup(
     kwargs = {}
     if threshold is not None:
         kwargs["threshold"] = threshold
-    if cap is not None:
+    if cap is not _DEFAULT_CAP:
         kwargs["cap"] = cap
 
     def bootstrap(seed_path: str) -> None:
@@ -341,5 +365,5 @@ def run_streaming_embedding_dedup(
     return _run_indexed_wave_stream(
         spark, emb_dir, index_dir, results_dir, EMBEDDINGS_TABLE_SCHEMA,
         bootstrap, wave, ["vec_a", "vec_b", "cosine"],
-        max_files_per_trigger, path_glob,
+        max_files_per_trigger, path_glob, state_partitions,
     )

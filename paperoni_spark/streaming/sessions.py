@@ -246,6 +246,7 @@ def run_streaming_sessionization_evicting(
     watermark: str = "0 seconds",
     max_files_per_trigger: int | None = None,
     path_glob: str = "events.parquet",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """The SCALE deployment shape: gap-sessionization with PER-SESSION
     event-time eviction.  A session leaves the state (and is emitted,
@@ -273,14 +274,17 @@ def run_streaming_sessionization_evicting(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    query = (
-        sessions.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from .util import state_shuffle_partitions
+
+    with state_shuffle_partitions(spark, state_partitions):
+        query = (
+            sessions.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(table)
 
 
@@ -290,6 +294,7 @@ def run_streaming_sessionization(
     gap_minutes: int = DEFAULT_GAP_MINUTES,
     max_files_per_trigger: int | None = None,
     path_glob: str = "events.parquet",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run gap-sessionization as a Structured Streaming query (availableNow)
     and return the final per-session rows — the batch session_stats shape."""
@@ -307,14 +312,17 @@ def run_streaming_sessionization(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    query = (
-        sessions.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from .util import state_shuffle_partitions
+
+    with state_shuffle_partitions(spark, state_partitions):
+        query = (
+            sessions.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     # last-write-wins readback: a user's latest emission (max n_updates) is
     # its complete session list — earlier emissions may contain sessions
     # that later MERGED (update mode appends in the memory sink)

@@ -71,7 +71,10 @@ def _update_user_totals(
 
 
 def running_user_totals(
-    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run the stateful aggregation as a Structured Streaming query
     (availableNow) and return the final per-user totals."""
@@ -89,14 +92,17 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    query = (
-        totals.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from .util import state_shuffle_partitions
+
+    with state_shuffle_partitions(spark, state_partitions):
+        query = (
+            totals.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     # update-mode memory sink accumulates one row per (batch, user); the
     # final state is the row with the highest n_events (strictly monotone —
     # a group only emits when it saw data).  A struct-max keeps (n_events,

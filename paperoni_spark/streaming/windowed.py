@@ -58,6 +58,7 @@ def run_streaming_window_counts(
     events_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run the windowed aggregation as a Structured Streaming query over the
     events parquet with an availableNow trigger; returns the result table."""
@@ -81,12 +82,15 @@ def run_streaming_window_counts(
             "total_value",
         )
     )
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from .util import state_shuffle_partitions
+
+    with state_shuffle_partitions(spark, state_partitions):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(table)
