@@ -1922,6 +1922,40 @@ def oracle_ann_ivfpq_topk(
     )
 
 
+def oracle_ann_recall_at_k() -> str:
+    """recall@k of the four approximate paths vs exact cosine top-k —
+    COMPOSED from the existing method oracles verbatim (each wrapped as
+    a derived-table subquery so their CTE names never collide): any edit
+    to a method's replay automatically propagates here."""
+    method_oracles = {
+        "lsh": oracle_ann_lsh_topk(),
+        "ivf": oracle_ann_ivf_topk(),
+        "pq": oracle_ann_pq_topk(),
+        "ivfpq": oracle_ann_ivfpq_topk(),
+    }
+    assert tuple(method_oracles) == similarity.ANN_RECALL_METHODS
+    union = "\n  UNION ALL\n".join(
+        f"SELECT '{name}' AS method, query_id, vec_id FROM ({sql}\n) {name}_t"
+        for name, sql in method_oracles.items()
+    )
+    methods = ", ".join(f"'{m}'" for m in similarity.ANN_RECALL_METHODS)
+    return f"""
+WITH exact AS (
+  SELECT query_id, vec_id FROM ({oracle_cosine_topk()}
+  ) exact_t),
+approx AS (
+  {union}),
+hits AS (
+  SELECT method, count(*)::BIGINT AS n_hits
+  FROM approx JOIN exact USING (query_id, vec_id) GROUP BY 1),
+methods AS (SELECT unnest([{methods}]) AS method),
+totals AS (SELECT count(*)::BIGINT AS n_exact FROM exact)
+SELECT m.method, coalesce(h.n_hits, 0)::BIGINT AS n_hits, t.n_exact,
+       round(coalesce(h.n_hits, 0) / t.n_exact, 6) AS recall
+FROM methods m LEFT JOIN hits h USING (method) CROSS JOIN totals t
+"""
+
+
 N_PLANTED_TWINS = 10
 TWIN_ID_OFFSET = 1_000_001  # odd + ≢0 mod 3: crosses 2- and 3-batch staging
 
@@ -2632,6 +2666,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF-PQ: the production composition (coarse probe restriction +
         # ADC ranking over codes)
         "ann_ivfpq_topk": lambda spark, sf: similarity.ann_ivfpq_topk(load(spark, sf, "embeddings")),
+        # retrieval QUALITY of the whole approximate stack vs exact truth
+        "ann_recall_at_k": lambda spark, sf: similarity.ann_recall_at_k(
+            load(spark, sf, "embeddings")
+        ),
         # PQ served from the persisted codes index (frozen codebooks)
         "ann_pq_topk_indexed": q_ann_pq_topk_indexed,
         "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(
@@ -2739,6 +2777,8 @@ _GATE_PRIORITY = [
     "simhash_dedup_clusters",
     "ann_lsh_topk_indexed",
     "corpus_funnel",
+    # round-6 additions (never recorded): heavy — runs 5 ANN paths
+    "ann_recall_at_k",
 ]
 
 # Long-green remainder, measured-cost order (all hold a CORRECTNESS_r05
@@ -2862,6 +2902,7 @@ def build_oracles() -> dict[str, str]:
         "ann_ivf_topk": oracle_ann_ivf_topk(),
         "ann_pq_topk": oracle_ann_pq_topk(),
         "ann_ivfpq_topk": oracle_ann_ivfpq_topk(),
+        "ann_recall_at_k": oracle_ann_recall_at_k(),
         "ann_pq_topk_indexed": oracle_ann_pq_topk(),
         "media_feature_stats": oracle_media_feature_stats(),
         "pdf_page_stats": oracle_pdf_page_stats(),

@@ -1307,3 +1307,67 @@ def ann_lsh_topk(
         )
     )
     return _rank_topk(scored, k)
+
+
+# the four approximate paths measured by ann_recall_at_k, in report order
+ANN_RECALL_METHODS = ("lsh", "ivf", "pq", "ivfpq")
+
+
+def ann_recall_at_k(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Measured retrieval QUALITY of the approximate ANN stack: recall@k
+    of each path (sign-LSH multi-probe, IVF, PQ ADC, IVF-PQ) against the
+    exact :func:`cosine_topk` ground truth on the same corpus — the
+    correctness oracles pin determinism, this pins how much of the true
+    top-k the approximations actually return.  recall = |approx ∩ exact|
+    / |exact| aggregated over all queries (with exactly k exact rows per
+    query the aggregate equals the mean per-query recall).  One row per
+    method, including zero-hit methods (LEFT join from the method list).
+
+    Scale shape: ground truth is computed for the bounded query SAMPLE
+    only (broadcast queries — the existing cosine_topk plan), each
+    approximate path keeps its own production plan, and the join/agg
+    moves only (method, query_id, vec_id) id tuples."""
+    from functools import reduce
+
+    spark = embeddings.sparkSession
+    # 5 consumers of the ground truth (4 joins + the total) — materialize
+    # the tiny (n_queries × k) id set, per the multi-consumer cut rule
+    exact = materialize(
+        cosine_topk(embeddings, n_queries, k).select("query_id", "vec_id")
+    )
+    approx = {
+        "lsh": ann_lsh_topk(embeddings, n_queries, k),
+        "ivf": ann_ivf_topk(embeddings, n_queries, k),
+        "pq": ann_pq_topk(embeddings, n_queries, k),
+        "ivfpq": ann_ivfpq_topk(embeddings, n_queries, k),
+    }
+    assert tuple(approx) == ANN_RECALL_METHODS
+    unioned = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            df.select(F.lit(name).alias("method"), "query_id", "vec_id")
+            for name, df in approx.items()
+        ],
+    )
+    hits = (
+        unioned.join(F.broadcast(exact), ["query_id", "vec_id"])
+        .groupBy("method")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    methods = spark.createDataFrame(
+        [(name,) for name in ANN_RECALL_METHODS], "method: string"
+    )
+    totals = exact.agg(F.count("*").alias("n_exact"))
+    n_hits = F.coalesce("n_hits", F.lit(0)).cast("long")
+    return (
+        methods.join(hits, "method", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "method",
+            n_hits.alias("n_hits"),
+            "n_exact",
+            F.round(n_hits / F.col("n_exact"), 6).alias("recall"),
+        )
+    )

@@ -1772,3 +1772,35 @@ def test_connected_components_random_graphs(spark):
             for r in dedup.connected_components(nodes_df, pairs_df).collect()
         }
         assert got == want, (case, n, edges)
+
+
+def test_ann_recall_at_k(spark, embeds, ddb):
+    """Retrieval-quality metric: oracle parity (the composed four-method
+    replay), plus structural invariants — one row per method, recall in
+    [0, 1], n_exact = n_queries × k on this corpus, and each method's
+    n_hits equals a directly-computed intersection with the exact
+    ground truth (pinning the join/agg arithmetic, not just the oracle)."""
+    from paperoni_spark.operators.similarity import (
+        ANN_RECALL_METHODS,
+        ann_ivf_topk,
+        ann_recall_at_k,
+        cosine_topk,
+    )
+
+    result = ann_recall_at_k(embeds)
+    rows = {r["method"]: r for r in result.collect()}
+    assert set(rows) == set(ANN_RECALL_METHODS)
+    for r in rows.values():
+        assert r["n_exact"] == 50
+        assert 0.0 <= r["recall"] <= 1.0
+        assert abs(r["recall"] - r["n_hits"] / r["n_exact"]) < 1e-9
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(embeds).select("query_id", "vec_id").collect()
+    }
+    ivf_hits = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_ivf_topk(embeds).select("query_id", "vec_id").collect()
+    } & exact
+    assert rows["ivf"]["n_hits"] == len(ivf_hits)
+    assert_matches_oracle(result, ddb, contract.oracle_ann_recall_at_k())
