@@ -1767,13 +1767,15 @@ def oracle_ann_ivf_topk(
 
 
 def _pq_subspace_ctes(
-    m: int, n_codes: int, iters: int, dim: int
+    m: int, n_codes: int, iters: int, dim: int, src: str = "base"
 ) -> tuple[list[str], list[str]]:
-    """Shared per-subspace PQ CTE chains (assumes ``base`` is already in
-    the WITH list): for each subspace mi, the sliced subvectors, the
-    Lloyd iterations, and ``code{mi}`` (final code per vector).  Returns
+    """Shared per-subspace PQ CTE chains (assumes ``src`` — a
+    (vec_id, emb) frame — is already in the WITH list): for each
+    subspace mi, the sliced subvectors, the Lloyd iterations, and
+    ``code{mi}`` (final code per vector).  Returns
     (ctes, final_codebook_cte_names).  Single source for
-    oracle_ann_pq_topk and oracle_ann_ivfpq_topk."""
+    oracle_ann_pq_topk and oracle_ann_ivfpq_topk; the residual IVFADC
+    oracle points ``src`` at the residual frame."""
     if dim % m:
         raise ValueError(f"PQ oracle: m={m} must divide dim={dim}")
     r = similarity.IVF_ROUND
@@ -1783,7 +1785,7 @@ def _pq_subspace_ctes(
     final_books: list[str] = []
     for mi in range(m):
         lo, hi = mi * sd + 1, (mi + 1) * sd
-        ctes.append(f"s{mi} AS (SELECT vec_id, emb[{lo}:{hi}] AS sub FROM base)")
+        ctes.append(f"s{mi} AS (SELECT vec_id, emb[{lo}:{hi}] AS sub FROM {src})")
         ctes.append(
             f"""c0_{mi} AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sub AS c
@@ -1893,26 +1895,64 @@ def oracle_ann_ivfpq_topk(
     n_queries: int = 10,
     k: int = 5,
     dim: int = similarity.EMBED_DIM,
+    residual: bool = False,
 ) -> str:
     """DuckDB twin of similarity.ann_ivfpq_topk: the coarse-quantizer
     Lloyd replay (shared with the IVF oracle) restricts candidates to
     each query's probed clusters, and the per-subspace PQ replay (shared
     with the PQ oracle) scores them by the ADC sum — the full production
     composition replayed end-to-end.  Note the IVF chain's ``q`` CTE
-    carries the query vectors as ``qemb``; the ADC terms slice it."""
+    carries the query vectors as ``qemb``; the ADC terms slice it.
+
+    ``residual=True`` replays classical IVFADC: the PQ chain trains on
+    the residual frame (``rbase`` = emb − assigned coarse centroid,
+    exact per-element FP subtraction on both engines), and the scored
+    CTE joins each candidate against its query's PER-PROBE residual
+    (``qres``) instead of the raw query vector."""
     r = similarity.IVF_ROUND
     sd = dim // m
     ctes = _ivf_lloyd_ctes(n_centroids, ivf_iters, dim, n_queries, nprobe)
-    pq_ctes, final_books = _pq_subspace_ctes(m, n_codes, pq_iters, dim)
-    ctes += pq_ctes
-    joins, adc = _adc_sql(m, sd, final_books, "q.qemb", "a")
-    ctes.append(
-        f"""scored AS (
+    cfinal = f"c{ivf_iters}"
+    if residual:
+        ctes.append(
+            # MATERIALIZED: every subspace chain references rbase, and
+            # unlike the raw path's `base` (a plain scan) re-inlining
+            # this computed chain re-runs af + the transform per
+            # reference (measured 10.8 s -> ~1 s at sf0.01)
+            f"""rbase AS MATERIALIZED (
+  SELECT a.vec_id,
+         list_transform(generate_series(1, {dim}), i -> a.emb[i] - s.c[i]) AS emb
+  FROM af a JOIN {cfinal} s ON s.cid = a.cid)"""
+        )
+        pq_ctes, final_books = _pq_subspace_ctes(
+            m, n_codes, pq_iters, dim, src="rbase"
+        )
+        ctes += pq_ctes
+        ctes.append(
+            f"""qres AS (
+  SELECT q.query_id, p.cid,
+         list_transform(generate_series(1, {dim}), i -> q.qemb[i] - s.c[i]) AS emb
+  FROM q JOIN probes p USING (query_id) JOIN {cfinal} s ON s.cid = p.cid)"""
+        )
+        joins, adc = _adc_sql(m, sd, final_books, "r.emb", "a")
+        ctes.append(
+            f"""scored AS (
+  SELECT r.query_id, a.vec_id, round({adc}, {r}) AS adc_dist
+  FROM af a JOIN qres r ON a.cid = r.cid
+  {joins}
+  WHERE a.vec_id != r.query_id)"""
+        )
+    else:
+        pq_ctes, final_books = _pq_subspace_ctes(m, n_codes, pq_iters, dim)
+        ctes += pq_ctes
+        joins, adc = _adc_sql(m, sd, final_books, "q.qemb", "a")
+        ctes.append(
+            f"""scored AS (
   SELECT q.query_id, a.vec_id, round({adc}, {r}) AS adc_dist
   FROM af a JOIN probes p ON a.cid = p.cid JOIN q ON q.query_id = p.query_id
   {joins}
   WHERE a.vec_id != q.query_id)"""
-    )
+        )
     ctes.append(_PQ_RANKED_TAIL)
     return (
         "WITH "
@@ -2670,6 +2710,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_at_k": lambda spark, sf: similarity.ann_recall_at_k(
             load(spark, sf, "embeddings")
         ),
+        # classical IVFADC: PQ over residuals, per-probe query tables
+        "ann_ivfpq_residual_topk": lambda spark, sf: similarity.ann_ivfpq_topk(
+            load(spark, sf, "embeddings"), residual=True
+        ),
         # PQ served from the persisted codes index (frozen codebooks)
         "ann_pq_topk_indexed": q_ann_pq_topk_indexed,
         "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(
@@ -2777,7 +2821,8 @@ _GATE_PRIORITY = [
     "simhash_dedup_clusters",
     "ann_lsh_topk_indexed",
     "corpus_funnel",
-    # round-6 additions (never recorded): heavy — runs 5 ANN paths
+    # round-6 additions (never recorded): heavy tail of the group
+    "ann_ivfpq_residual_topk",
     "ann_recall_at_k",
 ]
 
@@ -2903,6 +2948,7 @@ def build_oracles() -> dict[str, str]:
         "ann_pq_topk": oracle_ann_pq_topk(),
         "ann_ivfpq_topk": oracle_ann_ivfpq_topk(),
         "ann_recall_at_k": oracle_ann_recall_at_k(),
+        "ann_ivfpq_residual_topk": oracle_ann_ivfpq_topk(residual=True),
         "ann_pq_topk_indexed": oracle_ann_pq_topk(),
         "media_feature_stats": oracle_media_feature_stats(),
         "pdf_page_stats": oracle_pdf_page_stats(),

@@ -662,6 +662,7 @@ def pq_codebooks_and_codes(
     n_codes: int = PQ_K,
     iters: int = PQ_ITERS,
     dim: int = EMBED_DIM,
+    projected: bool = False,
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """Product-quantization training + encoding: deterministic k-means
     per SUBSPACE (the vector split into ``m`` contiguous blocks), with
@@ -675,14 +676,22 @@ def pq_codebooks_and_codes(
     partial-aggregated mean — 2 jobs per iteration regardless of m,
     and the codebooks (m × n_codes × dim/m doubles) stay driver-side
     control-plane, like the IVF quantizer.  Returns the materialized
-    ``(vec_id, emb, codes)`` frame and the codebooks."""
+    ``(vec_id, emb, codes)`` frame and the codebooks.
+
+    ``projected=True`` takes a frame already carrying ``(vec_id, emb)``
+    doubles (e.g. the residual frame of the IVFADC composition) instead
+    of the raw ``embedding`` column."""
     if dim % m:
         raise ValueError(
             f"PQ requires m to divide the dimension evenly: dim={dim}, m={m} "
             f"would silently drop the trailing {dim % m} dimension(s)"
         )
-    base = embeddings.select(
-        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    base = (
+        embeddings.select("vec_id", "emb")
+        if projected
+        else embeddings.select(
+            "vec_id", _to_double(F.col("embedding")).alias("emb")
+        )
     )
     sd = dim // m
     seeds = base.orderBy("vec_id").limit(n_codes).select("emb").collect()
@@ -1026,6 +1035,59 @@ def _adc_expr(m: int, n_codes: int):
     return adc
 
 
+def _residual_col(centroids: list[list[float]]):
+    """``emb − centroids[centroid]`` as one vectorized pandas UDF (a
+    numpy row-gather + subtract per Arrow batch).  FP subtraction of two
+    exactly-representable doubles is exact, so the residuals are
+    bit-identical to the DuckDB oracle's per-element list_transform —
+    no rounding layer needed at this step."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(centroids, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def res_udf(emb, cid):
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        r = mat - cents[cid.to_numpy()]
+        return pd.Series(list(r))
+
+    return res_udf(F.col("emb"), F.col("centroid"))
+
+
+def _pq_residual_query_tables(
+    spark,
+    query_rows,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    sd: int,
+):
+    """Per-(query, probed-centroid) ADC lookup tables — classical IVFADC
+    needs one table per probe because the query RESIDUAL (q − c_probe)
+    differs per cluster.  n_queries × nprobe × m × n_codes doubles of
+    bounded driver-side control-plane; same rounded expanded-form
+    distance as every other quantizer step."""
+    import numpy as np
+
+    cents = np.array(centroids, dtype=np.float64)
+    rows = []
+    for r in query_rows:
+        q = np.array(r["qemb"], dtype=np.float64)
+        for cid in r["probes"]:
+            qr = q - cents[cid]
+            flat: list[float] = []
+            for mi, cb in enumerate(codebooks):
+                sub = qr[mi * sd : (mi + 1) * sd]
+                cm = np.array(cb, dtype=np.float64)
+                d = (sub @ sub) - 2.0 * (cm @ sub) + (cm * cm).sum(axis=1)
+                flat.extend(float(x) for x in np.round(d, IVF_ROUND))
+            rows.append((int(r["query_id"]), int(cid), flat))
+    return spark.createDataFrame(
+        rows, "query_id: long, centroid: int, tbl: array<double>"
+    )
+
+
 def ann_ivfpq_topk(
     embeddings: DataFrame,
     n_queries: int = 10,
@@ -1036,6 +1098,7 @@ def ann_ivfpq_topk(
     n_codes: int = PQ_K,
     iters: int = PQ_ITERS,
     dim: int = EMBED_DIM,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN — the production 10^12-vector composition: the coarse
     IVF quantizer restricts each query to its ``nprobe`` clusters
@@ -1046,15 +1109,66 @@ def ann_ivfpq_topk(
     replays coarse Lloyd + per-subspace Lloyd + probe selection + the
     ADC sum end-to-end.
 
-    Simplification vs classical IVFADC, documented: PQ encodes RAW
-    vectors, not per-cluster residuals — residual encoding would add a
-    second rounding-replay layer to the oracle for a recall gain the
-    fixture scale cannot measure.  Ranking is (adc_dist asc, vec_id
-    asc)."""
+    ``residual=False`` (default) PQ-encodes RAW vectors — the simpler
+    composition, kept for the amortized-index path.  ``residual=True``
+    is classical IVFADC: PQ trains on and encodes the RESIDUALS
+    (vector − its coarse centroid), recovering most of the accuracy
+    lost to coarse quantization at identical code size; each query then
+    carries one ADC table PER PROBED CLUSTER (its residual differs per
+    cluster), and the candidate join becomes a plain equi-join on the
+    probed centroid.  Both trainings follow the same deterministic
+    engine-portable rules, so the oracle replays either composition
+    end-to-end.  Ranking is (adc_dist asc, vec_id asc)."""
     from pyspark.sql.window import Window
 
     spark = embeddings.sparkSession
     assigned, centroids = ivf_assignments(embeddings, n_centroids)
+    if residual:
+        # IVFADC: quantize residuals; probes computed with the SAME
+        # Spark expression as the raw path, collected (bounded: the
+        # query sample) to build the per-(query, probe) tables
+        # PQ training consumes this frame ~2×/iteration + the final
+        # encode — materialize so the residual UDF runs once, not five
+        # times (the multi-consumer cut rule; `assigned` is already cut)
+        res_base = materialize(
+            assigned.select("vec_id", _residual_col(centroids).alias("emb"))
+        )
+        coded, codebooks = pq_codebooks_and_codes(
+            res_base, m, n_codes, iters, dim, projected=True
+        )
+        query_rows = (
+            assigned.where(F.col("vec_id") < n_queries)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("emb").alias("qemb"),
+                _ivf_probes_col(centroids, nprobe, F.col("emb")).alias(
+                    "probes"
+                ),
+            )
+            .orderBy("query_id")
+            .collect()
+        )
+        qtables = _pq_residual_query_tables(
+            spark, query_rows, centroids, codebooks, dim // m
+        )
+        cand = (
+            assigned.select("vec_id", "centroid")
+            .join(F.broadcast(qtables), "centroid")
+            .where(F.col("vec_id") != F.col("query_id"))
+        )
+        scored = cand.join(coded.select("vec_id", "codes"), "vec_id").select(
+            "query_id",
+            "vec_id",
+            F.round(_adc_expr(m, n_codes), IVF_ROUND).alias("adc_dist"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("vec_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "adc_dist", "rank")
+        )
     coded, codebooks = pq_codebooks_and_codes(embeddings, m, n_codes, iters, dim)
     queries = assigned.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")

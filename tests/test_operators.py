@@ -1804,3 +1804,69 @@ def test_ann_recall_at_k(spark, embeds, ddb):
     } & exact
     assert rows["ivf"]["n_hits"] == len(ivf_hits)
     assert_matches_oracle(result, ddb, contract.oracle_ann_recall_at_k())
+
+
+def test_ann_ivfpq_residual(spark, embeds, ddb):
+    """Classical IVFADC (residual=True): oracle parity end-to-end, rank
+    monotonicity, and the RECONSTRUCTION-ERROR twin — at identical code
+    size, quantizing residuals must reconstruct the corpus strictly
+    better (lower total squared error) than quantizing raw vectors,
+    which is the entire point of residual encoding."""
+    import numpy as np
+
+    from paperoni_spark.operators.similarity import (
+        PQ_M,
+        _residual_col,
+        ann_ivfpq_topk,
+        ivf_assignments,
+        pq_codebooks_and_codes,
+    )
+    from paperoni_spark.materialize import materialize
+
+    result = ann_ivfpq_topk(embeds, residual=True)
+    rows = result.collect()
+    assert_matches_oracle(result, ddb, contract.oracle_ann_ivfpq_topk(residual=True))
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists), (q, dists)
+    # the residual composition is not a relabeled raw scan: the two
+    # score different ADC distances (residual tables differ per probe)
+    raw = {(r["query_id"], r["vec_id"]): r["adc_dist"] for r in
+           ann_ivfpq_topk(embeds).collect()}
+    res = {(r["query_id"], r["vec_id"]): r["adc_dist"] for r in rows}
+    shared = set(raw) & set(res)
+    assert shared and any(raw[kk] != res[kk] for kk in shared)
+
+    # reconstruction-error twin, identical code size (m × log2(K) bits)
+    assigned, centroids = ivf_assignments(embeds)
+    cents = np.array(centroids, dtype=np.float64)
+    arows = assigned.select("vec_id", "emb", "centroid").collect()
+    X = np.stack([np.array(r["emb"]) for r in arows])
+    cid = np.array([r["centroid"] for r in arows])
+
+    def decode(coded_df, books):
+        by_id = {r["vec_id"]: r["codes"] for r in
+                 coded_df.select("vec_id", "codes").collect()}
+        sd = X.shape[1] // PQ_M
+        out = np.empty_like(X)
+        ids = [r["vec_id"] for r in arows]
+        for i, vid in enumerate(ids):
+            codes = by_id[vid]
+            for mi in range(PQ_M):
+                out[i, mi * sd:(mi + 1) * sd] = books[mi][codes[mi]]
+        return out
+
+    raw_coded, raw_books = pq_codebooks_and_codes(embeds)
+    err_raw = float(((X - decode(raw_coded, raw_books)) ** 2).sum())
+    res_base = materialize(
+        assigned.select("vec_id", _residual_col(centroids).alias("emb"))
+    )
+    res_coded, res_books = pq_codebooks_and_codes(res_base, projected=True)
+    recon_res = cents[cid] + decode(res_coded, res_books)
+    err_res = float(((X - recon_res) ** 2).sum())
+    assert err_res < err_raw, (err_res, err_raw)
