@@ -2439,6 +2439,39 @@ FROM tok LEFT JOIN cov_agg USING (doc_id) LEFT JOIN kept USING (doc_id)
 """
 
 
+def q_substring_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-wave ExactSubstr: the planted corpus split into a BASE wave
+    (even ids — builds the persisted shingle histogram once per sf_dir,
+    bench-amortized like every indexed query) and a DELTA wave (odd ids
+    — probed against it).  The odd/even split puts planted passage
+    carriers in BOTH waves, so the probe must catch delta-vs-index
+    duplicated spans AND within-delta ones; the oracle is the
+    whole-corpus replay restricted to the delta ids (occurrence totals
+    across index ∪ delta equal the full-recompute histogram)."""
+    probed = substring_probed_documents(spark, sf_dir)
+    index_path = _memo_index(
+        "substring_hist",
+        sf_dir,
+        lambda p: dedup.write_substring_index(
+            probed.where(F.col("doc_id") % 2 == 0), p, n=_SUBSTR_GATE_N
+        ),
+    )
+    return dedup.substring_delta_clean(
+        spark,
+        probed.where(F.col("doc_id") % 2 == 1),
+        index_path,
+        n=_SUBSTR_GATE_N,
+    )
+
+
+def oracle_substring_delta() -> str:
+    """The whole-corpus ExactSubstr replay restricted to the delta wave:
+    a delta doc's rewrite depends only on per-digest occurrence TOTALS,
+    which are identical whether counted in one pass or summed across
+    the index's wave segments."""
+    return oracle_substring_dedup() + "WHERE doc_id % 2 = 1\n"
+
+
 def oracle_dup_ngram_stats(n: int = 3) -> str:
     """DuckDB twin of dedup.dup_ngram_stats — same distinct-shingle space
     as the Jaccard/MinHash oracles (joined on the raw shingle where the
@@ -2710,6 +2743,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_at_k": lambda spark, sf: similarity.ann_recall_at_k(
             load(spark, sf, "embeddings")
         ),
+        # cross-wave ExactSubstr: delta probed against the persisted
+        # shingle histogram (the seventh wave-keyed index family)
+        "substring_delta": q_substring_delta,
         # classical IVFADC: PQ over residuals, per-probe query tables
         "ann_ivfpq_residual_topk": lambda spark, sf: similarity.ann_ivfpq_topk(
             load(spark, sf, "embeddings"), residual=True
@@ -2821,7 +2857,8 @@ _GATE_PRIORITY = [
     "simhash_dedup_clusters",
     "ann_lsh_topk_indexed",
     "corpus_funnel",
-    # round-6 additions (never recorded): heavy tail of the group
+    # round-6 additions (never recorded): cheap first, heavies last
+    "substring_delta",
     "ann_ivfpq_residual_topk",
     "ann_recall_at_k",
 ]
@@ -2948,6 +2985,7 @@ def build_oracles() -> dict[str, str]:
         "ann_pq_topk": oracle_ann_pq_topk(),
         "ann_ivfpq_topk": oracle_ann_ivfpq_topk(),
         "ann_recall_at_k": oracle_ann_recall_at_k(),
+        "substring_delta": oracle_substring_delta(),
         "ann_ivfpq_residual_topk": oracle_ann_ivfpq_topk(residual=True),
         "ann_pq_topk_indexed": oracle_ann_pq_topk(),
         "media_feature_stats": oracle_media_feature_stats(),

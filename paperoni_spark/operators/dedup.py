@@ -1128,6 +1128,20 @@ def substring_dedup(documents: DataFrame, n: int = SUBSTR_DEDUP_N) -> DataFrame:
     Documents with < n tokens produce no shingles and pass through
     unchanged.  Tokenization is the repo-wide whitespace convention
     (textstats.tokens_col); the DuckDB oracle replays every step."""
+    positioned = materialize(_positioned_shingles(documents, n))
+    dup_h = (
+        positioned.groupBy("h")
+        .agg(F.count("*").alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("h")
+    )
+    return _substring_rewrite(documents, positioned, dup_h, n)
+
+
+def _positioned_shingles(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, pos, h): positioned n-token shingle md5 digests — pure
+    map-side (tokenize, slide, hash).  Shared by the whole-corpus
+    operator, the persisted-histogram writers, and the delta probe."""
     from .textstats import tokens_col
 
     toks_df = documents.select(
@@ -1140,17 +1154,21 @@ def substring_dedup(documents: DataFrame, n: int = SUBSTR_DEDUP_N) -> DataFrame:
         f"i -> concat_ws(' ', slice(toks, i + 1, {n}))) "
         "ELSE array() END"
     )
-    positioned = materialize(
-        toks_df.select(
-            "doc_id", F.posexplode(shingle_arr).alias("pos", "shingle")
-        ).select("doc_id", "pos", F.md5("shingle").alias("h"))
-    )
-    dup_h = (
-        positioned.groupBy("h")
-        .agg(F.count("*").alias("occ"))
-        .where(F.col("occ") >= 2)
-        .select("h")
-    )
+    return toks_df.select(
+        "doc_id", F.posexplode(shingle_arr).alias("pos", "shingle")
+    ).select("doc_id", "pos", F.md5("shingle").alias("h"))
+
+
+def _substring_rewrite(
+    documents: DataFrame, positioned: DataFrame, dup_h: DataFrame, n: int
+) -> DataFrame:
+    """Steps 3-5 of the ExactSubstr pipeline (duplicated starts →
+    covered-interval union → JVM-side kept-token rewrite), shared by
+    substring_dedup and substring_delta_clean — ``dup_h`` is whatever
+    digest set the caller counted as duplicated (whole-corpus histogram
+    or index ∪ delta totals)."""
+    from .textstats import tokens_col
+
     starts = positioned.join(dup_h, "h").select("doc_id", "pos")
     covered = (
         starts.select(
@@ -1188,3 +1206,83 @@ def substring_dedup(documents: DataFrame, n: int = SUBSTR_DEDUP_N) -> DataFrame:
             ).alias("text_clean"),
         )
     )
+
+
+def _substring_hist(documents: DataFrame, n: int) -> DataFrame:
+    """(h, occ): the wave's shingle-occurrence histogram — one
+    digest-keyed partial-aggregated shuffle, ~16 B per distinct shingle
+    persisted."""
+    return (
+        _positioned_shingles(documents, n)
+        .groupBy("h")
+        .agg(F.count("*").alias("occ"))
+    )
+
+
+def write_substring_index(
+    documents: DataFrame, path: str, n: int = SUBSTR_DEDUP_N
+) -> None:
+    """Persist the ExactSubstr shingle histogram — the SEVENTH wave-keyed
+    index family: cross-wave duplicated passages survive wave-local
+    substring cleaning (compose.py documents the gap), so a recurring
+    crawl probes each wave against this index instead.  ``wave=0``
+    build; :func:`append_to_substring_index` adds one segment per wave
+    (delete-before-overwrite → retries replay); probes SUM counts across
+    segments, so occurrence totals equal the full-recompute histogram."""
+    from ..fsio import write_wave_segment
+
+    write_wave_segment(
+        _substring_hist(documents, n), path, 0, kind="substring_hist"
+    )
+
+
+def append_to_substring_index(
+    documents: DataFrame, path: str, wave: int, n: int = SUBSTR_DEDUP_N
+) -> None:
+    """Add a wave's histogram as its own ``wave=<id>`` segment.  Caller
+    contract: doc_ids disjoint from the index (anti-join resume) and
+    ``wave`` ≥ 1, stable across retries of the same wave."""
+    from ..fsio import write_wave_segment
+
+    if wave < 1:
+        raise ValueError(f"append wave id must be >= 1 (0 is the build): {wave}")
+    write_wave_segment(
+        _substring_hist(documents, n), path, wave, kind="substring_hist"
+    )
+
+
+def substring_delta_clean(
+    spark,
+    delta_documents: DataFrame,
+    index_path: str,
+    n: int = SUBSTR_DEDUP_N,
+) -> DataFrame:
+    """Cross-wave ExactSubstr: rewrite the DELTA wave's documents
+    removing every token covered by an n-shingle whose occurrence total
+    over index ∪ delta is ≥ 2 — row-identical on the delta ids to
+    running :func:`substring_dedup` over the whole accumulated corpus
+    (the occurrence total per digest is the same sum).  O(delta) in the
+    expensive dimension: only the delta is tokenized/hashed; the corpus
+    side is the compact persisted histogram, restricted to the delta's
+    digests by an UNHINTED join (AQE broadcasts a small delta's digest
+    set; a skewed one degrades to a plain digest-keyed shuffle instead
+    of a driver-OOM cliff) and then summed across wave segments."""
+    positioned = materialize(_positioned_shingles(delta_documents, n))
+    delta_hist = positioned.groupBy("h").agg(
+        F.count("*").alias("occ_delta")
+    )
+    idx_occ = (
+        spark.read.parquet(index_path)
+        .select("h", "occ")
+        .join(delta_hist.select("h"), "h")
+        .groupBy("h")
+        .agg(F.sum("occ").alias("occ_idx"))
+    )
+    dup_h = (
+        delta_hist.join(idx_occ, "h", "left")
+        .where(
+            F.col("occ_delta") + F.coalesce("occ_idx", F.lit(0)) >= 2
+        )
+        .select("h")
+    )
+    return _substring_rewrite(delta_documents, positioned, dup_h, n)

@@ -1870,3 +1870,60 @@ def test_ann_ivfpq_residual(spark, embeds, ddb):
     recon_res = cents[cid] + decode(res_coded, res_books)
     err_res = float(((X - recon_res) ** 2).sum())
     assert err_res < err_raw, (err_res, err_raw)
+
+
+def test_substring_delta_index(spark, docs, tmp_path):
+    """Cross-wave ExactSubstr: (a) the delta probe is row-identical to
+    the whole-corpus substring_dedup restricted to the delta ids, with
+    the index accumulated over TWO waves (build + append) — occurrence
+    totals sum across segments; (b) an at-least-once retry of the same
+    append wave replays its segment (same index rows, same probe
+    result), never double-counts (a double-counted histogram would
+    erroneously flag singleton delta shingles as duplicated)."""
+    from paperoni_spark.operators.dedup import (
+        append_to_substring_index,
+        substring_dedup,
+        substring_delta_clean,
+        write_substring_index,
+    )
+
+    n = 8
+    passage = " ".join(f"w{i}" for i in range(20))
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") < 30, F.concat("text", F.lit(" " + passage)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    wave0 = base.where(F.col("doc_id") % 3 == 0)
+    wave1 = base.where(F.col("doc_id") % 3 == 1)
+    delta = base.where(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "substr_idx")
+    write_substring_index(wave0, path, n=n)
+    append_to_substring_index(wave1, path, 1, n=n)
+
+    got = sorted(
+        map(tuple, substring_delta_clean(spark, delta, path, n=n).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            substring_dedup(base, n=n)
+            .where(F.col("doc_id") % 3 == 2)
+            .collect(),
+        )
+    )
+    assert got == want
+    # retry replays: identical histogram rows and identical probe output
+    hist_before = sorted(
+        map(tuple, spark.read.parquet(path).select("h", "occ").collect())
+    )
+    append_to_substring_index(wave1, path, 1, n=n)
+    assert (
+        sorted(map(tuple, spark.read.parquet(path).select("h", "occ").collect()))
+        == hist_before
+    )
+    assert (
+        sorted(map(tuple, substring_delta_clean(spark, delta, path, n=n).collect()))
+        == want
+    )
