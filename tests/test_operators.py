@@ -1927,3 +1927,28 @@ def test_substring_delta_index(spark, docs, tmp_path):
         sorted(map(tuple, substring_delta_clean(spark, delta, path, n=n).collect()))
         == want
     )
+
+
+def test_connected_components_chain_converges_fast(spark):
+    """Adversarial long-diameter topology: a 1,000-node chain.  Plain
+    min-label propagation needs ~1,000 rounds (a stall at any real
+    scale); the pointer-doubling shortcut must converge in <15 rounds
+    (O(log n)) AND still produce the exact single-component min-label
+    fixpoint.  Also pins the max-rounds guard's loud failure mode."""
+    import pytest as _pytest
+
+    from paperoni_spark.operators.dedup import _cc_fixpoint, connected_components
+
+    n = 1000
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id: long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a: long, doc_b: long"
+    )
+    labels, rounds = _cc_fixpoint(nodes, chain)
+    assert rounds < 15, rounds
+    rows = labels.collect()
+    assert all(r["cluster"] == 0 for r in rows) and len(rows) == n
+    got = connected_components(nodes, chain)
+    assert got.where(F.col("is_survivor")).count() == 1
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        _cc_fixpoint(nodes, chain, max_rounds=2)
