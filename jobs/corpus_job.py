@@ -181,6 +181,13 @@ def main(argv: list[str] | None = None) -> None:
                 "dedup probe needs a simhash index.  Point it at an index "
                 "this job (or write_simhash_index) created, or a fresh path."
             )
+        # create the marker when absent (corpus_job writes its segments
+        # directly, not via write_wave_segment) — without it an index
+        # built HERE would be adoptable by any other family's wave=0
+        # build, the exact silent destruction the marker prevents
+        from paperoni_spark.fsio import assert_index_kind
+
+        assert_index_kind(spark, args.dedup_index, "simhash")
         index_waves = [n for n in names if n.startswith("wave=") and n != own_name]
         if index_waves and not args.append:
             # loud refusal (same convention as write_output's

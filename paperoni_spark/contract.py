@@ -769,7 +769,13 @@ def _stream_tmp(name: str) -> str:
     — but re-entry reaps the PREVIOUS invocation's generation instead
     of deferring every generation to interpreter exit, which in a
     long-lived driver re-running the gate accumulates unbounded /tmp.
-    The final generation of each query is reaped by one atexit hook."""
+    The final generation of each query is reaped by one atexit hook.
+
+    CALLER CONTRACT: collect (or discard) a streamed query's frame
+    before invoking the SAME query again — the re-entry reap deletes
+    the files the previous frame reads lazily.  The gate and bench both
+    collect each invocation before the next; a harness that builds all
+    frames up front and collects later would break here."""
     import atexit
     import shutil
     import tempfile
@@ -983,9 +989,16 @@ def _stage_micro_batches(
     )
     for i in range(n_batches):
         dst = os.path.join(docs_dir, f"b{i}.parquet")
-        shutil.move(
-            glob.glob(os.path.join(sdir, f"_b={i}", "part-*.parquet"))[0], dst
-        )
+        parts = glob.glob(os.path.join(sdir, f"_b={i}", "part-*.parquet"))
+        if not parts:
+            # dynamic partitionBy writes NO directory for an empty class
+            # (the old per-class coalesce(1) wrote an empty part file):
+            # stage an explicit empty batch so class composition — not
+            # data skew — decides the number of triggers
+            edir = os.path.join(tmp, f"empty{i}")
+            docs.limit(0).coalesce(1).write.parquet(edir)
+            parts = glob.glob(os.path.join(edir, "part-*.parquet"))
+        shutil.move(parts[0], dst)
         os.utime(dst, (now + 10 * i, now + 10 * i))
     return tmp, docs_dir
 

@@ -86,6 +86,23 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _rank_topk_adc(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ADC top-k tail — (adc_dist asc, vec_id asc) ranking for
+    ann_pq_topk / ann_pq_topk_indexed / both ann_ivfpq_topk branches;
+    the oracles\' _PQ_RANKED_TAIL mirrors exactly this block, so it
+    lives once (the ADC twin of _rank_topk)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:
@@ -744,8 +761,6 @@ def ann_pq_topk(
     the approximate squared-L2 is m table lookups + (m−1) adds per
     candidate, pure JVM expressions over the broadcast query row.
     Ranking is (adc_dist asc, vec_id asc) — rank 1 = nearest."""
-    from pyspark.sql.window import Window
-
     spark = embeddings.sparkSession
     coded, codebooks = pq_codebooks_and_codes(embeddings, m, n_codes, iters, dim)
     queries = _pq_query_tables(spark, coded, codebooks, n_queries, dim // m)
@@ -759,14 +774,7 @@ def ann_pq_topk(
             F.round(_adc_expr(m, n_codes), IVF_ROUND).alias("adc_dist"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc_dist", "rank")
-    )
+    return _rank_topk_adc(scored, k)
 
 
 def _write_lsh_wave(embeddings: DataFrame, path: str, wave: int) -> None:
@@ -933,8 +941,6 @@ def ann_pq_topk_indexed(
     (or re-encodes) a corpus vector.  Query vectors come from the
     caller's frame; their ADC tables are built against the persisted
     codebooks (driver control-plane)."""
-    from pyspark.sql.window import Window
-
     books = read_pq_codebooks(spark, index_path, m, n_codes)
     base = embeddings.select(
         "vec_id", _to_double(F.col("embedding")).alias("emb")
@@ -950,14 +956,7 @@ def ann_pq_topk_indexed(
             F.round(_adc_expr(m, n_codes), IVF_ROUND).alias("adc_dist"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc_dist", "rank")
-    )
+    return _rank_topk_adc(scored, k)
 
 
 def _ivf_probes_col(
@@ -989,6 +988,25 @@ def _ivf_probes_col(
     return F.array(*[pairs[p]["cid"].cast("int") for p in range(nprobe)])
 
 
+def _adc_table_flat(
+    q, codebooks: list[list[list[float]]], sd: int
+) -> list[float]:
+    """One query vector's flat ADC lookup table: per subspace, the
+    rounded EXPANDED-form distance to every codebook centroid — THE
+    oracle-mirrored arithmetic ((q−c)² sums in a different FP order and
+    can diverge after rounding), single-sourced for the raw and
+    residual query-table builders."""
+    import numpy as np
+
+    flat: list[float] = []
+    for mi, cb in enumerate(codebooks):
+        sub = q[mi * sd : (mi + 1) * sd]
+        cm = np.array(cb, dtype=np.float64)
+        d = (sub @ sub) - 2.0 * (cm @ sub) + (cm * cm).sum(axis=1)
+        flat.extend(float(x) for x in np.round(d, IVF_ROUND))
+    return flat
+
+
 def _pq_query_tables(
     spark,
     coded: DataFrame,
@@ -1009,16 +1027,13 @@ def _pq_query_tables(
         .orderBy("vec_id")
         .collect()
     )
-    qtables = []
-    for r in qrows:
-        q = np.array(r["emb"], dtype=np.float64)
-        flat: list[float] = []
-        for mi, cb in enumerate(codebooks):
-            sub = q[mi * sd : (mi + 1) * sd]
-            cm = np.array(cb, dtype=np.float64)
-            d = (sub @ sub) - 2.0 * (cm @ sub) + (cm * cm).sum(axis=1)
-            flat.extend(float(x) for x in np.round(d, IVF_ROUND))
-        qtables.append((int(r["vec_id"]), flat))
+    qtables = [
+        (
+            int(r["vec_id"]),
+            _adc_table_flat(np.array(r["emb"], dtype=np.float64), codebooks, sd),
+        )
+        for r in qrows
+    ]
     return spark.createDataFrame(qtables, "query_id: long, tbl: array<double>")
 
 
@@ -1071,18 +1086,19 @@ def _pq_residual_query_tables(
     import numpy as np
 
     cents = np.array(centroids, dtype=np.float64)
-    rows = []
-    for r in query_rows:
-        q = np.array(r["qemb"], dtype=np.float64)
-        for cid in r["probes"]:
-            qr = q - cents[cid]
-            flat: list[float] = []
-            for mi, cb in enumerate(codebooks):
-                sub = qr[mi * sd : (mi + 1) * sd]
-                cm = np.array(cb, dtype=np.float64)
-                d = (sub @ sub) - 2.0 * (cm @ sub) + (cm * cm).sum(axis=1)
-                flat.extend(float(x) for x in np.round(d, IVF_ROUND))
-            rows.append((int(r["query_id"]), int(cid), flat))
+    rows = [
+        (
+            int(r["query_id"]),
+            int(cid),
+            _adc_table_flat(
+                np.array(r["qemb"], dtype=np.float64) - cents[cid],
+                codebooks,
+                sd,
+            ),
+        )
+        for r in query_rows
+        for cid in r["probes"]
+    ]
     return spark.createDataFrame(
         rows, "query_id: long, centroid: int, tbl: array<double>"
     )
@@ -1119,8 +1135,6 @@ def ann_ivfpq_topk(
     probed centroid.  Both trainings follow the same deterministic
     engine-portable rules, so the oracle replays either composition
     end-to-end.  Ranking is (adc_dist asc, vec_id asc)."""
-    from pyspark.sql.window import Window
-
     spark = embeddings.sparkSession
     assigned, centroids = ivf_assignments(embeddings, n_centroids)
     if residual:
@@ -1161,14 +1175,7 @@ def ann_ivfpq_topk(
             "vec_id",
             F.round(_adc_expr(m, n_codes), IVF_ROUND).alias("adc_dist"),
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("adc_dist").asc(), F.col("vec_id").asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "vec_id", "adc_dist", "rank")
-        )
+        return _rank_topk_adc(scored, k)
     coded, codebooks = pq_codebooks_and_codes(embeddings, m, n_codes, iters, dim)
     queries = assigned.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
@@ -1187,14 +1194,7 @@ def ann_ivfpq_topk(
         "vec_id",
         F.round(_adc_expr(m, n_codes), IVF_ROUND).alias("adc_dist"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc_dist", "rank")
-    )
+    return _rank_topk_adc(scored, k)
 
 
 def write_lsh_bucket_index(embeddings: DataFrame, path: str) -> None:

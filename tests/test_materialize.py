@@ -102,3 +102,27 @@ def test_stream_tmp_reaps_previous_generation():
         import shutil
 
         shutil.rmtree(_STREAM_TMPS.pop(name), ignore_errors=True)
+
+
+def test_stage_micro_batches_empty_class(spark, small_docs):
+    """Dynamic partitionBy writes NO directory for an empty batch class;
+    the stager must still emit a readable (empty) parquet file for it so
+    class composition — not data skew — decides the trigger count."""
+    from pyspark.sql import functions as F
+
+    from paperoni_spark.contract import _stream_tmp, _stage_micro_batches
+
+    evens = small_docs.where(F.col("doc_id") % 2 == 0)
+    tmp, docs_dir = _stage_micro_batches(evens, root=_stream_tmp("reaptest_c"))
+    files = sorted(os.listdir(docs_dir))
+    assert files == ["b0.parquet", "b1.parquet"]
+    assert spark.read.parquet(os.path.join(docs_dir, "b1.parquet")).count() == 0
+    assert (
+        spark.read.parquet(os.path.join(docs_dir, "b0.parquet")).count()
+        == evens.count()
+    )
+    import shutil
+
+    from paperoni_spark.contract import _STREAM_TMPS
+
+    shutil.rmtree(_STREAM_TMPS.pop("reaptest_c"), ignore_errors=True)
