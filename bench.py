@@ -62,6 +62,8 @@ INDEXED_QUERIES = {
     "embedding_delta_near_dup",
     "ann_lsh_topk_indexed",
     "ann_pq_topk_indexed",
+    "ann_ivfpq_topk_indexed",
+    "substring_delta",
 }
 
 
@@ -213,6 +215,11 @@ def main() -> None:
         "ngram_containment",
         "streaming_normalized_dedup",
         "shard_assignments",
+        # round-6 operators (new keys; absent from earlier BENCH_r{N})
+        "substring_delta",
+        "ann_ivfpq_residual_topk",
+        "ann_ivfpq_topk_indexed",
+        "ann_recall_at_k",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

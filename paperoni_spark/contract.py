@@ -1745,6 +1745,20 @@ def q_ann_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_pq_topk_indexed(spark, embeds, index_path)
 
 
+def q_ann_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC served from the persisted index — result-identical to
+    ann_ivfpq_residual_topk (same oracle): the scan is partition-pruned
+    to the probed clusters' residual-code partitions and never touches
+    a corpus vector."""
+    embeds = load(spark, sf_dir, "embeddings")
+    index_path = _memo_index(
+        "ivfpq_index",
+        sf_dir,
+        lambda p: similarity.write_ivfpq_index(embeds, p),
+    )
+    return similarity.ann_ivfpq_topk_indexed(spark, embeds, index_path)
+
+
 def oracle_ann_ivf_topk(
     n_centroids: int = 16,
     iters: int = 2,
@@ -2763,6 +2777,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_residual_topk": lambda spark, sf: similarity.ann_ivfpq_topk(
             load(spark, sf, "embeddings"), residual=True
         ),
+        # the same composition served from the persisted pruned index
+        "ann_ivfpq_topk_indexed": q_ann_ivfpq_topk_indexed,
         # PQ served from the persisted codes index (frozen codebooks)
         "ann_pq_topk_indexed": q_ann_pq_topk_indexed,
         "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(
@@ -2873,6 +2889,7 @@ _GATE_PRIORITY = [
     # round-6 additions (never recorded): cheap first, heavies last
     "substring_delta",
     "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk_indexed",
     "ann_recall_at_k",
 ]
 
@@ -3000,6 +3017,7 @@ def build_oracles() -> dict[str, str]:
         "ann_recall_at_k": oracle_ann_recall_at_k(),
         "substring_delta": oracle_substring_delta(),
         "ann_ivfpq_residual_topk": oracle_ann_ivfpq_topk(residual=True),
+        "ann_ivfpq_topk_indexed": oracle_ann_ivfpq_topk(residual=True),
         "ann_pq_topk_indexed": oracle_ann_pq_topk(),
         "media_feature_stats": oracle_media_feature_stats(),
         "pdf_page_stats": oracle_pdf_page_stats(),

@@ -1197,6 +1197,147 @@ def ann_ivfpq_topk(
     return _rank_topk_adc(scored, k)
 
 
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dim: int = EMBED_DIM,
+) -> None:
+    """Persist the full IVFADC index — the production 10^12-vector
+    artifact: RESIDUAL PQ codes (the ann_ivfpq_topk(residual=True)
+    composition) written ``wave=0/centroid=…`` so probes are
+    partition-pruned to the probed clusters, plus the ``_centroids``
+    and ``_codebooks`` side tables that make it self-contained (waves
+    append against the FROZEN quantizers; probes never read a corpus
+    vector).  Kind-marked ``ivfpq`` — the eighth wave-keyed family."""
+    from ..fsio import write_wave_segment
+
+    spark = embeddings.sparkSession
+    assigned, centroids = ivf_assignments(embeddings, n_centroids)
+    res_base = materialize(
+        assigned.select(
+            "vec_id", "centroid", _residual_col(centroids).alias("emb")
+        )
+    )
+    coded, codebooks = pq_codebooks_and_codes(
+        res_base.select("vec_id", "emb"), m, n_codes, iters, dim, projected=True
+    )
+    rows = coded.select("vec_id", "codes").join(
+        res_base.select("vec_id", "centroid"), "vec_id"
+    )
+    write_wave_segment(
+        rows, path, 0, partition_by=("centroid",), kind="ivfpq"
+    )
+    spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(centroids)],
+        "centroid: int, coords: array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    spark.createDataFrame(
+        [
+            (mi, ci, [float(x) for x in c])
+            for mi, cb in enumerate(codebooks)
+            for ci, c in enumerate(cb)
+        ],
+        "sub: int, code: int, coords: array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebooks")
+
+
+def append_to_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    wave: int,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> None:
+    """Add a wave to the IVFADC index: coarse-assign against the FROZEN
+    centroids, residual-encode against the FROZEN codebooks (standard
+    production IVFADC — retraining is an offline rebuild), write the
+    wave's own ``wave=<id>/centroid=…`` segment (delete-before-
+    overwrite → retries replay).  Pure map-side: 1 + m matmuls per
+    Arrow batch, no shuffle.  Caller contract: vec_ids disjoint from
+    the index and ``wave`` ≥ 1, stable across retries."""
+    from ..fsio import write_wave_segment
+
+    if wave < 1:
+        raise ValueError(f"append wave id must be >= 1 (0 is the build): {wave}")
+    spark = embeddings.sparkSession
+    cents = read_ivf_centroids(spark, path)
+    books = read_pq_codebooks(spark, path, m, n_codes)
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    assigned = base.withColumn("centroid", _ivf_assign_col(cents))
+    res = assigned.select(
+        "vec_id", "centroid", _residual_col(cents).alias("emb")
+    )
+    write_wave_segment(
+        res.withColumn("codes", _pq_assign_col(books)).select(
+            "vec_id", "centroid", "codes"
+        ),
+        path,
+        wave,
+        partition_by=("centroid",),
+        kind="ivfpq",
+    )
+
+
+def ann_ivfpq_topk_indexed(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """IVFADC served from the PERSISTED index — result-identical to
+    :func:`ann_ivfpq_topk` with ``residual=True`` when the index was
+    built from ``embeddings``: probe selection uses the frozen persisted
+    centroids, the scan reads ONLY the probed clusters' code partitions
+    (PartitionFilters on ``centroid`` — the file listing is pruned
+    before any IO), and candidates are scored by residual ADC against
+    per-(query, probe) tables from the persisted quantizers.  No corpus
+    vector is read or re-encoded at probe time; query vectors come from
+    the caller's frame."""
+    cents = read_ivf_centroids(spark, index_path)
+    books = read_pq_codebooks(spark, index_path, m, n_codes)
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    query_rows = (
+        base.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            _ivf_probes_col(cents, nprobe, F.col("emb")).alias("probes"),
+        )
+        .orderBy("query_id")
+        .collect()
+    )
+    qtables = _pq_residual_query_tables(
+        spark, query_rows, cents, books, dim // m
+    )
+    probe_cids = sorted({int(c) for r in query_rows for c in r["probes"]})
+    rows = ivf_probe_scan(spark, index_path, probe_cids).select(
+        "vec_id", "centroid", "codes"
+    )
+    scored = (
+        rows.join(F.broadcast(qtables), "centroid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_adc_expr(m, n_codes), IVF_ROUND).alias("adc_dist"),
+        )
+    )
+    return _rank_topk_adc(scored, k)
+
+
 def write_lsh_bucket_index(embeddings: DataFrame, path: str) -> None:
     """Persist the banded sign-LSH bucket index for partition-pruned ANN:
 

@@ -1952,3 +1952,79 @@ def test_connected_components_chain_converges_fast(spark):
     assert got.where(F.col("is_survivor")).count() == 1
     with _pytest.raises(RuntimeError, match="did not converge"):
         _cc_fixpoint(nodes, chain, max_rounds=2)
+
+
+def test_ann_ivfpq_indexed(spark, embeds, ddb, tmp_path):
+    """The persisted IVFADC index: (a) probe is result-identical to the
+    in-query residual composition and oracle-green; (b) probes never
+    touch a corpus vector (index built from a parquet copy that is then
+    DELETED); (c) the probe scan is partition-pruned to the probed
+    clusters; (d) an at-least-once retry of an append wave replays its
+    segment; (e) an appended exact twin of a query surfaces at the
+    attainable-minimum ADC distance (frozen-quantizer encode path)."""
+    import shutil
+
+    from paperoni_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        ann_ivfpq_topk_indexed,
+        append_to_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    path = str(tmp_path / "ivfpq_idx")
+    corpus_path = str(tmp_path / "corpus")
+    embeds.write.parquet(corpus_path)
+    write_ivfpq_index(spark.read.parquet(corpus_path), path)
+    shutil.rmtree(corpus_path)  # corpus vectors gone — re-encoding impossible
+    got = ann_ivfpq_topk_indexed(spark, embeds, path)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ann_ivfpq_topk(embeds, residual=True).collect())
+    )
+    assert_matches_oracle(got, ddb, contract.oracle_ann_ivfpq_topk(residual=True))
+    # partition-pruned probe: only probed centroid directories are read
+    from paperoni_spark.operators.similarity import (
+        _ivf_probes_col,
+        _to_double,
+        ivf_probe_scan,
+        read_ivf_centroids,
+    )
+
+    cents = read_ivf_centroids(spark, path)
+    probe_rows = (
+        embeds.where(F.col("vec_id") < 10)
+        .select(
+            _ivf_probes_col(cents, 2, _to_double(F.col("embedding"))).alias("p")
+        )
+        .collect()
+    )
+    probe_cids = sorted({int(c) for r in probe_rows for c in r["p"]})
+    scan = ivf_probe_scan(spark, path, probe_cids)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "centroid" in pf and "IN" in pf.upper()
+    read_dirs = {
+        r[0]
+        for r in scan.select(
+            F.regexp_extract(F.input_file_name(), r"centroid=(\d+)", 1)
+        ).distinct().collect()
+    }
+    assert read_dirs == {str(c) for c in probe_cids}
+
+    # append: twin of the lowest query id; retry replays the segment
+    seed = embeds.orderBy("vec_id").limit(1).collect()[0]
+    wave_df = spark.createDataFrame(
+        [(20_000_001, list(seed["embedding"]))],
+        "vec_id: long, embedding: array<double>",
+    )
+    append_to_ivfpq_index(wave_df, path, 1)
+    n_before = spark.read.parquet(path).count()
+    append_to_ivfpq_index(wave_df, path, 1)
+    assert spark.read.parquet(path).count() == n_before
+    after = {
+        (r["query_id"], r["vec_id"]): r
+        for r in ann_ivfpq_topk_indexed(spark, embeds, path).collect()
+    }
+    twin = after.get((seed["vec_id"], 20_000_001))
+    assert twin is not None
+    q0 = [r for (q, _), r in after.items() if q == seed["vec_id"]]
+    assert twin["adc_dist"] == min(r["adc_dist"] for r in q0)
