@@ -65,6 +65,20 @@ PLAN_CONTRACTS = {
     # (the global single-partition window runs over the tiny summary only
     # and is not a hash/range exchange); reads its materialized cut
     "sequence_pack": (2, []),
+    # cross-wave ExactSubstr probe: delta histogram + index-restriction
+    # join/sum + covered-union + rewrite join — same 4-shuffle ceiling as
+    # the whole-corpus operator (the index side adds a JOIN, not a pass
+    # over the corpus), still no pair enumeration
+    "substring_delta": (4, ["lang", "source", "n_chars"]),
+    # persisted-IVFADC probe: the codes scan is partition-pruned and
+    # broadcast-joined to the per-(query, probe) tables — the only
+    # shuffle is the top-k window's partition by query_id; no Python
+    # anywhere at probe time (encode happened at index build)
+    "ann_ivfpq_topk_indexed": (1, ["label"]),
+    # in-query residual IVFADC: same single ranking shuffle in the FINAL
+    # plan (training jobs run eagerly before it; the scan side is the
+    # materialized codes frame joined to broadcast tables)
+    "ann_ivfpq_residual_topk": (1, []),
 }
 
 
