@@ -70,6 +70,16 @@ def main(argv: list[str] | None = None) -> None:
         "crawl incremental corpus build.  First run bootstraps the index.",
     )
     parser.add_argument(
+        "--substring-index",
+        default=None,
+        help="persisted ExactSubstr shingle-histogram index: the wave is "
+        "cleaned against index ∪ wave (CROSS-wave duplicated spans, the "
+        "gap wave-local --substring-clean leaves) and the written text's "
+        "histogram is appended after the sink write.  Requires "
+        "--dedup-index (the incremental wave machinery); implies "
+        "substring cleaning.  First run bootstraps the index.",
+    )
+    parser.add_argument(
         "--append",
         action="store_true",
         help="append to an existing corpus output instead of overwriting "
@@ -87,6 +97,14 @@ def main(argv: list[str] | None = None) -> None:
     args = parser.parse_args(argv)
     if args.max_hamming is not None:
         args.near_dup = True  # a threshold without the stage is a silent no-op
+    if args.substring_index is not None and args.dedup_index is None:
+        raise SystemExit(
+            "--substring-index requires --dedup-index (it rides the "
+            "incremental wave machinery: wave ids, delete-before-overwrite "
+            "segments, post-sink appends)"
+        )
+    if args.substring_index is not None and args.substring_clean is None:
+        args.substring_clean = -1  # the index path IS the cleaning stage
 
     from pyspark.sql import SparkSession
 
@@ -104,19 +122,22 @@ def main(argv: list[str] | None = None) -> None:
     else:
         documents = spark.read.parquet(args.input)
 
-    # persist=True: both sinks share one extraction pass
+    # persist=True: both sinks share one extraction pass.  When the
+    # cross-wave index drives substring cleaning, the wave-local compose
+    # stage is suppressed — the index probe counts within-wave occurrences
+    # too, so running both would clean twice and double-account the funnel
+    substring_n = (
+        None if args.substring_clean in (None, -1) else args.substring_clean
+    )
     corpus, funnel = build_training_corpus(
         documents,
         base_url=args.base_url,
         persist=True,
         near_dup=args.near_dup,
         max_hamming=args.max_hamming,
-        substring_clean=args.substring_clean is not None,
-        substring_n=(
-            None
-            if args.substring_clean in (None, -1)
-            else args.substring_clean
-        ),
+        substring_clean=args.substring_clean is not None
+        and args.substring_index is None,
+        substring_n=substring_n,
     )
     if args.dedup_index is not None:
         from paperoni_spark.pipeline.compose import dedup_wave_against_index
@@ -221,6 +242,57 @@ def main(argv: list[str] | None = None) -> None:
                     "stage: string, n_docs: long",
                 )
             )
+        if args.substring_index is not None:
+            from paperoni_spark.fsio import (
+                assert_index_kind,
+                delete_path,
+                refuse_foreign_layout,
+            )
+            from paperoni_spark.materialize import materialize
+            from paperoni_spark.operators.dedup import (
+                SUBSTR_DEDUP_N,
+                substring_dedup,
+                substring_delta_clean,
+            )
+            from paperoni_spark.pipeline.compose import apply_substring_rewrite
+            from pyspark.sql import functions as F
+
+            n_sub = SUBSTR_DEDUP_N if substring_n is None else substring_n
+            refuse_foreign_layout(spark, args.substring_index)
+            assert_index_kind(spark, args.substring_index, "substring_hist")
+            # a failed attempt's leftover own histogram would count this
+            # wave's shingles AGAINST THE WAVE ITSELF — every shingle hits
+            # total ≥ 2 and the whole wave empties — so clear it BEFORE
+            # the probe (same rule as the simhash own-segment delete)
+            delete_path(
+                spark, os.path.join(args.substring_index, f"wave={wave}")
+            )
+            sub_names = (
+                [
+                    st.getPath().getName()
+                    for st in fs.listStatus(hpath(args.substring_index))
+                ]
+                if fs.exists(hpath(args.substring_index))
+                else []
+            )
+            sub_waves = [m for m in sub_names if m.startswith("wave=")]
+            # the probe joins re-run per consumer — cut the corpus once
+            corpus = materialize(corpus)
+            if sub_waves:
+                clean_res = substring_delta_clean(
+                    spark,
+                    corpus.select("doc_id", "text"),
+                    args.substring_index,
+                    n=n_sub,
+                )
+            else:
+                # bootstrap: no committed waves yet — index ∪ wave is
+                # just the wave, i.e. the whole-corpus operator
+                clean_res = substring_dedup(
+                    corpus.select("doc_id", "text"), n=n_sub
+                )
+            cleaned = materialize(clean_res.where(F.col("n_removed") > 0))
+            corpus, funnel = apply_substring_rewrite(corpus, cleaned, funnel)
         corpus.write.mode("overwrite").parquet(
             os.path.join(args.output, f"wave={wave}")
         )
@@ -240,6 +312,21 @@ def main(argv: list[str] | None = None) -> None:
         simhash(corpus.select("doc_id", "text"), SIMHASH_PAIR_BITS).write.mode(
             "overwrite"
         ).parquet(os.path.join(args.dedup_index, f"wave={wave}"))
+        if args.substring_index is not None:
+            # the WRITTEN text's histogram: the index reflects what is in
+            # the corpus (a removed span is gone — future waves dup
+            # against surviving content, not against deleted bytes).
+            # write_wave_segment replays delete-before-overwrite; string
+            # wave ids format into the same wave=<id> layout
+            from paperoni_spark.fsio import write_wave_segment
+            from paperoni_spark.operators.dedup import _substring_hist
+
+            write_wave_segment(
+                _substring_hist(corpus.select("doc_id", "text"), n_sub),
+                args.substring_index,
+                wave,
+                kind="substring_hist",
+            )
     else:
         mode = "append" if args.append else "overwrite"
         corpus.write.mode(mode).parquet(args.output)

@@ -203,9 +203,9 @@ def build_training_corpus(
         # the surviving texts (no document is rejected — the funnel row
         # counts affected docs, and kept − rejected == written still
         # reconciles).  Scope note: the histogram covers THIS build's
-        # corpus frame; in incremental wave mode that means wave-local
-        # cleaning (cross-wave duplicated spans are the near-dup index's
-        # job).  The corpus frame is materialized first so the substring
+        # corpus frame — wave-local in incremental mode; for CROSS-wave
+        # span cleaning use corpus_job --substring-index (the persisted
+        # histogram probe).  The corpus frame is materialized first so the substring
         # histogram + rewrite never re-run the extraction kernel.
         from ..materialize import materialize
         from ..operators.dedup import SUBSTR_DEDUP_N, substring_dedup
@@ -221,41 +221,53 @@ def build_training_corpus(
                 F.col("n_removed") > 0
             )
         )
-        # only ACTUALLY-cleaned docs are rewritten: text_clean is a
-        # single-space token rejoin, so applying it to n_removed=0 docs
-        # would collapse their original whitespace — a corpus-wide
-        # mutation the funnel row wouldn't account for
-        corpus = (
-            corpus.join(
-                cleaned.select(
-                    "doc_id",
-                    F.col("text_clean").alias("_text_clean"),
-                    F.col("n_removed").alias("_n_removed"),
-                ),
+        corpus, funnel = apply_substring_rewrite(corpus, cleaned, funnel)
+    return corpus, funnel
+
+
+def apply_substring_rewrite(
+    corpus: DataFrame, cleaned: DataFrame, funnel: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a substring-clean result back into the corpus and account it:
+    only ACTUALLY-cleaned docs are rewritten — text_clean is a
+    single-space token rejoin, so applying it to n_removed=0 docs would
+    collapse their original whitespace, a corpus-wide mutation the
+    funnel row wouldn't account for (byte-identity vs the flag-off build
+    is test-pinned).  ``cleaned`` is the MATERIALIZED n_removed>0 frame
+    (both consumers — rewrite join and funnel count — read it).  Shared
+    by the wave-local compose stage and corpus_job's cross-wave
+    indexed stage."""
+    corpus = (
+        corpus.join(
+            cleaned.select(
                 "doc_id",
-                "left",
-            )
-            .withColumn(
-                "text",
-                F.when(
-                    F.col("_n_removed").isNotNull(), F.col("_text_clean")
-                ).otherwise(F.col("text")),
-            )
-            .withColumn(
-                "n_tokens",
-                F.when(
-                    F.col("_n_removed").isNotNull(),
-                    F.col("n_tokens") - F.col("_n_removed"),
-                ).otherwise(F.col("n_tokens")),
-            )
-            .drop("_text_clean", "_n_removed")
+                F.col("text_clean").alias("_text_clean"),
+                F.col("n_removed").alias("_n_removed"),
+            ),
+            "doc_id",
+            "left",
         )
-        affected = cleaned.agg(F.count("*").alias("n_docs"))
-        funnel = funnel.unionByName(
-            affected.select(
-                F.lit("cleaned:substring_dup").alias("stage"), "n_docs"
-            )
+        .withColumn(
+            "text",
+            F.when(
+                F.col("_n_removed").isNotNull(), F.col("_text_clean")
+            ).otherwise(F.col("text")),
         )
+        .withColumn(
+            "n_tokens",
+            F.when(
+                F.col("_n_removed").isNotNull(),
+                F.col("n_tokens") - F.col("_n_removed"),
+            ).otherwise(F.col("n_tokens")),
+        )
+        .drop("_text_clean", "_n_removed")
+    )
+    affected = cleaned.agg(F.count("*").alias("n_docs"))
+    funnel = funnel.unionByName(
+        affected.select(
+            F.lit("cleaned:substring_dup").alias("stage"), "n_docs"
+        )
+    )
     return corpus, funnel
 
 

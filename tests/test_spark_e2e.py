@@ -576,3 +576,87 @@ def test_incremental_corpus_waves(spark, tmp_path_factory):
     assert {r["doc_id"] for r in r3.collect()} == rej_ids
     corpus1.unpersist()
     corpus2.unpersist()
+
+
+def test_corpus_job_substring_index(tmp_path_factory):
+    """Cross-wave ExactSubstr in the production job: wave 2 shares a
+    passage with wave 1 (but is NOT a near-dup — distinct filler), so
+    with --substring-index the passage must be removed from wave 2's
+    written text while wave 1 keeps its (first) copy; the funnel
+    accounts it and a same-wave-id retry replays the index segment.
+    Subprocess: corpus_job.main owns (and stops) its session."""
+    import subprocess
+    import sys
+
+    tmp = str(tmp_path_factory.mktemp("cj_substr"))
+    script = f"""
+import glob, os, sys
+sys.path.insert(0, {repr(str(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__)))))})
+from pyspark.sql import SparkSession
+from paperoni_spark.spans.codec import html_to_spans
+from paperoni_spark.contract import DOCUMENTS_SPANS_SCHEMA
+from jobs.corpus_job import main as corpus_main
+
+tmp = {repr(tmp)}
+PASSAGE = "zephyr quartz baffle kumquat vortex jigsaw plinth garnet mosaic tundra"
+
+def doc(doc_id, filler_seed):
+    paras = "".join(
+        f"<p>The {{filler_seed}} chronicle of section {{i}} describes the "
+        f"journey and the harvest of year {{filler_seed}}{{i}} in detail.</p>"
+        for i in range(8)
+    )
+    body = f"<p>{{PASSAGE}}.</p>" + paras
+    html = ("<html><head><title>T</title></head><body>"
+            f'<article id="main-content">{{body}}</article></body></html>')
+    return {{"doc_id": doc_id, "spans": html_to_spans(html)}}
+
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+w1_in, w2_in = os.path.join(tmp, "w1_in"), os.path.join(tmp, "w2_in")
+spark.createDataFrame([doc("a1", "alpha")], schema=DOCUMENTS_SPANS_SCHEMA).write.parquet(w1_in)
+spark.createDataFrame([doc("b1", "omega")], schema=DOCUMENTS_SPANS_SCHEMA).write.parquet(w2_in)
+spark.stop()
+
+out, fun = os.path.join(tmp, "corpus"), os.path.join(tmp, "funnel")
+shidx, subidx = os.path.join(tmp, "shidx"), os.path.join(tmp, "subidx")
+base = ["--output", out, "--funnel", fun, "--dedup-index", shidx,
+        "--substring-index", subidx, "--substring-clean", "8",
+        "--max-hamming", "0"]
+corpus_main(["--input", w1_in, "--wave-id", "w1"] + base)
+corpus_main(["--input", w2_in, "--wave-id", "w2", "--append"] + base)
+
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+rows = {{r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}}
+assert set(rows) == {{"a1", "b1"}}, rows.keys()
+assert PASSAGE in rows["a1"]            # first copy survives
+assert "zephyr" not in rows["b1"]       # cross-wave duplicated span removed
+assert "omega" in rows["b1"]            # the doc's own content survives
+fun_rows = {{(r["stage"]): r["n_docs"] for r in
+            spark.read.parquet(os.path.join(fun, "wave=w2")).collect()}}
+assert fun_rows.get("cleaned:substring_dup") == 1, fun_rows
+# the index carries both waves' histograms of the WRITTEN text
+waves = {{os.path.basename(p) for p in glob.glob(os.path.join(subidx, "wave=*"))}}
+assert waves == {{"wave=w1", "wave=w2"}}, waves
+n_idx = spark.read.parquet(subidx).count()
+spark.stop()
+
+# retry the same wave id: replay, not double-append; output unchanged
+corpus_main(["--input", w2_in, "--wave-id", "w2", "--append"] + base)
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+assert spark.read.parquet(subidx).count() == n_idx
+retry = {{r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}}
+# full replay: the retried wave's own index segments were cleared
+# before the probe, so the wave re-runs against exactly the same index
+# state and rewrites byte-identical corpus + index segments
+assert retry == rows, (sorted(retry), sorted(rows))
+spark.stop()
+print("CJ_SUBSTR_OK")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=560
+    )
+    assert "CJ_SUBSTR_OK" in proc.stdout, proc.stdout[-2000:] + proc.stderr[-4000:]
