@@ -225,24 +225,12 @@ def main(argv: list[str] | None = None) -> None:
         # attempt's leftover own segment before the probe
         if fs.exists(own_seg):
             fs.delete(own_seg, True)
-        if index_waves:
-            corpus, rejected, resubmitted = dedup_wave_against_index(
-                spark, corpus, args.dedup_index, max_hamming=args.max_hamming
-            )
-            # persist the (tiny) reject-id set: the funnel count and the
-            # corpus anti-join both consume it — without the cache each
-            # one re-runs the index probe
-            rejected = rejected.persist()
-            funnel = funnel.unionByName(
-                spark.createDataFrame(
-                    [
-                        ("rejected:near_duplicate_vs_corpus", rejected.count()),
-                        ("rejected:already_ingested", resubmitted.count()),
-                    ],
-                    "stage: string, n_docs: long",
-                )
-            )
         if args.substring_index is not None:
+            # cleaning runs BEFORE the simhash dedup probe: the index's
+            # fingerprints cover CLEANED written text, so the wave must
+            # be probed in the same form — probing raw text would shift
+            # near-dups by the removed boilerplate mass and silently
+            # admit docs the wave-local configuration rejected
             from paperoni_spark.fsio import (
                 assert_index_kind,
                 delete_path,
@@ -267,12 +255,13 @@ def main(argv: list[str] | None = None) -> None:
             delete_path(
                 spark, os.path.join(args.substring_index, f"wave={wave}")
             )
+            # the substring index may live on a different scheme than the
+            # dedup index — derive ITS OWN FileSystem (never reuse fs)
+            sub_root = hpath(args.substring_index)
+            sfs = sub_root.getFileSystem(spark._jsc.hadoopConfiguration())
             sub_names = (
-                [
-                    st.getPath().getName()
-                    for st in fs.listStatus(hpath(args.substring_index))
-                ]
-                if fs.exists(hpath(args.substring_index))
+                [st.getPath().getName() for st in sfs.listStatus(sub_root)]
+                if sfs.exists(sub_root)
                 else []
             )
             sub_waves = [m for m in sub_names if m.startswith("wave=")]
@@ -293,6 +282,23 @@ def main(argv: list[str] | None = None) -> None:
                 )
             cleaned = materialize(clean_res.where(F.col("n_removed") > 0))
             corpus, funnel = apply_substring_rewrite(corpus, cleaned, funnel)
+        if index_waves:
+            corpus, rejected, resubmitted = dedup_wave_against_index(
+                spark, corpus, args.dedup_index, max_hamming=args.max_hamming
+            )
+            # persist the (tiny) reject-id set: the funnel count and the
+            # corpus anti-join both consume it — without the cache each
+            # one re-runs the index probe
+            rejected = rejected.persist()
+            funnel = funnel.unionByName(
+                spark.createDataFrame(
+                    [
+                        ("rejected:near_duplicate_vs_corpus", rejected.count()),
+                        ("rejected:already_ingested", resubmitted.count()),
+                    ],
+                    "stage: string, n_docs: long",
+                )
+            )
         corpus.write.mode("overwrite").parquet(
             os.path.join(args.output, f"wave={wave}")
         )
@@ -316,16 +322,16 @@ def main(argv: list[str] | None = None) -> None:
             # the WRITTEN text's histogram: the index reflects what is in
             # the corpus (a removed span is gone — future waves dup
             # against surviving content, not against deleted bytes).
-            # write_wave_segment replays delete-before-overwrite; string
-            # wave ids format into the same wave=<id> layout
-            from paperoni_spark.fsio import write_wave_segment
-            from paperoni_spark.operators.dedup import _substring_hist
+            # append_to_substring_index replays delete-before-overwrite
+            # AND pins kind + shingle_n markers; string wave ids format
+            # into the same wave=<id> layout
+            from paperoni_spark.operators.dedup import append_to_substring_index
 
-            write_wave_segment(
-                _substring_hist(corpus.select("doc_id", "text"), n_sub),
+            append_to_substring_index(
+                corpus.select("doc_id", "text"),
                 args.substring_index,
                 wave,
-                kind="substring_hist",
+                n=n_sub,
             )
     else:
         mode = "append" if args.append else "overwrite"

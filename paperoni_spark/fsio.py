@@ -92,6 +92,67 @@ def assert_index_kind(spark: SparkSession, path: str, kind: str) -> None:
     fs.create(marker, True).close()
 
 
+def assert_index_param(
+    spark: SparkSession, path: str, name: str, value, create: bool = True
+) -> None:
+    """Pin an index GEOMETRY parameter to its root via an empty
+    ``_param_<name>_<value>`` marker (same convention as the kind
+    marker): an index probed or appended with a different value would
+    silently desynchronize — e.g. a substring histogram built with
+    8-token shingles probed at n=50 matches nothing and every
+    cross-wave duplicate survives.  Writers adopt a marker-less root
+    (``create=True``); read-only probes pass ``create=False`` and only
+    refuse a mismatch."""
+    prefix = f"_param_{name}_"
+    root = hadoop_path(spark, path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(root):
+        found = [
+            nm[len(prefix):]
+            for st in fs.listStatus(root)
+            if (nm := st.getPath().getName()).startswith(prefix)
+        ]
+        if found and str(value) not in found:
+            raise ValueError(
+                f"{path} was built with {name}={found[0]} — refusing to "
+                f"use it with {name}={value} (digests/geometry would "
+                "silently mismatch).  Rebuild the index or pass the "
+                "matching value."
+            )
+        if found:
+            return
+    elif not create:
+        return
+    if create:
+        marker = hadoop_path(spark, f"{path}/{prefix}{value}")
+        fs.create(marker, True).close()
+
+
+def refuse_stale_appends(spark: SparkSession, path: str) -> None:
+    """Refuse to REBUILD a quantizer-bearing index (IVF / PQ / IVFADC)
+    over existing append segments: a rebuild retrains the quantizers and
+    replaces wave=0 + the side tables, but wave≥1 code rows were encoded
+    against the OLD quantizers — probes would decode them with the new
+    ADC tables and return wrong rankings with no error.  A rebuild must
+    start from a clean path (or the caller deletes the appends first)."""
+    root = hadoop_path(spark, path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(root):
+        stale = [
+            nm
+            for st in fs.listStatus(root)
+            if (nm := st.getPath().getName()).startswith("wave=")
+            and nm != "wave=0"
+        ]
+        if stale:
+            raise ValueError(
+                f"{path} carries appended segments ({stale[:3]}) encoded "
+                "against the CURRENT quantizers — rebuilding would retrain "
+                "them and silently mis-score every appended vector.  Delete "
+                "the index to rebuild from scratch."
+            )
+
+
 def write_wave_segment(
     df: DataFrame,
     path: str,

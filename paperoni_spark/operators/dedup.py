@@ -1272,24 +1272,32 @@ def write_substring_index(
     crawl probes each wave against this index instead.  ``wave=0``
     build; :func:`append_to_substring_index` adds one segment per wave
     (delete-before-overwrite → retries replay); probes SUM counts across
-    segments, so occurrence totals equal the full-recompute histogram."""
-    from ..fsio import write_wave_segment
+    segments, so occurrence totals equal the full-recompute histogram.
+    The shingle size is pinned to the root (fsio.assert_index_param):
+    a probe or append at a different ``n`` hashes different shingles and
+    would silently match nothing."""
+    from ..fsio import assert_index_param, write_wave_segment
 
+    assert_index_param(documents.sparkSession, path, "shingle_n", n)
     write_wave_segment(
         _substring_hist(documents, n), path, 0, kind="substring_hist"
     )
 
 
 def append_to_substring_index(
-    documents: DataFrame, path: str, wave: int, n: int = SUBSTR_DEDUP_N
+    documents: DataFrame, path: str, wave, n: int = SUBSTR_DEDUP_N
 ) -> None:
     """Add a wave's histogram as its own ``wave=<id>`` segment.  Caller
     contract: doc_ids disjoint from the index (anti-join resume) and
-    ``wave`` ≥ 1, stable across retries of the same wave."""
-    from ..fsio import write_wave_segment
+    ``wave`` stable across retries of the same wave — an int ≥ 1, or a
+    job-managed string id (corpus_job's uuid wave ids; string ids mix
+    fine with ints, the wave column is never semantic) that must not
+    collide with the build's ``wave=0``."""
+    from ..fsio import assert_index_param, write_wave_segment
 
-    if wave < 1:
-        raise ValueError(f"append wave id must be >= 1 (0 is the build): {wave}")
+    if (isinstance(wave, int) and wave < 1) or str(wave) == "0":
+        raise ValueError(f"append wave id must not be the build's 0: {wave}")
+    assert_index_param(documents.sparkSession, path, "shingle_n", n)
     write_wave_segment(
         _substring_hist(documents, n), path, wave, kind="substring_hist"
     )
@@ -1310,7 +1318,12 @@ def substring_delta_clean(
     side is the compact persisted histogram, restricted to the delta's
     digests by an UNHINTED join (AQE broadcasts a small delta's digest
     set; a skewed one degrades to a plain digest-keyed shuffle instead
-    of a driver-OOM cliff) and then summed across wave segments."""
+    of a driver-OOM cliff) and then summed across wave segments.
+    Refuses an index whose pinned shingle size differs from ``n``
+    (read-only check — a probe never writes markers)."""
+    from ..fsio import assert_index_param
+
+    assert_index_param(spark, index_path, "shingle_n", n, create=False)
     positioned = materialize(_positioned_shingles(delta_documents, n))
     delta_hist = positioned.groupBy("h").agg(
         F.count("*").alias("occ_delta")

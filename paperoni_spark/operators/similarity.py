@@ -535,17 +535,36 @@ def write_ivf_index(
     segment per append): probes still prune on the centroid partition
     column within every wave segment, and a retried append replays its
     own segment instead of double-appending."""
-    from ..fsio import write_wave_segment
+    from ..fsio import refuse_stale_appends, write_wave_segment
 
+    refuse_stale_appends(assigned.sparkSession, path)
     write_wave_segment(
         assigned, path, 0, partition_by=("centroid",), kind="ivf"
     )
     if centroids is not None:
-        spark = assigned.sparkSession
-        spark.createDataFrame(
-            [(i, list(c)) for i, c in enumerate(centroids)],
-            "centroid: int, coords: array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+        _write_centroids_table(assigned.sparkSession, path, centroids)
+
+
+def _write_centroids_table(spark, path: str, centroids) -> None:
+    """The ``_centroids`` side table (k × dim doubles, one file) — shared
+    by write_ivf_index and write_ivfpq_index."""
+    spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(centroids)],
+        "centroid: int, coords: array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def _write_codebooks_table(spark, path: str, codebooks) -> None:
+    """The ``_codebooks`` side table (m × n_codes × dim/m doubles, one
+    file) — shared by write_pq_index and write_ivfpq_index."""
+    spark.createDataFrame(
+        [
+            (mi, ci, [float(x) for x in c])
+            for mi, cb in enumerate(codebooks)
+            for ci, c in enumerate(cb)
+        ],
+        "sub: int, code: int, coords: array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebooks")
 
 
 def read_ivf_centroids(spark, path: str) -> list[list[float]]:
@@ -848,19 +867,13 @@ def write_pq_index(
     making the index self-contained: waves append with the FROZEN
     codebooks via :func:`append_to_pq_index`, and probes never touch
     corpus vectors (:func:`ann_pq_topk_indexed`)."""
-    from ..fsio import write_wave_segment
+    from ..fsio import refuse_stale_appends, write_wave_segment
 
     spark = embeddings.sparkSession
+    refuse_stale_appends(spark, path)
     coded, codebooks = pq_codebooks_and_codes(embeddings, m, n_codes, iters, dim)
     write_wave_segment(coded.select("vec_id", "codes"), path, 0, kind="pq")
-    rows = [
-        (mi, ci, [float(x) for x in c])
-        for mi, cb in enumerate(codebooks)
-        for ci, c in enumerate(cb)
-    ]
-    spark.createDataFrame(
-        rows, "sub: int, code: int, coords: array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebooks")
+    _write_codebooks_table(spark, path, codebooks)
 
 
 def read_pq_codebooks(
@@ -1213,9 +1226,10 @@ def write_ivfpq_index(
     and ``_codebooks`` side tables that make it self-contained (waves
     append against the FROZEN quantizers; probes never read a corpus
     vector).  Kind-marked ``ivfpq`` — the eighth wave-keyed family."""
-    from ..fsio import write_wave_segment
+    from ..fsio import refuse_stale_appends, write_wave_segment
 
     spark = embeddings.sparkSession
+    refuse_stale_appends(spark, path)
     assigned, centroids = ivf_assignments(embeddings, n_centroids)
     res_base = materialize(
         assigned.select(
@@ -1231,18 +1245,8 @@ def write_ivfpq_index(
     write_wave_segment(
         rows, path, 0, partition_by=("centroid",), kind="ivfpq"
     )
-    spark.createDataFrame(
-        [(i, list(c)) for i, c in enumerate(centroids)],
-        "centroid: int, coords: array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
-    spark.createDataFrame(
-        [
-            (mi, ci, [float(x) for x in c])
-            for mi, cb in enumerate(codebooks)
-            for ci, c in enumerate(cb)
-        ],
-        "sub: int, code: int, coords: array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebooks")
+    _write_centroids_table(spark, path, centroids)
+    _write_codebooks_table(spark, path, codebooks)
 
 
 def append_to_ivfpq_index(

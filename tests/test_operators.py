@@ -2028,3 +2028,51 @@ def test_ann_ivfpq_indexed(spark, embeds, ddb, tmp_path):
     assert twin is not None
     q0 = [r for (q, _), r in after.items() if q == seed["vec_id"]]
     assert twin["adc_dist"] == min(r["adc_dist"] for r in q0)
+
+
+def test_index_geometry_guards(spark, docs, embeds, tmp_path):
+    """Round-6 geometry guards: (a) the substring index pins its shingle
+    size — probing or appending at a different n would hash disjoint
+    digests and silently match nothing; (b) quantizer-bearing indexes
+    (IVF/PQ/IVFADC) refuse a REBUILD over existing append segments —
+    retrained quantizers would silently mis-score every appended
+    vector's old codes."""
+    from paperoni_spark.operators.dedup import (
+        append_to_substring_index,
+        substring_delta_clean,
+        write_substring_index,
+    )
+    from paperoni_spark.operators.similarity import (
+        append_to_pq_index,
+        write_pq_index,
+    )
+
+    sub = str(tmp_path / "sub_idx")
+    write_substring_index(docs, sub, n=8)
+    with pytest.raises(ValueError, match="shingle_n=8"):
+        append_to_substring_index(
+            docs.withColumn("doc_id", F.col("doc_id") + 10_000_000), sub, 1, n=5
+        )
+    with pytest.raises(ValueError, match="shingle_n=8"):
+        substring_delta_clean(spark, docs, sub, n=5).collect()
+    with pytest.raises(ValueError, match="must not be the build"):
+        append_to_substring_index(docs, sub, "0", n=8)
+    # matching n appends fine
+    append_to_substring_index(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000_000), sub, 1, n=8
+    )
+
+    pq = str(tmp_path / "pq_idx")
+    write_pq_index(embeds, pq)
+    seed = embeds.orderBy("vec_id").limit(1).collect()[0]
+    wave_df = spark.createDataFrame(
+        [(30_000_001, list(seed["embedding"]))],
+        "vec_id: long, embedding: array<double>",
+    )
+    append_to_pq_index(wave_df, pq, 1)
+    with pytest.raises(ValueError, match="appended segments"):
+        write_pq_index(embeds, pq)
+    # a pure wave=0 rebuild (no appends) stays allowed
+    pq2 = str(tmp_path / "pq_idx2")
+    write_pq_index(embeds, pq2)
+    write_pq_index(embeds, pq2)
