@@ -76,6 +76,10 @@ def main() -> None:
         "ann_pq_topk (PQ ADC: broadcast query tables over the coded scan)": similarity.ann_pq_topk(embeds),
         "ann_ivfpq_topk (coarse probe restriction + ADC over codes)": similarity.ann_ivfpq_topk(embeds),
         "ngram_containment (shared blocked-pair scaffolding, asymmetric score)": dedup.ngram_containment_pairs(docs),
+        "substring_delta (persisted-histogram probe; only the delta tokenized)": contract.q_substring_delta(spark, SF),
+        "ann_ivfpq_residual_topk (classical IVFADC: residual codes, per-probe tables)": similarity.ann_ivfpq_topk(embeds, residual=True),
+        "ann_ivfpq_topk_indexed (partition-pruned residual-code probe, frozen quantizers)": contract.q_ann_ivfpq_topk_indexed(spark, SF),
+        "ann_recall_at_k (4-method union joined to exact ground truth)": similarity.ann_recall_at_k(embeds),
     }
 
     out = ["# PLANS — formatted physical plans for the headline queries\n"]
