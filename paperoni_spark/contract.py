@@ -459,6 +459,73 @@ FROM agg
 """
 
 
+def oracle_bigram_logprob() -> str:
+    """DuckDB twin of textstats.bigram_logprob: bigrams unrolled by
+    index (same arr[i]/arr[i+1] form as oracle_repetition_stats), the
+    identical interpolation literals, and the identical association
+    ``λ·(bf/ff) + (1−λ)·(uf/total)`` inside one log2 — a re-associated
+    form would round differently on FP boundaries."""
+    lam, lam_c = textstats.BIGRAM_LAMBDA, textstats.BIGRAM_LAMBDA_C
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS arr FROM documents
+  WHERE len({_TOKENS}) >= 2
+),
+bg AS (
+  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+  FROM base, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+),
+bg_dt AS (SELECT doc_id, w1, w2, count(*) AS tf_dt FROM bg GROUP BY 1, 2, 3),
+bgc AS (SELECT w1, w2, sum(tf_dt) AS bf FROM bg_dt GROUP BY 1, 2),
+fc AS (SELECT w1, sum(bf) AS ff FROM bgc GROUP BY 1),
+uni AS (
+  SELECT tok, count(*) AS uf
+  FROM (SELECT unnest(arr) AS tok FROM base) GROUP BY 1
+),
+tot AS (SELECT sum(uf) AS total FROM uni),
+blp AS (
+  SELECT b.w1, b.w2,
+         log2({lam} * (b.bf / f.ff) + {lam_c} * (u.uf / t.total)) AS lp
+  FROM bgc b JOIN fc f USING (w1) JOIN uni u ON u.tok = b.w2 CROSS JOIN tot t
+),
+agg AS (
+  SELECT doc_id, sum(tf_dt)::BIGINT AS n_bigrams,
+         round(sum(tf_dt * lp) / sum(tf_dt), 6) AS avg_log2_prob
+  FROM bg_dt JOIN blp USING (w1, w2) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_log2_prob,
+       round(pow(2.0, -avg_log2_prob), 4) AS perplexity
+FROM agg
+"""
+
+
+def oracle_tfidf_top_terms() -> str:
+    """DuckDB twin of textstats.tfidf_top_terms: round-then-rank with
+    the term tie-break (the repo-wide engine-portability rule)."""
+    return f"""
+WITH doc_tf AS (
+  SELECT doc_id, tok, count(*) AS tf_dt
+  FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+dfc AS (SELECT tok, count(*) AS df FROM doc_tf GROUP BY tok),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tok AS term,
+         round(tf_dt * log2((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM doc_tf JOIN dfc USING (tok) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank::INT AS rank
+FROM ranked WHERE rank <= {textstats.TFIDF_TOP_K}
+"""
+
+
 def oracle_repetition_stats() -> str:
     return f"""
 WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
@@ -1793,6 +1860,46 @@ def oracle_ann_ivf_topk(
     )
 
 
+def oracle_semantic_dedup(
+    n_centroids: int = 16,
+    iters: int = 2,
+    dim: int = similarity.EMBED_DIM,
+) -> str:
+    """DuckDB twin of similarity.semantic_dedup: the shared Lloyd-replay
+    chain up to the final assignment ``af`` (the q/probes tail CTEs go
+    unreferenced — DuckDB never executes them), then within-cluster
+    rounded-cosine pairs and the min-id-survivor left join.  The kept
+    sentinels (-1, -1.0) match the Spark coalesce exactly."""
+    ctes = _ivf_lloyd_ctes(n_centroids, iters, dim, 1, 1)
+    cos = (
+        "round(list_dot_product(a.emb, b.emb) / "
+        "(sqrt(list_dot_product(a.emb, a.emb)) * "
+        "sqrt(list_dot_product(b.emb, b.emb))), 3)"
+    )
+    ctes.append(
+        f"""pairs AS (
+  SELECT b.vec_id AS b_id, a.vec_id AS a_id, {cos} AS sim
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {cos} >= {similarity.SEMANTIC_DEDUP_THRESHOLD})"""
+    )
+    ctes.append(
+        """dup AS (
+  SELECT b_id, a_id, sim FROM (
+    SELECT b_id, a_id, sim,
+           row_number() OVER (PARTITION BY b_id ORDER BY a_id ASC) AS rn
+    FROM pairs) WHERE rn = 1)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT af.vec_id, af.cid::INT AS centroid, (d.b_id IS NULL) AS keep,
+       coalesce(d.a_id, -1)::BIGINT AS dup_of,
+       coalesce(d.sim, -1.0) AS sim
+FROM af LEFT JOIN dup d ON af.vec_id = d.b_id"""
+    )
+
+
 def _pq_subspace_ctes(
     m: int, n_codes: int, iters: int, dim: int, src: str = "base"
 ) -> tuple[list[str], list[str]]:
@@ -2749,6 +2856,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": lambda spark, sf: textstats.quality_filter(load(spark, sf, "documents")),
         "unigram_logprob": lambda spark, sf: textstats.unigram_logprob(load(spark, sf, "documents")),
         "repetition_stats": lambda spark, sf: textstats.repetition_stats(load(spark, sf, "documents")),
+        # interpolated bigram LM (the CCNet-style filter, one order up)
+        "bigram_logprob": lambda spark, sf: textstats.bigram_logprob(load(spark, sf, "documents")),
+        # per-doc top-k TF-IDF keywords (round-then-rank, term tie-break)
+        "tfidf_top_terms": lambda spark, sf: textstats.tfidf_top_terms(load(spark, sf, "documents")),
         "lang_id": lambda spark, sf: textstats.lang_id(load(spark, sf, "documents")),
         "lang_id_profile": q_lang_id_profile,
         "fingerprints": lambda spark, sf: textstats.fingerprints(load(spark, sf, "documents")),
@@ -2790,6 +2901,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # incremental semantic dedup against the persisted sign-LSH index
         "embedding_delta_near_dup": q_embedding_delta_near_dup,
+        # SemDeDup: k-means blocking + within-cluster cosine pruning
+        "semantic_dedup": lambda spark, sf: similarity.semantic_dedup(
+            load(spark, sf, "embeddings")
+        ),
         "bpe_token_stats": lambda spark, sf: textstats.bpe_token_stats(load(spark, sf, "documents")),
         "media_resize_sample": lambda spark, sf: multimodal.media_resize_and_sample(
             multimodal.media_table_from_documents(load(spark, sf, "documents"))
@@ -2888,6 +3003,9 @@ _GATE_PRIORITY = [
     "corpus_funnel",
     # round-6 additions (never recorded): cheap first, heavies last
     "substring_delta",
+    "tfidf_top_terms",
+    "bigram_logprob",
+    "semantic_dedup",
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_topk_indexed",
     "ann_recall_at_k",
@@ -3003,6 +3121,8 @@ def build_oracles() -> dict[str, str]:
         "quality_scores": oracle_quality_scores(),
         "quality_filter": oracle_quality_filter(),
         "unigram_logprob": oracle_unigram_logprob(),
+        "bigram_logprob": oracle_bigram_logprob(),
+        "tfidf_top_terms": oracle_tfidf_top_terms(),
         "repetition_stats": oracle_repetition_stats(),
         "lang_id": oracle_lang_id(),
         "lang_id_profile": oracle_lang_id_profile(),
@@ -3022,6 +3142,7 @@ def build_oracles() -> dict[str, str]:
         "media_feature_stats": oracle_media_feature_stats(),
         "pdf_page_stats": oracle_pdf_page_stats(),
         "embedding_near_dup": oracle_embedding_near_dup(),
+        "semantic_dedup": oracle_semantic_dedup(),
         "embedding_dedup_clusters": oracle_embedding_dedup_clusters(),
         "embedding_delta_near_dup": oracle_embedding_delta_near_dup(),
         "bpe_token_stats": oracle_bpe_token_stats(),

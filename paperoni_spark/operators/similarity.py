@@ -1569,6 +1569,71 @@ def ann_lsh_topk(
 
 
 # the four approximate paths measured by ann_recall_at_k, in report order
+SEMANTIC_DEDUP_THRESHOLD = EMBED_NEAR_DUP_THRESHOLD
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = SEMANTIC_DEDUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster the corpus embeddings with the
+    deterministic k-means coarse quantizer, then prune near-duplicates
+    WITHIN each cluster by pairwise cosine — the cluster is the blocking
+    unit, so no all-pairs comparison ever happens.  A vector is removed
+    iff a LOWER-id vector in its cluster scores ≥ threshold (the
+    min-id-survivor convention every dedup family here uses); ``dup_of``
+    is the smallest such neighbor and ``sim`` that pair's cosine.  Kept
+    rows carry the (-1, -1.0) sentinels so the output stays NULL-free.
+
+    Scale shape: assignment is one numpy matmul per Arrow batch
+    (:func:`ivf_assignments` — centroids are driver-side control plane),
+    and the only join is the within-cluster self-join, quadratic in
+    CLUSTER size, not corpus size.  At production scale n_centroids is
+    chosen ∝ corpus/target_cluster_size (SemDeDup uses tens of
+    thousands), which also flattens cluster skew; the pair scoring
+    shuffles on the centroid key only.  Complements
+    :func:`embedding_near_dup_pairs` (sign-LSH blocking): k-means
+    blocking trades LSH's per-band recall for single-assignment cost."""
+    from pyspark.sql.window import Window
+
+    assigned, _ = ivf_assignments(embeddings, n_centroids)
+    left = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), "centroid"
+    )
+    right = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"), "centroid"
+    )
+    pairs = (
+        left.join(right, "centroid")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "b_id",
+            "a_id",
+            _cosine_score(F.col("a_emb"), F.col("b_emb")).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    w = Window.partitionBy("b_id").orderBy(F.col("a_id").asc())
+    dup = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("b_id").alias("vec_id"),
+            F.col("a_id").alias("dup_of"),
+            "sim",
+        )
+    )
+    return assigned.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "centroid",
+        F.col("dup_of").isNull().alias("keep"),
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+        F.coalesce(F.col("sim"), F.lit(-1.0)).alias("sim"),
+    )
+
+
 ANN_RECALL_METHODS = ("lsh", "ivf", "pq", "ivfpq")
 
 

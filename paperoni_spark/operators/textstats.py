@@ -258,6 +258,163 @@ def unigram_logprob(
     )
 
 
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(
+    documents: DataFrame, top_k: int = TFIDF_TOP_K, head_k: int = HEAD_VOCAB_K
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the standard cheap keyword /
+    topic signal over a training corpus (and the inspection tool for
+    "what is this cluster about" after semantic dedup).  tfidf =
+    tf · log2((N+1)/(df+1)), rounded BEFORE ranking with a term
+    tie-break so the ranking is engine-portable.
+
+    Plan shape: the distinct (doc, token, tf) table is aggregated once;
+    document frequencies re-aggregate it (vocab-sized result).  The
+    df-lookup join takes the same head/tail split as unigram_logprob:
+    the top-K vocabulary broadcasts and matches map-side, tail tokens —
+    per-key multiplicity bounded by the K-th head df — shuffle.  The
+    window ranks within doc_id, the natural partitioning already in
+    place after the per-doc aggregation key."""
+    from pyspark.sql.window import Window
+
+    doc_tf = (
+        documents.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf_dt"))
+    )
+    doc_tf = materialize(doc_tf)  # feeds df counts + both scoring branches
+    dfc = doc_tf.groupBy("tok").agg(F.count("*").alias("df"))
+    dfc = materialize(dfc)  # feeds head selection + tail join
+    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    head = dfc.orderBy(F.col("df").desc(), F.col("tok").asc()).limit(head_k)
+    score_cols = ["doc_id", "tok", "tf_dt", "df"]
+    scored_head = doc_tf.join(F.broadcast(head), "tok").select(*score_cols)
+    scored_tail = (
+        doc_tf.join(F.broadcast(head.select("tok")), "tok", "left_anti")
+        .join(dfc, "tok")
+        .select(*score_cols)
+    )
+    tfidf = F.round(
+        F.col("tf_dt")
+        * F.log2((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        6,
+    )
+    scored = (
+        scored_head.unionByName(scored_tail)
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", F.col("tok").alias("term"), tfidf.alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+BIGRAM_LAMBDA = 0.7  # weight on the conditional bigram term
+BIGRAM_LAMBDA_C = 0.3  # explicit literal (NOT 1-λ: a computed complement
+# would embed 0.30000000000000004 and desynchronize the oracle's 0.3)
+
+
+def bigram_logprob(
+    documents: DataFrame, head_k: int = HEAD_VOCAB_K
+) -> DataFrame:
+    """Interpolated bigram-LM document scoring — the next LM order up
+    from :func:`unigram_logprob` (the CCNet-style wiki-LM perplexity
+    filter uses exactly this shape of n-gram model): each document's
+    mean log2 of λ·p(w₂|w₁) + (1−λ)·p(w₂), probabilities from the
+    corpus's own counts.  Conditional mass p(w₂|w₁) = c(w₁w₂)/c(w₁·)
+    where c(w₁·) counts w₁ occurrences WITH a successor (the bigram
+    table's own row sums — exactly normalizing, no off-by-the-last-token
+    drift); the unigram backoff keeps unseen-bigram probability nonzero
+    so the log never hits -inf.
+
+    Plan shape mirrors unigram_logprob's, one order up: bigrams are
+    built JVM-side by zipping the token array with its own tail (no
+    positional self-join), aggregated once into distinct
+    (doc, w₁, w₂, tf) rows; per-BIGRAM log-probabilities are computed on
+    the corpus-level distinct-bigram table (vocab²-bounded — every join
+    there has per-key multiplicity ≤ vocab, not corpus-sized), and the
+    per-doc join takes the head/tail split: the top-K bigrams broadcast
+    and match map-side, only tail bigrams shuffle (per-key frequency
+    bounded by the K-th head count).  lp depends only on the count
+    columns, so branch routing cannot change values."""
+    toks = tokens_col(F.col("text"))
+    tail_len = F.size(toks) - 1
+    bg_structs = F.zip_with(
+        F.slice(toks, 1, tail_len),
+        F.slice(toks, 2, tail_len),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    base = documents.where(F.size(toks) >= 2)
+    bg_dt = (
+        base.select("doc_id", F.explode(bg_structs).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("tf_dt"))
+    )
+    # bg_dt feeds the corpus bigram counts plus both scoring branches —
+    # same multi-consumer cut as unigram_logprob's doc_tf
+    bg_dt = materialize(bg_dt)
+    bgc = bg_dt.groupBy("w1", "w2").agg(F.sum("tf_dt").alias("bf"))
+    bgc = materialize(bgc)  # feeds first-counts + the lp table
+    first_counts = bgc.groupBy("w1").agg(F.sum("bf").alias("ff"))
+    uni = (
+        base.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("uf"))
+    )
+    uni = materialize(uni)  # feeds total + the lp join
+    total = uni.agg(F.sum("uf").alias("total"))
+    lp = F.log2(
+        F.lit(BIGRAM_LAMBDA) * (F.col("bf") / F.col("ff"))
+        + F.lit(BIGRAM_LAMBDA_C) * (F.col("uf") / F.col("total"))
+    ).alias("lp")
+    blp = (
+        bgc.join(first_counts, "w1")
+        .join(uni, F.col("w2") == F.col("tok"))
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "bf", lp)
+    )
+    # blp feeds head selection + head branch + tail branch
+    blp = materialize(blp)
+    head = blp.orderBy(
+        F.col("bf").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(head_k)
+    score_cols = ["doc_id", "tf_dt", "lp"]
+    scored_head = bg_dt.join(
+        F.broadcast(head.select("w1", "w2", "lp")), ["w1", "w2"]
+    ).select(*score_cols)
+    scored_tail = (
+        bg_dt.join(F.broadcast(head.select("w1", "w2")), ["w1", "w2"], "left_anti")
+        .join(blp.select("w1", "w2", "lp"), ["w1", "w2"])
+        .select(*score_cols)
+    )
+    scored = scored_head.unionByName(scored_tail)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf_dt").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("tf_dt") * F.col("lp")) / F.sum("tf_dt"), 6
+            ).alias("avg_log2_prob"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_log2_prob",
+            F.round(F.pow(F.lit(2.0), -F.col("avg_log2_prob")), 4).alias("perplexity"),
+        )
+    )
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Gopher-style repetition signals: the fraction of bigram INSTANCES
     taken by the most frequent bigram (top_bg / n_bigrams — note Gopher's

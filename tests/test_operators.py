@@ -2076,3 +2076,65 @@ def test_index_geometry_guards(spark, docs, embeds, tmp_path):
     pq2 = str(tmp_path / "pq_idx2")
     write_pq_index(embeds, pq2)
     write_pq_index(embeds, pq2)
+
+
+def test_semantic_dedup(spark, embeds, ddb):
+    """SemDeDup: oracle match plus the structural invariants — every
+    removed row points at a LOWER-id survivor in the SAME cluster, kept
+    rows carry the exact sentinels, and the lowest vec_id always
+    survives (nothing below it can remove it)."""
+    out = similarity.semantic_dedup(embeds)
+    assert_matches_oracle(out, ddb, contract.oracle_semantic_dedup())
+    rows = out.collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert by_id[min(by_id)]["keep"]
+    for r in rows:
+        if r["keep"]:
+            assert r["dup_of"] == -1 and r["sim"] == -1.0
+        else:
+            assert r["dup_of"] < r["vec_id"]
+            assert by_id[r["dup_of"]]["centroid"] == r["centroid"]
+            assert r["sim"] >= similarity.SEMANTIC_DEDUP_THRESHOLD
+
+
+def test_bigram_logprob(spark, docs, ddb):
+    """Interpolated bigram LM: oracle match plus sanity — probabilities
+    are genuine (< 1 ⇒ negative log2; perplexity = 2^-avg), and the
+    conditional model sharpens the unigram proxy on most of its own
+    training corpus (not all: the λ-mixture charges up to −log2 λ per
+    token against docs whose bigram contexts are diffuse — 392/500 on
+    the frozen sf0.001 corpus, pinned loosely at 3/4)."""
+    out = textstats.bigram_logprob(docs)
+    assert_matches_oracle(out, ddb, contract.oracle_bigram_logprob())
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["avg_log2_prob"] < 0
+        assert r["perplexity"] == pytest.approx(
+            2.0 ** -r["avg_log2_prob"], rel=1e-3
+        )
+    uni = {
+        r["doc_id"]: r["avg_log2_prob"]
+        for r in textstats.unigram_logprob(docs).collect()
+    }
+    sharper = sum(1 for r in rows if r["avg_log2_prob"] >= uni[r["doc_id"]])
+    assert sharper >= 0.75 * len(rows)
+
+
+def test_tfidf_top_terms(spark, docs, ddb):
+    """Top-k TF-IDF keywords: oracle match plus shape — exactly top_k
+    ranks per doc (the corpus has ≥ top_k distinct terms everywhere),
+    scores non-increasing within a doc."""
+    out = textstats.tfidf_top_terms(docs)
+    assert_matches_oracle(out, ddb, contract.oracle_tfidf_top_terms())
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in per_doc.values():
+        doc_rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in doc_rows] == list(
+            range(1, textstats.TFIDF_TOP_K + 1)
+        )
+        scores = [r["tfidf"] for r in doc_rows]
+        assert scores == sorted(scores, reverse=True)
