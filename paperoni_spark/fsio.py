@@ -153,6 +153,214 @@ def refuse_stale_appends(spark: SparkSession, path: str) -> None:
             )
 
 
+def _fs_for(spark: SparkSession, path: str):
+    p = hadoop_path(spark, path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _wave_names(spark: SparkSession, path: str) -> list[str]:
+    """The ``wave=<id>`` entry names under ``path`` (empty if absent)."""
+    fs, root = _fs_for(spark, path)
+    if not fs.exists(root):
+        return []
+    return [
+        nm
+        for st in fs.listStatus(root)
+        if (nm := st.getPath().getName()).startswith("wave=")
+    ]
+
+
+_COMPACT_MANIFEST = "_compact_manifest"
+_CONSUMED_PREFIX = "_compacted_wave_"
+
+
+def refuse_consumed_wave(spark: SparkSession, path: str, wave) -> None:
+    """Refuse a wave id that a prior :func:`compact_index` run consumed,
+    and any append while a compaction is mid-commit.
+
+    The delete-before-overwrite retry contract assumes a wave id names
+    the SAME rows forever; once compaction folded wave k into the merged
+    segment, a late retry of wave k would land beside the merged copy
+    and double every row — the one failure the per-wave layout exists to
+    prevent.  Consumed ids are recorded as empty ``_compacted_wave_<id>``
+    markers (one per folded wave — bounded by waves ever compacted), so
+    the refusal works for integer and string wave ids alike."""
+    fs, _ = _fs_for(spark, path)
+    if fs.exists(hadoop_path(spark, f"{path}/{_COMPACT_MANIFEST}")):
+        raise ValueError(
+            f"{path} has a compaction mid-commit (_compact_manifest "
+            "present) — finish or recover it with compact_index() before "
+            "appending."
+        )
+    if fs.exists(hadoop_path(spark, f"{path}/{_CONSUMED_PREFIX}{wave}")):
+        raise ValueError(
+            f"wave={wave} of {path} is owned by a compaction (either "
+            "folded into the merged segment, or the merged segment "
+            "itself) — a write at that id would double or destroy "
+            "compacted rows.  Appends after a compaction must use fresh "
+            "wave ids; to REBUILD from scratch, delete the index root "
+            "first."
+        )
+
+
+def _read_manifest(spark: SparkSession, path: str) -> dict | None:
+    import json
+
+    fs, _ = _fs_for(spark, path)
+    mp = hadoop_path(spark, f"{path}/{_COMPACT_MANIFEST}")
+    if not fs.exists(mp):
+        return None
+    stream = fs.open(mp)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+    import json
+
+    fs, _ = _fs_for(spark, path)
+    out = fs.create(hadoop_path(spark, f"{path}/{_COMPACT_MANIFEST}"), True)
+    try:
+        out.write(bytearray(json.dumps(manifest), "utf-8"))
+    finally:
+        out.close()
+
+
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    kind: str | None = None,
+    schema: str | None = None,
+    transform=None,
+) -> int:
+    """Fold every committed ``wave=<id>`` segment of an index into ONE
+    merged segment — the maintenance twin of the per-wave appends.
+    Recurring waves accumulate a segment (and its file listing, its
+    per-segment histogram row, its small files) each; probe cost grows
+    with segment COUNT even when row count is flat.  Compaction restores
+    build-time read geometry without touching any trained state: rows
+    are unioned (and optionally re-aggregated via ``transform``), never
+    re-encoded, so quantizer-bearing families stay valid by construction.
+
+    Caller contract: an OFFLINE maintenance op — no concurrent appends.
+    Crash-safe in-place commit:
+
+    1. merged data lands in ``_compact_tmp`` (underscore → invisible to
+       every reader) — completed BEFORE any destructive step;
+    2. ``_compact_manifest`` records the consumed wave names + target id
+       (intent marker: appends refuse while it exists);
+    3. consumed segments are deleted, tmp renamed to ``wave=<new>``,
+       one ``_compacted_wave_<id>`` marker per consumed id (late retries
+       of folded waves are refused forever), manifest removed.
+
+    A crash anywhere re-runs to completion: re-invoking compact_index on
+    a manifest-bearing root RESUMES step 3 exactly (the manifest is the
+    source of truth for what was consumed), never re-reads partially
+    deleted segments.  ``schema`` forces the read schema (indexes whose
+    partition-column inference is lossy — e.g. binary-string bkeys);
+    ``transform`` runs on the merged frame before the write (explicit
+    repartition for partitioned rewrites, count re-aggregation for
+    histogram families).  Returns the number of segments folded (0 =
+    nothing to do)."""
+    fs, _ = _fs_for(spark, path)
+    tmp = f"{path}/_compact_tmp"
+    manifest = _read_manifest(spark, path)
+    if manifest is None:
+        refuse_foreign_layout(spark, path)
+        if kind is not None:
+            assert_index_kind(spark, path, kind)
+        waves = _wave_names(spark, path)
+        if len(waves) <= 1:
+            return 0
+        int_ids = [
+            int(w.split("=", 1)[1])
+            for w in waves
+            if w.split("=", 1)[1].lstrip("-").isdigit()
+        ]
+        new_id = max(int_ids, default=-1) + 1
+        reader = spark.read.schema(schema) if schema else spark.read
+        merged = reader.parquet(path).drop("wave")
+        if transform is not None:
+            merged = transform(merged)
+        elif partition_by:
+            # EXPLICIT partition count before a partitioned rewrite: a
+            # bare repartition(cols) is AQE-coalesced to one task and the
+            # per-directory file writes serialize (the round-4 finding —
+            # measured 4× on the LSH build)
+            merged = merged.repartition(
+                spark.sparkContext.defaultParallelism * 2, *partition_by
+            )
+        delete_path(spark, tmp)
+        writer = merged.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        manifest = {"new_id": new_id, "consumed": sorted(waves)}
+        _write_manifest(spark, path, manifest)
+    # commit (or resume a crashed commit): manifest is the ground truth
+    for seg in manifest["consumed"]:
+        delete_path(spark, f"{path}/{seg}")
+    dst = hadoop_path(spark, f"{path}/wave={manifest['new_id']}")
+    if fs.exists(hadoop_path(spark, tmp)):
+        if not fs.rename(hadoop_path(spark, tmp), dst):
+            raise IOError(f"rename {tmp} -> {dst} failed")
+    elif not fs.exists(dst):
+        raise IOError(
+            f"compaction of {path} lost its staged data: neither "
+            f"{tmp} nor wave={manifest['new_id']} exists"
+        )
+    # one marker per consumed id, PLUS the merged segment's own id: a
+    # later "append" at the owner id would delete-and-replace the whole
+    # compacted history under the retry contract
+    owned = [seg.split("=", 1)[1] for seg in manifest["consumed"]]
+    owned.append(str(manifest["new_id"]))
+    for wid in owned:
+        fs.create(
+            hadoop_path(spark, f"{path}/{_CONSUMED_PREFIX}{wid}"), True
+        ).close()
+    delete_path(spark, f"{path}/{_COMPACT_MANIFEST}")
+    return len(manifest["consumed"])
+
+
+def compact_index_kind(spark: SparkSession, path: str, kind: str) -> int:
+    """:func:`compact_index` with the right geometry for each
+    single-table index family (the two-table ``lsh_buckets`` family has
+    its own wrapper, ``similarity.compact_lsh_bucket_index``).  The kind
+    is VERIFIED against the root's ``_index_kind`` marker before
+    anything is read — compacting with the wrong family's geometry would
+    silently drop the partition layout probes prune on."""
+    from pyspark.sql import functions as F
+
+    geometries: dict[str, dict] = {
+        "minhash_bands": {"partition_by": ("band",)},
+        "simhash": {},
+        "substring_hist": {
+            # histogram family: re-aggregate so the merged segment holds
+            # one row per shingle again (probes sum either way — this
+            # restores build-time row geometry, not just file geometry)
+            "transform": lambda df: df.groupBy("h").agg(
+                F.sum("occ").alias("occ")
+            )
+        },
+        "embedding_lsh": {},
+        "ivf": {"partition_by": ("centroid",)},
+        "pq": {},
+        "ivfpq": {"partition_by": ("centroid",)},
+    }
+    if kind not in geometries:
+        raise ValueError(
+            f"no compaction geometry for index kind {kind!r} "
+            f"(known: {sorted(geometries)})"
+        )
+    return compact_index(spark, path, kind=kind, **geometries[kind])
+
+
 def write_wave_segment(
     df: DataFrame,
     path: str,
@@ -179,6 +387,7 @@ def write_wave_segment(
     refuse_foreign_layout(spark, path)
     if kind is not None:
         assert_index_kind(spark, path, kind)
+    refuse_consumed_wave(spark, path, wave)
     seg = f"{path}/wave={wave}"
     delete_path(spark, seg)
     writer = df.write.mode("overwrite")

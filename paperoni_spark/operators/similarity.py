@@ -816,7 +816,11 @@ def _write_lsh_wave(embeddings: DataFrame, path: str, wave: int) -> None:
     pre-round-5 bucket index would otherwise put rows/wave=N beside
     rows/band=… and only fail at the next probe's partition discovery,
     after the index is polluted."""
-    from ..fsio import assert_index_kind, refuse_foreign_layout
+    from ..fsio import (
+        assert_index_kind,
+        refuse_consumed_wave,
+        refuse_foreign_layout,
+    )
 
     spark = embeddings.sparkSession
     assert_index_kind(spark, path, "lsh_buckets")
@@ -824,6 +828,7 @@ def _write_lsh_wave(embeddings: DataFrame, path: str, wave: int) -> None:
     conf = spark._jsc.hadoopConfiguration()
     for sub in ("rows", "counts"):
         refuse_foreign_layout(spark, f"{path}/{sub}")
+        refuse_consumed_wave(spark, f"{path}/{sub}", wave)
         seg = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}/wave={wave}")
         fs = seg.getFileSystem(conf)
         if fs.exists(seg):
@@ -1383,6 +1388,37 @@ def append_to_lsh_bucket_index(
     if wave < 1:
         raise ValueError(f"append wave id must be >= 1 (0 is the build): {wave}")
     _write_lsh_wave(embeddings, path, wave)
+
+
+def compact_lsh_bucket_index(spark, path: str) -> int:
+    """Fold the bucket index's accumulated wave segments into one —
+    the two-table rendering of :func:`paperoni_spark.fsio.compact_index`
+    (rows and counts compact independently; each sub-root commits via
+    its own manifest, so a crash between them re-runs to completion).
+    Rows are re-read under the EXPLICIT schema (the partition-inference
+    bkey trap) and rewritten with the explicit repartition count; counts
+    are re-aggregated to one row per (band, bkey) — probes sum segments
+    either way, this restores build-time geometry.  Probe results are
+    identical before and after (test-pinned); consumed wave ids are
+    refused for future appends on both sub-roots."""
+    from ..fsio import assert_index_kind, compact_index
+
+    assert_index_kind(spark, path, "lsh_buckets")
+    n_rows = compact_index(
+        spark,
+        f"{path}/rows",
+        partition_by=("band", "bkey"),
+        schema=_LSH_ROWS_SCHEMA,
+    )
+    n_counts = compact_index(
+        spark,
+        f"{path}/counts",
+        schema=_LSH_COUNTS_SCHEMA,
+        transform=lambda df: df.groupBy("band", "bkey")
+        .agg(F.sum("n_vecs").alias("n_vecs"))
+        .coalesce(1),
+    )
+    return max(n_rows, n_counts)
 
 
 # Explicit read schema for the rows table: partition-column type inference
