@@ -206,9 +206,17 @@ def main(argv: list[str] | None = None) -> None:
         # directly, not via write_wave_segment) — without it an index
         # built HERE would be adoptable by any other family's wave=0
         # build, the exact silent destruction the marker prevents
-        from paperoni_spark.fsio import assert_index_kind
+        from paperoni_spark.fsio import assert_index_kind, refuse_consumed_wave
 
         assert_index_kind(spark, args.dedup_index, "simhash")
+        # the job writes its index segments DIRECTLY (not via
+        # write_wave_segment), so it must run the compaction guards
+        # itself, and BEFORE the own-segment delete below: a wave id
+        # that compact_index folded into the merged segment no-ops that
+        # delete, the probe then pairs the wave against its own
+        # fingerprints inside the merged history, and the wave empties
+        # with the corpus/funnel sinks already written
+        refuse_consumed_wave(spark, args.dedup_index, wave)
         index_waves = [n for n in names if n.startswith("wave=") and n != own_name]
         if index_waves and not args.append:
             # loud refusal (same convention as write_output's
@@ -248,6 +256,11 @@ def main(argv: list[str] | None = None) -> None:
             n_sub = SUBSTR_DEDUP_N if substring_n is None else substring_n
             refuse_foreign_layout(spark, args.substring_index)
             assert_index_kind(spark, args.substring_index, "substring_hist")
+            # same guard as the dedup index, and for the same reason:
+            # the pre-probe own-histogram delete just below no-ops on a
+            # compacted wave id and the probe counts the wave against
+            # its own folded shingles (the whole wave's text strips)
+            refuse_consumed_wave(spark, args.substring_index, wave)
             # a failed attempt's leftover own histogram would count this
             # wave's shingles AGAINST THE WAVE ITSELF — every shingle hits
             # total ≥ 2 and the whole wave empties — so clear it BEFORE

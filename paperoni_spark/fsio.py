@@ -174,6 +174,25 @@ _COMPACT_MANIFEST = "_compact_manifest"
 _CONSUMED_PREFIX = "_compacted_wave_"
 
 
+def refuse_mid_compaction(spark: SparkSession, path: str) -> None:
+    """Raise while a compaction of ``path`` is mid-commit (manifest
+    present).  PROBES call this before reading an index root: in the
+    crash window between the manifest write and the tmp rename, the
+    folded rows may exist ONLY in the underscore-invisible
+    ``_compact_tmp`` — a normal read would silently miss those waves'
+    rows (pairs admitted, histograms under-counted) with no error.
+    Writers get the same refusal via :func:`refuse_consumed_wave`."""
+    fs, _ = _fs_for(spark, path)
+    if fs.exists(hadoop_path(spark, f"{path}/{_COMPACT_MANIFEST}")):
+        raise ValueError(
+            f"{path} has a compaction mid-commit (_compact_manifest "
+            "present): the folded rows may live only in the staged "
+            "_compact_tmp, so reading now would silently return a "
+            "truncated index.  Finish or recover the compaction with "
+            "compact_index() first."
+        )
+
+
 def refuse_consumed_wave(spark: SparkSession, path: str, wave) -> None:
     """Refuse a wave id that a prior :func:`compact_index` run consumed,
     and any append while a compaction is mid-commit.
@@ -185,13 +204,8 @@ def refuse_consumed_wave(spark: SparkSession, path: str, wave) -> None:
     prevent.  Consumed ids are recorded as empty ``_compacted_wave_<id>``
     markers (one per folded wave — bounded by waves ever compacted), so
     the refusal works for integer and string wave ids alike."""
+    refuse_mid_compaction(spark, path)
     fs, _ = _fs_for(spark, path)
-    if fs.exists(hadoop_path(spark, f"{path}/{_COMPACT_MANIFEST}")):
-        raise ValueError(
-            f"{path} has a compaction mid-commit (_compact_manifest "
-            "present) — finish or recover it with compact_index() before "
-            "appending."
-        )
     if fs.exists(hadoop_path(spark, f"{path}/{_CONSUMED_PREFIX}{wave}")):
         raise ValueError(
             f"wave={wave} of {path} is owned by a compaction (either "
@@ -221,14 +235,24 @@ def _read_manifest(spark: SparkSession, path: str) -> dict | None:
 
 
 def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+    """Tmp-write + rename: the manifest's EXISTENCE is the commit point
+    of the whole protocol, so it must appear atomically — a crash
+    mid-`create` would otherwise leave truncated JSON that fails
+    json.loads on every later recovery attempt while still refusing all
+    appends (a permanently wedged index).  A crash before the rename
+    leaves no manifest → the next run restarts the fresh path."""
     import json
 
     fs, _ = _fs_for(spark, path)
-    out = fs.create(hadoop_path(spark, f"{path}/{_COMPACT_MANIFEST}"), True)
+    tmp = hadoop_path(spark, f"{path}/{_COMPACT_MANIFEST}_staging")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(manifest), "utf-8"))
     finally:
         out.close()
+    dst = hadoop_path(spark, f"{path}/{_COMPACT_MANIFEST}")
+    if not fs.rename(tmp, dst):
+        raise IOError(f"rename {tmp} -> {dst} failed")
 
 
 def compact_index(

@@ -381,6 +381,9 @@ def dedup_delta_pairs_against_index(
     pair is the shared-band count.  Caller contract: delta doc_ids are
     disjoint from the index (the pipeline's anti-join resume —
     pipeline/job.py — is the standard way to guarantee it)."""
+    from ..fsio import refuse_mid_compaction
+
+    refuse_mid_compaction(spark, index_path)
     delta_rows = _minhash_band_rows(delta_docs, k, bands)
     index_rows = spark.read.parquet(index_path).select(
         "doc_id", F.col("band").cast("int").alias("band"), "bucket"
@@ -645,6 +648,9 @@ def simhash_delta_pairs_from_sh(
     a materialize per wave), not merely given an unreachable threshold —
     the exactness-gate shape, where the result must equal the uncapped
     whole-corpus sweep anyway."""
+    from ..fsio import refuse_mid_compaction
+
+    refuse_mid_compaction(spark, index_path)
     _simhash_pair_guard(bits, bands, max_hamming)
     delta_rows = materialize(
         _simhash_band_rows_from(delta_sh, bits, bands)
@@ -1321,8 +1327,9 @@ def substring_delta_clean(
     of a driver-OOM cliff) and then summed across wave segments.
     Refuses an index whose pinned shingle size differs from ``n``
     (read-only check — a probe never writes markers)."""
-    from ..fsio import assert_index_param
+    from ..fsio import assert_index_param, refuse_mid_compaction
 
+    refuse_mid_compaction(spark, index_path)
     assert_index_param(spark, index_path, "shingle_n", n, create=False)
     positioned = materialize(_positioned_shingles(delta_documents, n))
     delta_hist = positioned.groupBy("h").agg(

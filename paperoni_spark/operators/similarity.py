@@ -393,6 +393,9 @@ def embedding_delta_near_dup_from_coded(
 
     ``cap=None`` lifts the hot-bucket cap STRUCTURALLY (no histogram, no
     anti-joins) — the exactness-gate shape; see the SimHash twin."""
+    from ..fsio import refuse_mid_compaction
+
+    refuse_mid_compaction(spark, index_path)
     index_coded = spark.read.parquet(index_path)
     delta_bands = _bands_from_coded(delta_coded)
     index_bands = _bands_from_coded(index_coded.select("vec_id", "code"))
@@ -568,9 +571,13 @@ def _write_codebooks_table(spark, path: str, codebooks) -> None:
 
 
 def read_ivf_centroids(spark, path: str) -> list[list[float]]:
-    """The persisted coarse quantizer (k × dim floats — control-plane)."""
-    from ..fsio import path_exists
+    """The persisted coarse quantizer (k × dim floats — control-plane).
+    Refuses a mid-commit compaction: the quantizer itself is never
+    compacted, but every caller immediately scans the codes table, which
+    IS (fsio.refuse_mid_compaction)."""
+    from ..fsio import path_exists, refuse_mid_compaction
 
+    refuse_mid_compaction(spark, path)
     if not path_exists(spark, f"{path}/_centroids"):
         raise ValueError(
             f"IVF index at {path} has no _centroids side table — it was "
@@ -888,8 +895,11 @@ def read_pq_codebooks(
     Fails LOUDLY on a missing side table, a geometry mismatch (an index
     written with different m/n_codes than the reader expects), or an
     incomplete codebook — each would otherwise mis-encode appends and
-    mis-score probes silently."""
-    from ..fsio import path_exists
+    mis-score probes silently.  Also refuses a mid-commit compaction of
+    the codes table every caller is about to scan."""
+    from ..fsio import path_exists, refuse_mid_compaction
+
+    refuse_mid_compaction(spark, path)
 
     if not path_exists(spark, f"{path}/_codebooks"):
         raise ValueError(
@@ -1461,6 +1471,10 @@ def lsh_probe_scan(
         probe_by_band.setdefault(band, []).append(bkey)
     if not probe_by_band:
         return None
+    from ..fsio import refuse_mid_compaction
+
+    for sub in ("rows", "counts"):
+        refuse_mid_compaction(spark, f"{index_path}/{sub}")
     counts = spark.read.schema(_LSH_COUNTS_SCHEMA).parquet(f"{index_path}/counts")
     survivors = (
         counts.where(_per_band_pred(probe_by_band))
@@ -1604,7 +1618,6 @@ def ann_lsh_topk(
     return _rank_topk(scored, k)
 
 
-# the four approximate paths measured by ann_recall_at_k, in report order
 SEMANTIC_DEDUP_THRESHOLD = EMBED_NEAR_DUP_THRESHOLD
 
 
@@ -1670,6 +1683,7 @@ def semantic_dedup(
     )
 
 
+# the four approximate paths measured by ann_recall_at_k, in report order
 ANN_RECALL_METHODS = ("lsh", "ivf", "pq", "ivfpq")
 
 

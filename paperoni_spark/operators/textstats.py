@@ -181,6 +181,30 @@ def lang_id_profile(documents: DataFrame) -> DataFrame:
     )
 
 
+
+def _head_tail_join(fact, dim, keys, order_by, head_k, finish):
+    """The zipf-skew head/tail join split shared by the corpus-LM and
+    TF-IDF scorers: natural-text vocabulary keys are zipf-headed ('the'
+    alone is ~5% of all join rows), so a plain fact⋈dim equi-join puts
+    the whole head through a handful of reducers.  Structurally: the
+    top-``head_k`` dim rows under ``order_by`` (K rows exactly — driver
+    memory bounded by construction, unlike a frequency cutoff whose set
+    size scales with the corpus) broadcast and match map-side; only tail
+    keys — per-key fact multiplicity bounded by the K-th head count —
+    take the shuffled join against the full dim.  ``finish`` projects
+    each branch to the same columns (scoring depends only on dim
+    columns, so branch routing cannot change values); the union is the
+    full fact⋈dim result, exactly once per fact row."""
+    head = dim.orderBy(*order_by).limit(head_k)
+    head_branch = finish(fact.join(F.broadcast(head), keys))
+    tail_branch = finish(
+        fact.join(F.broadcast(head.select(*keys)), keys, "left_anti").join(
+            dim, keys
+        )
+    )
+    return head_branch.unionByName(tail_branch)
+
+
 def unigram_logprob(
     documents: DataFrame, head_k: int = HEAD_VOCAB_K
 ) -> DataFrame:
@@ -223,24 +247,19 @@ def unigram_logprob(
     counts = doc_tf.groupBy("tok").agg(F.sum("tf_dt").alias("tf"))
     counts = materialize(counts)
     total = counts.agg(F.sum("tf").alias("total"))  # one-row, broadcast
-    head = counts.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(head_k)
     lp_cols = [
         "doc_id",
         "tf_dt",
         (F.log2(F.col("tf")) - F.log2(F.col("total"))).alias("lp"),
     ]
-    scored_head = (
-        doc_tf.join(F.broadcast(head), "tok")
-        .crossJoin(F.broadcast(total))
-        .select(*lp_cols)
+    scored = _head_tail_join(
+        doc_tf,
+        counts,
+        ["tok"],
+        [F.col("tf").desc(), F.col("tok").asc()],
+        head_k,
+        lambda df: df.crossJoin(F.broadcast(total)).select(*lp_cols),
     )
-    scored_tail = (
-        doc_tf.join(F.broadcast(head.select("tok")), "tok", "left_anti")
-        .join(counts, "tok")
-        .crossJoin(F.broadcast(total))
-        .select(*lp_cols)
-    )
-    scored = scored_head.unionByName(scored_tail)
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -290,13 +309,14 @@ def tfidf_top_terms(
     dfc = doc_tf.groupBy("tok").agg(F.count("*").alias("df"))
     dfc = materialize(dfc)  # feeds head selection + tail join
     n_docs = documents.agg(F.count("*").alias("n_docs"))
-    head = dfc.orderBy(F.col("df").desc(), F.col("tok").asc()).limit(head_k)
     score_cols = ["doc_id", "tok", "tf_dt", "df"]
-    scored_head = doc_tf.join(F.broadcast(head), "tok").select(*score_cols)
-    scored_tail = (
-        doc_tf.join(F.broadcast(head.select("tok")), "tok", "left_anti")
-        .join(dfc, "tok")
-        .select(*score_cols)
+    scored_ht = _head_tail_join(
+        doc_tf,
+        dfc,
+        ["tok"],
+        [F.col("df").desc(), F.col("tok").asc()],
+        head_k,
+        lambda df: df.select(*score_cols),
     )
     tfidf = F.round(
         F.col("tf_dt")
@@ -304,8 +324,7 @@ def tfidf_top_terms(
         6,
     )
     scored = (
-        scored_head.unionByName(scored_tail)
-        .crossJoin(F.broadcast(n_docs))
+        scored_ht.crossJoin(F.broadcast(n_docs))
         .select("doc_id", F.col("tok").alias("term"), tfidf.alias("tfidf"))
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -385,19 +404,15 @@ def bigram_logprob(
     )
     # blp feeds head selection + head branch + tail branch
     blp = materialize(blp)
-    head = blp.orderBy(
-        F.col("bf").desc(), F.col("w1").asc(), F.col("w2").asc()
-    ).limit(head_k)
     score_cols = ["doc_id", "tf_dt", "lp"]
-    scored_head = bg_dt.join(
-        F.broadcast(head.select("w1", "w2", "lp")), ["w1", "w2"]
-    ).select(*score_cols)
-    scored_tail = (
-        bg_dt.join(F.broadcast(head.select("w1", "w2")), ["w1", "w2"], "left_anti")
-        .join(blp.select("w1", "w2", "lp"), ["w1", "w2"])
-        .select(*score_cols)
+    scored = _head_tail_join(
+        bg_dt,
+        blp,
+        ["w1", "w2"],
+        [F.col("bf").desc(), F.col("w1").asc(), F.col("w2").asc()],
+        head_k,
+        lambda df: df.select(*score_cols),
     )
-    scored = scored_head.unionByName(scored_tail)
     return (
         scored.groupBy("doc_id")
         .agg(

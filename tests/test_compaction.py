@@ -192,6 +192,11 @@ def test_compaction_crash_recovery(spark, docs, tmp_path, monkeypatch):
     assert fsio.path_exists(spark, f"{path}/{fsio._COMPACT_MANIFEST}")
     with pytest.raises(ValueError, match="mid-commit"):
         dedup.append_to_simhash_index(docs.limit(1), path, 7)
+    # PROBES refuse too: in this window the folded rows may exist only
+    # in the invisible _compact_tmp — a normal read would silently
+    # return a truncated pair set
+    with pytest.raises(ValueError, match="truncated index"):
+        dedup.simhash_delta_pairs_against_index(spark, docs.limit(1), path)
     # resume: folds the same two segments recorded in the manifest
     assert fsio.compact_index_kind(spark, path, "simhash") == 2
     assert fsio._wave_names(spark, path) == ["wave=2"]
