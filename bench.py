@@ -220,6 +220,9 @@ def main() -> None:
         "ann_ivfpq_residual_topk",
         "ann_ivfpq_topk_indexed",
         "ann_recall_at_k",
+        "semantic_dedup",
+        "bigram_logprob",
+        "tfidf_top_terms",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

@@ -80,6 +80,9 @@ def main() -> None:
         "ann_ivfpq_residual_topk (classical IVFADC: residual codes, per-probe tables)": similarity.ann_ivfpq_topk(embeds, residual=True),
         "ann_ivfpq_topk_indexed (partition-pruned residual-code probe, frozen quantizers)": contract.q_ann_ivfpq_topk_indexed(spark, SF),
         "ann_recall_at_k (4-method union joined to exact ground truth)": similarity.ann_recall_at_k(embeds),
+        "semantic_dedup (frozen-centroid assignment; within-cluster min-id pruning)": similarity.semantic_dedup(embeds),
+        "bigram_logprob (vocab²-bounded lp table; zipf head/tail split join)": textstats.bigram_logprob(docs),
+        "tfidf_top_terms (df head/tail split; per-doc WindowGroupLimit rank)": textstats.tfidf_top_terms(docs),
     }
 
     out = ["# PLANS — formatted physical plans for the headline queries\n"]
