@@ -216,7 +216,10 @@ def main(argv: list[str] | None = None) -> None:
         # delete, the probe then pairs the wave against its own
         # fingerprints inside the merged history, and the wave empties
         # with the corpus/funnel sinks already written
-        refuse_consumed_wave(spark, args.dedup_index, wave)
+        try:
+            refuse_consumed_wave(spark, args.dedup_index, wave)
+        except ValueError as e:
+            raise SystemExit(str(e)) from None
         index_waves = [n for n in names if n.startswith("wave=") and n != own_name]
         if index_waves and not args.append:
             # loud refusal (same convention as write_output's
@@ -260,7 +263,10 @@ def main(argv: list[str] | None = None) -> None:
             # the pre-probe own-histogram delete just below no-ops on a
             # compacted wave id and the probe counts the wave against
             # its own folded shingles (the whole wave's text strips)
-            refuse_consumed_wave(spark, args.substring_index, wave)
+            try:
+                refuse_consumed_wave(spark, args.substring_index, wave)
+            except ValueError as e:
+                raise SystemExit(str(e)) from None
             # a failed attempt's leftover own histogram would count this
             # wave's shingles AGAINST THE WAVE ITSELF — every shingle hits
             # total ≥ 2 and the whole wave empties — so clear it BEFORE

@@ -174,22 +174,44 @@ _COMPACT_MANIFEST = "_compact_manifest"
 _CONSUMED_PREFIX = "_compacted_wave_"
 
 
-def refuse_mid_compaction(spark: SparkSession, path: str) -> None:
+def _consumed_ids(spark: SparkSession, path: str) -> set:
+    """Wave ids owned by prior compactions of ``path`` (folded segments
+    plus merged-segment own ids), as strings."""
+    fs, root = _fs_for(spark, path)
+    if not fs.exists(root):
+        return set()
+    return {
+        nm[len(_CONSUMED_PREFIX):]
+        for st in fs.listStatus(root)
+        if (nm := st.getPath().getName()).startswith(_CONSUMED_PREFIX)
+    }
+
+
+def refuse_mid_compaction(
+    spark: SparkSession, path: str, op: str = "reading"
+) -> None:
     """Raise while a compaction of ``path`` is mid-commit (manifest
     present).  PROBES call this before reading an index root: in the
     crash window between the manifest write and the tmp rename, the
     folded rows may exist ONLY in the underscore-invisible
     ``_compact_tmp`` — a normal read would silently miss those waves'
     rows (pairs admitted, histograms under-counted) with no error.
-    Writers get the same refusal via :func:`refuse_consumed_wave`."""
+    Writers get the same refusal via :func:`refuse_consumed_wave`
+    (``op="appending"`` — the diagnostic names the caller's actual
+    operation)."""
     fs, _ = _fs_for(spark, path)
     if fs.exists(hadoop_path(spark, f"{path}/{_COMPACT_MANIFEST}")):
+        detail = (
+            "the folded rows may live only in the staged _compact_tmp, "
+            "so reading now would silently return a truncated index"
+            if op == "reading"
+            else "an append now would interleave with the in-flight "
+            "segment rewrite"
+        )
         raise ValueError(
             f"{path} has a compaction mid-commit (_compact_manifest "
-            "present): the folded rows may live only in the staged "
-            "_compact_tmp, so reading now would silently return a "
-            "truncated index.  Finish or recover the compaction with "
-            "compact_index() first."
+            f"present): {detail}.  Finish or recover the compaction "
+            "with compact_index() first."
         )
 
 
@@ -204,7 +226,7 @@ def refuse_consumed_wave(spark: SparkSession, path: str, wave) -> None:
     prevent.  Consumed ids are recorded as empty ``_compacted_wave_<id>``
     markers (one per folded wave — bounded by waves ever compacted), so
     the refusal works for integer and string wave ids alike."""
-    refuse_mid_compaction(spark, path)
+    refuse_mid_compaction(spark, path, op="appending")
     fs, _ = _fs_for(spark, path)
     if fs.exists(hadoop_path(spark, f"{path}/{_CONSUMED_PREFIX}{wave}")):
         raise ValueError(

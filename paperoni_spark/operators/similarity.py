@@ -1411,9 +1411,53 @@ def compact_lsh_bucket_index(spark, path: str) -> int:
     either way, this restores build-time geometry.  Probe results are
     identical before and after (test-pinned); consumed wave ids are
     refused for future appends on both sub-roots."""
-    from ..fsio import assert_index_kind, compact_index
+    from ..fsio import (
+        _COMPACT_MANIFEST,
+        _consumed_ids,
+        _wave_names,
+        assert_index_kind,
+        compact_index,
+        path_exists,
+    )
 
     assert_index_kind(spark, path, "lsh_buckets")
+    # Refuse a HALF-WRITTEN append before folding anything: a crash
+    # between the rows and counts writes of append_to_lsh_bucket_index
+    # is healed by retrying the wave — but only while the wave is still
+    # a segment.  If compaction folded the rows half first, the retry
+    # would be refused forever and the histogram would permanently
+    # under-count those vectors (over-cap buckets would pass the cap
+    # guard).  A wave id is legitimate if the OTHER sub-root has it as
+    # a segment or already consumed it, or it is itself a consumed id
+    # (the merged segment of this wrapper's earlier, crashed phase) —
+    # that last clause is what keeps the two-phase wrapper resumable.
+    # Skip when a sub-root manifest exists: that is a mid-commit resume
+    # whose pre-state was validated when the compaction started.
+    roots = {sub: f"{path}/{sub}" for sub in ("rows", "counts")}
+    if not any(
+        path_exists(spark, f"{r}/{_COMPACT_MANIFEST}") for r in roots.values()
+    ):
+        waves = {
+            sub: {w.split("=", 1)[1] for w in _wave_names(spark, r)}
+            for sub, r in roots.items()
+        }
+        consumed = {sub: _consumed_ids(spark, r) for sub, r in roots.items()}
+        for sub, other in (("rows", "counts"), ("counts", "rows")):
+            orphans = (
+                waves[sub]
+                - waves[other]
+                - consumed[other]
+                - consumed[sub]
+            )
+            if orphans:
+                raise ValueError(
+                    f"{path} has wave segments only in its {sub} table "
+                    f"(waves {sorted(orphans)}): a half-written append.  "
+                    "Retry the append at the same wave id to complete it "
+                    "before compacting — folding the half now would "
+                    "foreclose the retry and permanently desynchronize "
+                    "rows and counts."
+                )
     n_rows = compact_index(
         spark,
         f"{path}/rows",

@@ -164,6 +164,24 @@ def test_lsh_bucket_compaction_parity(spark, embeds, tmp_path):
         similarity.append_to_lsh_bucket_index(wave1, path, 1)
 
 
+def test_lsh_half_append_refused(spark, embeds, tmp_path):
+    """A crash between the rows and counts writes of an append is healed
+    by retrying the wave — compaction must refuse to fold the rows half
+    first (the retry would be refused forever and the histogram would
+    permanently under-count), and the retry must unblock it."""
+    path = str(tmp_path / "lsh_half")
+    similarity.write_lsh_bucket_index(
+        embeds.where(F.col("vec_id") % 10 < 8), path
+    )
+    wave1 = embeds.where(F.col("vec_id") % 10 >= 8)
+    similarity.append_to_lsh_bucket_index(wave1, path, 1)
+    fsio.delete_path(spark, f"{path}/counts/wave=1")  # the crash window
+    with pytest.raises(ValueError, match="half-written append"):
+        similarity.compact_lsh_bucket_index(spark, path)
+    similarity.append_to_lsh_bucket_index(wave1, path, 1)  # the retry
+    assert similarity.compact_lsh_bucket_index(spark, path) == 2
+
+
 def test_compaction_crash_recovery(spark, docs, tmp_path, monkeypatch):
     """Crash mid-commit (after the manifest, during the consumed-segment
     deletes): appends are refused while the manifest exists, and
