@@ -79,6 +79,17 @@ PLAN_CONTRACTS = {
     # plan (training jobs run eagerly before it; the scan side is the
     # materialized codes frame joined to broadcast tables)
     "ann_ivfpq_residual_topk": (1, []),
+    # zipf head/tail split scorers: every fact-side join is a broadcast
+    # (head) or runs over the materialized doc_tf/lp frames — the only
+    # shuffle in the FINAL plan is the closing per-doc agg / rank window
+    # (the corpus tokenize+agg shuffles live inside the materialization);
+    # the n_docs count scan reads ZERO columns (struct<>)
+    "tfidf_top_terms": (1, []),
+    "bigram_logprob": (1, []),
+    # frozen-centroid assignment over the materialized coded frame +
+    # within-cluster min-id pruning: one shuffle (the cluster-keyed
+    # pair stage), no pair cartesian, no Python at query time
+    "semantic_dedup": (1, []),
 }
 
 
