@@ -223,6 +223,7 @@ def main() -> None:
         "semantic_dedup",
         "bigram_logprob",
         "tfidf_top_terms",
+        "source_kl_divergence",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

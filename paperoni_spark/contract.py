@@ -499,6 +499,35 @@ FROM agg
 """
 
 
+def oracle_source_kl_divergence() -> str:
+    """DuckDB twin of textstats.source_kl_divergence: identical
+    log-difference association inside the per-token term, division only
+    at the final rounded mean, null-safe source join (IS NOT DISTINCT
+    FROM — the eqNullSafe mirror)."""
+    return f"""
+WITH st AS (
+  SELECT source, tok, count(*) AS tf_st
+  FROM (SELECT source, unnest({_TOKENS}) AS tok FROM documents)
+  GROUP BY source, tok
+),
+counts AS (SELECT tok, sum(tf_st) AS tf FROM st GROUP BY tok),
+total AS (SELECT sum(tf) AS total FROM counts),
+ts AS (SELECT source AS src2, sum(tf_st) AS ts FROM st GROUP BY source),
+scored AS (
+  SELECT s.source, s.tf_st, log2(c.tf) - log2(total.total) AS lp_c
+  FROM st s JOIN counts c USING (tok) CROSS JOIN total
+),
+contrib AS (
+  SELECT scored.source, tf_st,
+         tf_st * ((log2(tf_st) - log2(ts.ts)) - lp_c) AS term
+  FROM scored JOIN ts ON scored.source IS NOT DISTINCT FROM ts.src2
+)
+SELECT source, sum(tf_st)::BIGINT AS n_tokens,
+       round(sum(term) / sum(tf_st), 6) AS kl_bits
+FROM contrib GROUP BY source
+"""
+
+
 def oracle_tfidf_top_terms() -> str:
     """DuckDB twin of textstats.tfidf_top_terms: round-then-rank with
     the term tie-break (the repo-wide engine-portability rule)."""
@@ -2858,6 +2887,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": lambda spark, sf: textstats.repetition_stats(load(spark, sf, "documents")),
         # interpolated bigram LM (the CCNet-style filter, one order up)
         "bigram_logprob": lambda spark, sf: textstats.bigram_logprob(load(spark, sf, "documents")),
+        "source_kl_divergence": lambda spark, sf: textstats.source_kl_divergence(load(spark, sf, "documents")),
         # per-doc top-k TF-IDF keywords (round-then-rank, term tie-break)
         "tfidf_top_terms": lambda spark, sf: textstats.tfidf_top_terms(load(spark, sf, "documents")),
         "lang_id": lambda spark, sf: textstats.lang_id(load(spark, sf, "documents")),
@@ -3005,6 +3035,7 @@ _GATE_PRIORITY = [
     "substring_delta",
     "tfidf_top_terms",
     "bigram_logprob",
+    "source_kl_divergence",
     "semantic_dedup",
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_topk_indexed",
@@ -3122,6 +3153,7 @@ def build_oracles() -> dict[str, str]:
         "quality_filter": oracle_quality_filter(),
         "unigram_logprob": oracle_unigram_logprob(),
         "bigram_logprob": oracle_bigram_logprob(),
+        "source_kl_divergence": oracle_source_kl_divergence(),
         "tfidf_top_terms": oracle_tfidf_top_terms(),
         "repetition_stats": oracle_repetition_stats(),
         "lang_id": oracle_lang_id(),

@@ -430,6 +430,70 @@ def bigram_logprob(
     )
 
 
+def source_kl_divergence(
+    documents: DataFrame, head_k: int = HEAD_VOCAB_K
+) -> DataFrame:
+    """Per-source distribution drift: KL(p_source ‖ p_corpus) in bits
+    over the unigram token distributions — the RefinedWeb/CCNet-style
+    source-quality rollup (a crawl slice whose vocabulary diverges from
+    the corpus is boilerplate, spam, or another language; rank sources
+    by kl_bits before sampling).  Per-token contribution is computed as
+    log DIFFERENCES (log2(tf_st)−log2(ts) − (log2(tf)−log2(total))) in
+    both engines — a ratio-of-ratios form would associate differently
+    and can flip the 6-decimal rounding.
+
+    Plan shape: one tokenize into the (source, tok, tf_st) frequency
+    table (materialized: feeds the per-source totals, the corpus counts,
+    and both join branches); corpus counts re-aggregate it (vocab-sized,
+    partial-agg absorbs hot keys map-side).  The df-lookup join takes
+    the shared zipf head/tail split (:func:`_head_tail_join`); the
+    per-source totals join is a BROADCAST keyed null-safely on source
+    (source cardinality is tiny; a column-list join would drop the
+    NULL-source stratum dirty crawls carry — the source_cap_sample
+    rule)."""
+    st = (
+        documents.select(
+            "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("tf_st"))
+    )
+    st = materialize(st)
+    counts = st.groupBy("tok").agg(F.sum("tf_st").alias("tf"))
+    counts = materialize(counts)  # feeds head + tail + total
+    total = counts.agg(F.sum("tf").alias("total"))
+    ts = st.groupBy("source").agg(F.sum("tf_st").alias("ts")).withColumnRenamed(
+        "source", "_src"
+    )
+    lp_cols = [
+        "source",
+        "tf_st",
+        (F.log2(F.col("tf")) - F.log2(F.col("total"))).alias("lp_c"),
+    ]
+    scored = _head_tail_join(
+        st,
+        counts,
+        ["tok"],
+        [F.col("tf").desc(), F.col("tok").asc()],
+        head_k,
+        lambda df: df.crossJoin(F.broadcast(total)).select(*lp_cols),
+    )
+    term = F.col("tf_st") * (
+        (F.log2(F.col("tf_st")) - F.log2(F.col("ts"))) - F.col("lp_c")
+    )
+    return (
+        scored.join(
+            F.broadcast(ts), F.col("source").eqNullSafe(F.col("_src"))
+        )
+        .select("source", "tf_st", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.sum("tf_st").cast("long").alias("n_tokens"),
+            F.round(F.sum("term") / F.sum("tf_st"), 6).alias("kl_bits"),
+        )
+    )
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Gopher-style repetition signals: the fraction of bigram INSTANCES
     taken by the most frequent bigram (top_bg / n_bigrams — note Gopher's

@@ -2121,6 +2121,39 @@ def test_bigram_logprob(spark, docs, ddb):
     assert sharper >= 0.75 * len(rows)
 
 
+def test_source_kl_divergence(spark, docs, ddb):
+    """Per-source KL vs corpus: oracle match plus information-theoretic
+    sanity — KL is non-negative (up to the 6-decimal rounding), every
+    source present, token totals reconcile with the corpus, and a
+    PLANTED out-of-distribution source (vocabulary disjoint from the
+    rest) dominates every natural source's divergence."""
+    out = textstats.source_kl_divergence(docs)
+    assert_matches_oracle(out, ddb, contract.oracle_source_kl_divergence())
+    rows = out.collect()
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == n_sources
+    assert all(r["kl_bits"] >= -1e-6 for r in rows)
+    total = sum(r["n_tokens"] for r in rows)
+    from pyspark.sql import functions as F
+
+    expected = docs.select(
+        F.sum(F.size(textstats.tokens_col(F.col("text")))).alias("n")
+    ).collect()[0]["n"]
+    assert total == expected
+
+    planted = docs.unionByName(
+        spark.createDataFrame(
+            [(900001 + i, "zzq%d zzw%d zzq%d" % (i, i, i), "en", "oodsrc", 17)
+             for i in range(5)],
+            docs.schema,
+        )
+    )
+    prows = {r["source"]: r["kl_bits"]
+             for r in textstats.source_kl_divergence(planted).collect()}
+    ood = prows.pop("oodsrc")
+    assert ood > max(prows.values())
+
+
 def test_tfidf_top_terms(spark, docs, ddb):
     """Top-k TF-IDF keywords: oracle match plus shape — exactly top_k
     ranks per doc (the corpus has ≥ top_k distinct terms everywhere),

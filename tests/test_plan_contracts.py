@@ -90,6 +90,11 @@ PLAN_CONTRACTS = {
     # within-cluster min-id pruning: one shuffle (the cluster-keyed
     # pair stage), no pair cartesian, no Python at query time
     "semantic_dedup": (1, []),
+    # per-source KL rollup: the head/tail split again, plus exactly two
+    # source-keyed shuffles (the broadcast-side per-source totals agg
+    # and the closing rollup) — source cardinality is tiny, so both are
+    # cheap at any corpus size
+    "source_kl_divergence": (2, []),
 }
 
 

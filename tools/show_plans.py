@@ -83,6 +83,7 @@ def main() -> None:
         "semantic_dedup (frozen-centroid assignment; within-cluster min-id pruning)": similarity.semantic_dedup(embeds),
         "bigram_logprob (vocab²-bounded lp table; zipf head/tail split join)": textstats.bigram_logprob(docs),
         "tfidf_top_terms (df head/tail split; per-doc WindowGroupLimit rank)": textstats.tfidf_top_terms(docs),
+        "source_kl_divergence (per-source KL rollup; broadcast source totals)": textstats.source_kl_divergence(docs),
     }
 
     out = ["# PLANS — formatted physical plans for the headline queries\n"]
