@@ -64,6 +64,7 @@ INDEXED_QUERIES = {
     "ann_pq_topk_indexed",
     "ann_ivfpq_topk_indexed",
     "substring_delta",
+    "cms_delta_heavy_hitters",
 }
 
 
@@ -224,6 +225,11 @@ def main() -> None:
         "bigram_logprob",
         "tfidf_top_terms",
         "source_kl_divergence",
+        "perplexity_buckets",
+        "cms_heavy_hitters",
+        "cluster_balanced_sample",
+        "cms_delta_heavy_hitters",
+        "hll_distinct_tokens",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

@@ -459,6 +459,87 @@ FROM agg
 """
 
 
+def oracle_perplexity_buckets() -> str:
+    """DuckDB twin of textstats.perplexity_buckets: the unigram-LM CTE
+    chain (identical to oracle_unigram_logprob up to the rounded per-doc
+    mean), then a plain per-lang row_number — the single-window plan the
+    two-phase band ranking must stay row-identical to.  The bucket index
+    is the same INTEGER division ((rk-1)*3 // n), never FP."""
+    return f"""
+WITH doc_tf AS (
+  SELECT doc_id, tok, count(*) AS tf_dt
+  FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+counts AS (SELECT tok, sum(tf_dt) AS tf FROM doc_tf GROUP BY tok),
+total AS (SELECT sum(tf) AS total FROM counts),
+scored AS (
+  SELECT d.doc_id, d.tf_dt, log2(c.tf) - log2(total.total) AS lp
+  FROM doc_tf d JOIN counts c USING (tok) CROSS JOIN total
+),
+agg AS (
+  SELECT doc_id, round(sum(tf_dt * lp) / sum(tf_dt), 6) AS avg_log2_prob
+  FROM scored GROUP BY doc_id
+),
+j AS (
+  SELECT a.doc_id, d.lang, a.avg_log2_prob
+  FROM agg a JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, lang, avg_log2_prob,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY avg_log2_prob DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n_docs
+  FROM j
+)
+SELECT doc_id, lang, avg_log2_prob,
+       CASE ((rk - 1) * 3) // n_docs
+         WHEN 0 THEN '{textstats.PPL_BUCKET_NAMES[0]}'
+         WHEN 1 THEN '{textstats.PPL_BUCKET_NAMES[1]}'
+         ELSE '{textstats.PPL_BUCKET_NAMES[2]}' END AS ppl_bucket
+FROM ranked
+"""
+
+
+def oracle_cms_heavy_hitters() -> str:
+    """DuckDB twin of textstats.cms_heavy_hitters: the same
+    build-from-vocab-counts sketch (sums per bucket commute with the
+    token-stream build), positional 3-hex-char bucket decode (the
+    simhash byte-decode idiom), min over depth rows, and the rounded-
+    free all-integer ranking with the token tie-break."""
+    d, k = textstats.CMS_DEPTH, textstats.CMS_TOP_K
+    seeds = ", ".join(str(i) for i in range(d))
+    hexpos = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+    bucket = (
+        f"(({hexpos.format(i=1)}) * 256 + ({hexpos.format(i=2)}) * 16"
+        f" + ({hexpos.format(i=3)}))"
+    )
+    return f"""
+WITH counts AS (
+  SELECT tok, count(*) AS tf
+  FROM (SELECT unnest({_TOKENS}) AS tok FROM documents) GROUP BY tok
+),
+hashed AS (
+  SELECT tok, tf, d, {bucket} AS bucket
+  FROM (SELECT tok, tf, d, md5('cms' || d::VARCHAR || ':' || tok) AS h
+        FROM counts, unnest([{seeds}]) AS t(d))
+),
+sketch AS (SELECT d, bucket, sum(tf) AS cnt FROM hashed GROUP BY d, bucket),
+est AS (
+  SELECT tok, tf, min(cnt) AS est
+  FROM hashed JOIN sketch USING (d, bucket) GROUP BY tok, tf
+),
+ranked AS (
+  SELECT tok AS token, tf, est,
+         row_number() OVER (ORDER BY est DESC, tok ASC) AS rank
+  FROM est
+)
+SELECT token, tf::BIGINT AS true_count, est::BIGINT AS cms_estimate,
+       (est - tf)::BIGINT AS overestimate, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def oracle_bigram_logprob() -> str:
     """DuckDB twin of textstats.bigram_logprob: bigrams unrolled by
     index (same arr[i]/arr[i+1] form as oracle_repetition_stats), the
@@ -552,6 +633,113 @@ ranked AS (
 )
 SELECT doc_id, term, tfidf, rank::INT AS rank
 FROM ranked WHERE rank <= {textstats.TFIDF_TOP_K}
+"""
+
+
+def oracle_cms_delta_heavy_hitters() -> str:
+    """DuckDB twin of the persisted-CMS probe: base and delta sketches
+    replayed from scratch (counter sums across wave segments equal the
+    one-pass sketch — the linearity the index family is built on), the
+    same positional bucket decode, and the delta-candidate min."""
+    d, k = textstats.CMS_DEPTH, textstats.CMS_TOP_K
+    seeds = ", ".join(str(i) for i in range(d))
+    hexpos = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+    bucket = (
+        f"(({hexpos.format(i=1)}) * 256 + ({hexpos.format(i=2)}) * 16"
+        f" + ({hexpos.format(i=3)}))"
+    )
+    return f"""
+WITH bcounts AS (
+  SELECT tok, count(*) AS tf
+  FROM (SELECT unnest({_TOKENS}) AS tok FROM documents WHERE doc_id % 2 = 0)
+  GROUP BY tok
+),
+bhashed AS (
+  SELECT tf, d, {bucket} AS bucket
+  FROM (SELECT tf, d, md5('cms' || d::VARCHAR || ':' || tok) AS h
+        FROM bcounts, unnest([{seeds}]) AS t(d))
+),
+bsketch AS (SELECT d, bucket, sum(tf) AS cnt FROM bhashed GROUP BY d, bucket),
+dcounts AS (
+  SELECT tok, count(*) AS tf
+  FROM (SELECT unnest({_TOKENS}) AS tok FROM documents WHERE doc_id % 2 = 1)
+  GROUP BY tok
+),
+dhashed AS (
+  SELECT tok, tf, d, {bucket} AS bucket
+  FROM (SELECT tok, tf, d, md5('cms' || d::VARCHAR || ':' || tok) AS h
+        FROM dcounts, unnest([{seeds}]) AS t(d))
+),
+dsketch AS (SELECT d, bucket, sum(tf) AS cnt FROM dhashed GROUP BY d, bucket),
+comb AS (
+  SELECT ds.d, ds.bucket, ds.cnt + coalesce(bs.cnt, 0) AS cnt
+  FROM dsketch ds LEFT JOIN bsketch bs USING (d, bucket)
+),
+est AS (
+  SELECT tok, tf, min(cnt) AS est
+  FROM dhashed JOIN comb USING (d, bucket) GROUP BY tok, tf
+),
+ranked AS (
+  SELECT tok AS token, tf, est,
+         row_number() OVER (ORDER BY est DESC, tok ASC) AS rank
+  FROM est
+)
+SELECT token, tf::BIGINT AS delta_count, est::BIGINT AS cms_estimate,
+       rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def oracle_hll_distinct_tokens() -> str:
+    """DuckDB twin of textstats.hll_distinct_tokens: the identical
+    string-level rho (regexp leading-zero count + nibble CASE table —
+    never FP log2), exact power-of-two register sums, the same embedded
+    alpha literal, and ln() only inside the small-range branch."""
+    t = textstats
+    hexpos = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+    reg = f"(({hexpos.format(i=1)}) * 16 + ({hexpos.format(i=2)}))"
+    nib = " ".join(
+        f"WHEN '{ch}' THEN {lz}" for ch, lz in sorted(t.HLL_NIBBLE_LZ.items())
+    )
+    m = float(t.HLL_M)
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest({_TOKENS}) AS tok FROM documents
+),
+hashed AS (SELECT lang, tok, md5(tok) AS h FROM toks),
+nzc AS (
+  SELECT lang, tok, h,
+         length(regexp_extract(substr(h, 3, {t.HLL_SUB_HEX}), '^(0*)', 1)) AS nz
+  FROM hashed
+),
+rho AS (
+  SELECT lang, {reg} AS reg,
+         CASE WHEN nz = {t.HLL_SUB_HEX} THEN {4 * t.HLL_SUB_HEX + 1}
+              ELSE 4 * nz
+                   + (CASE substr(substr(h, 3, {t.HLL_SUB_HEX}), nz + 1, 1)
+                        {nib} ELSE 0 END)
+                   + 1 END AS rho
+  FROM nzc
+),
+regs AS (SELECT lang, reg, max(rho) AS m_j FROM rho GROUP BY lang, reg),
+sk AS (
+  SELECT lang, count(*) AS n_present,
+         sum(power(2.0, -m_j)) AS sum_present
+  FROM regs GROUP BY lang
+),
+ex AS (SELECT lang, count(DISTINCT tok)::BIGINT AS exact_distinct
+       FROM toks GROUP BY lang),
+est AS (
+  SELECT sk.lang, ex.exact_distinct,
+         {t.HLL_ALPHA}::DOUBLE * {m}::DOUBLE * {m}::DOUBLE
+           / (sum_present + ({m}::DOUBLE - n_present)) AS raw,
+         ({m}::DOUBLE - n_present) AS zeros
+  FROM sk JOIN ex ON sk.lang IS NOT DISTINCT FROM ex.lang
+)
+SELECT lang, exact_distinct,
+       round(CASE WHEN raw <= 2.5 * {m}::DOUBLE AND zeros > 0
+                  THEN {m}::DOUBLE * ln({m}::DOUBLE / zeros) ELSE raw END, 4) AS hll_estimate
+FROM est
 """
 
 
@@ -1929,6 +2117,34 @@ FROM af LEFT JOIN dup d ON af.vec_id = d.b_id"""
     )
 
 
+def oracle_cluster_balanced_sample(
+    n_centroids: int = 16,
+    iters: int = 2,
+    dim: int = similarity.EMBED_DIM,
+    cap: int = similarity.CLUSTER_SAMPLE_CAP,
+) -> str:
+    """DuckDB twin of similarity.cluster_balanced_sample: the shared
+    Lloyd-replay chain to the final assignment ``af``, then the plain
+    per-cluster row_number over (md5 key, vec_id) — the single-window
+    plan the two-phase stratum cap must stay row-identical to."""
+    ctes = _ivf_lloyd_ctes(n_centroids, iters, dim, 1, 1)
+    ctes.append(
+        f"""ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY cid
+             ORDER BY md5('{similarity.CLUSTER_SAMPLE_SALT}' || vec_id::VARCHAR) ASC,
+                      vec_id ASC) AS rk
+  FROM af)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, cid::INT AS centroid, rk::BIGINT AS rk
+FROM ranked WHERE rk <= {cap}"""
+    )
+
+
 def _pq_subspace_ctes(
     m: int, n_codes: int, iters: int, dim: int, src: str = "base"
 ) -> tuple[list[str], list[str]]:
@@ -2627,6 +2843,24 @@ def q_substring_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_delta_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-CMS probe: the corpus split into a BASE wave (even ids
+    — builds the constant-size sketch index once per sf_dir,
+    bench-amortized) and a DELTA wave (odd ids — tokenized and estimated
+    against index ∪ delta counter sums).  The oracle replays BOTH
+    sketches in SQL — counter sums across segments equal the
+    full-recompute sketch."""
+    docs = load(spark, sf_dir, "documents")
+    index_path = _memo_index(
+        "cms_sketch",
+        sf_dir,
+        lambda p: textstats.write_cms_index(docs.where(F.col("doc_id") % 2 == 0), p),
+    )
+    return textstats.cms_delta_heavy_hitters(
+        spark, docs.where(F.col("doc_id") % 2 == 1), index_path
+    )
+
+
 def oracle_substring_delta() -> str:
     """The whole-corpus ExactSubstr replay restricted to the delta wave:
     a delta doc's rewrite depends only on per-digest occurrence TOTALS,
@@ -2890,6 +3124,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl_divergence": lambda spark, sf: textstats.source_kl_divergence(load(spark, sf, "documents")),
         # per-doc top-k TF-IDF keywords (round-then-rank, term tie-break)
         "tfidf_top_terms": lambda spark, sf: textstats.tfidf_top_terms(load(spark, sf, "documents")),
+        # CCNet-style head/middle/tail perplexity tertiles per language
+        "perplexity_buckets": lambda spark, sf: textstats.perplexity_buckets(load(spark, sf, "documents")),
+        # count-min-sketch heavy hitters (constant-memory counting)
+        "cms_heavy_hitters": lambda spark, sf: textstats.cms_heavy_hitters(load(spark, sf, "documents")),
+        # heavy hitters of the ACCUMULATED corpus from the persisted
+        # constant-size sketch (only the delta wave is tokenized)
+        "cms_delta_heavy_hitters": q_cms_delta_heavy_hitters,
+        # HyperLogLog distinct-token census per language (constant-memory
+        # cardinality sketch, reported against the exact yardstick)
+        "hll_distinct_tokens": lambda spark, sf: textstats.hll_distinct_tokens(
+            load(spark, sf, "documents")
+        ),
         "lang_id": lambda spark, sf: textstats.lang_id(load(spark, sf, "documents")),
         "lang_id_profile": q_lang_id_profile,
         "fingerprints": lambda spark, sf: textstats.fingerprints(load(spark, sf, "documents")),
@@ -2933,6 +3179,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_delta_near_dup": q_embedding_delta_near_dup,
         # SemDeDup: k-means blocking + within-cluster cosine pruning
         "semantic_dedup": lambda spark, sf: similarity.semantic_dedup(
+            load(spark, sf, "embeddings")
+        ),
+        # D4-style diversity selection: per-semantic-cluster hash-order cap
+        "cluster_balanced_sample": lambda spark, sf: similarity.cluster_balanced_sample(
             load(spark, sf, "embeddings")
         ),
         "bpe_token_stats": lambda spark, sf: textstats.bpe_token_stats(load(spark, sf, "documents")),
@@ -3040,6 +3290,12 @@ _GATE_PRIORITY = [
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_topk_indexed",
     "ann_recall_at_k",
+    # round-6 late additions (never recorded)
+    "perplexity_buckets",
+    "cms_heavy_hitters",
+    "cluster_balanced_sample",
+    "cms_delta_heavy_hitters",
+    "hll_distinct_tokens",
 ]
 
 # Long-green remainder, measured-cost order (all hold a CORRECTNESS_r05
@@ -3167,6 +3423,10 @@ def build_oracles() -> dict[str, str]:
         "ann_pq_topk": oracle_ann_pq_topk(),
         "ann_ivfpq_topk": oracle_ann_ivfpq_topk(),
         "ann_recall_at_k": oracle_ann_recall_at_k(),
+        "perplexity_buckets": oracle_perplexity_buckets(),
+        "cms_heavy_hitters": oracle_cms_heavy_hitters(),
+        "cms_delta_heavy_hitters": oracle_cms_delta_heavy_hitters(),
+        "hll_distinct_tokens": oracle_hll_distinct_tokens(),
         "substring_delta": oracle_substring_delta(),
         "ann_ivfpq_residual_topk": oracle_ann_ivfpq_topk(residual=True),
         "ann_ivfpq_topk_indexed": oracle_ann_ivfpq_topk(residual=True),
@@ -3175,6 +3435,7 @@ def build_oracles() -> dict[str, str]:
         "pdf_page_stats": oracle_pdf_page_stats(),
         "embedding_near_dup": oracle_embedding_near_dup(),
         "semantic_dedup": oracle_semantic_dedup(),
+        "cluster_balanced_sample": oracle_cluster_balanced_sample(),
         "embedding_dedup_clusters": oracle_embedding_dedup_clusters(),
         "embedding_delta_near_dup": oracle_embedding_delta_near_dup(),
         "bpe_token_stats": oracle_bpe_token_stats(),

@@ -395,6 +395,12 @@ def compact_index_kind(spark: SparkSession, path: str, kind: str) -> int:
             )
         },
         "embedding_lsh": {},
+        "cms_sketch": {
+            # counts family: re-aggregate to one row per counter again
+            "transform": lambda df: df.groupBy("d", "bucket").agg(
+                F.sum("cnt").alias("cnt")
+            )
+        },
         "ivf": {"partition_by": ("centroid",)},
         "pq": {},
         "ivfpq": {"partition_by": ("centroid",)},

@@ -1282,8 +1282,11 @@ def write_substring_index(
     The shingle size is pinned to the root (fsio.assert_index_param):
     a probe or append at a different ``n`` hashes different shingles and
     would silently match nothing."""
-    from ..fsio import assert_index_param, write_wave_segment
+    from ..fsio import assert_index_kind, assert_index_param, write_wave_segment
 
+    # kind BEFORE param: refusing a foreign root must happen before any
+    # marker is adopted into it
+    assert_index_kind(documents.sparkSession, path, "substring_hist")
     assert_index_param(documents.sparkSession, path, "shingle_n", n)
     write_wave_segment(
         _substring_hist(documents, n), path, 0, kind="substring_hist"
@@ -1299,10 +1302,11 @@ def append_to_substring_index(
     job-managed string id (corpus_job's uuid wave ids; string ids mix
     fine with ints, the wave column is never semantic) that must not
     collide with the build's ``wave=0``."""
-    from ..fsio import assert_index_param, write_wave_segment
+    from ..fsio import assert_index_kind, assert_index_param, write_wave_segment
 
     if (isinstance(wave, int) and wave < 1) or str(wave) == "0":
         raise ValueError(f"append wave id must not be the build's 0: {wave}")
+    assert_index_kind(documents.sparkSession, path, "substring_hist")
     assert_index_param(documents.sparkSession, path, "shingle_n", n)
     write_wave_segment(
         _substring_hist(documents, n), path, wave, kind="substring_hist"

@@ -1727,6 +1727,44 @@ def semantic_dedup(
     )
 
 
+CLUSTER_SAMPLE_SALT = "csample:"
+CLUSTER_SAMPLE_CAP = 20
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    cap_per_cluster: int = CLUSTER_SAMPLE_CAP,
+    salt: str = CLUSTER_SAMPLE_SALT,
+) -> DataFrame:
+    """Cluster-balanced diversity sampling (the D4-style mix guard,
+    Tirumala et al. 2023, arXiv:2308.12284 §3: dedup-then-diversify —
+    after near-dup pruning, cap each SEMANTIC cluster so no mode of the
+    embedding space dominates the training mix): assign every vector to
+    the deterministic k-means coarse quantizer (:func:`ivf_assignments`
+    — the same engine-portable Lloyd replay the IVF/SemDeDup family
+    shares), then keep at most ``cap_per_cluster`` vectors per cluster,
+    chosen by hash order (md5(salt||vec_id), vec_id tie-break) so the
+    kept set is shuffle-independent and salt-rotatable.
+
+    Scale shape: assignment is one numpy matmul per Arrow batch
+    (centroids are driver-side control plane), and the cap is
+    :func:`sampling.capped_stratum_sample`'s two-phase key-prefix cut —
+    at production scale cluster sizes are zipf-skewed (that skew is WHY
+    the cap exists), so the per-cluster ranking never puts a whole
+    cluster through one window task.  Returns (vec_id, centroid, rk)."""
+    from .sampling import capped_stratum_sample
+
+    assigned, _ = ivf_assignments(embeddings, n_centroids)
+    return capped_stratum_sample(
+        assigned.select("vec_id", "centroid"),
+        "centroid",
+        "vec_id",
+        cap_per_cluster,
+        salt,
+    )
+
+
 # the four approximate paths measured by ann_recall_at_k, in report order
 ANN_RECALL_METHODS = ("lsh", "ivf", "pq", "ivfpq")
 

@@ -494,6 +494,358 @@ def source_kl_divergence(
     )
 
 
+PPL_BUCKET_NAMES = ("head", "middle", "tail")
+
+
+def perplexity_buckets(
+    documents: DataFrame, head_k: int = HEAD_VOCAB_K
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, §3.3): rank
+    each language's documents by their corpus-LM score
+    (:func:`unigram_logprob` — the same perplexity proxy the LM family
+    shares) and split the stratum into equal head / middle / tail
+    thirds, best-scoring first.  Downstream mixes sample the head
+    harder; the tail is the gibberish/boilerplate shelf.
+
+    Buckets come from exact per-language ranks, computed scalably: a
+    whole-stratum ``row_number`` window would put all of English through
+    ONE task, so the rank is two-phase like token_budget_sample — but
+    the ordering key here is the score itself, not a uniform hash, so
+    the sub-range key is the score's integer log2 BAND (floor of
+    avg_log2_prob): (1) per-(lang, band) counts — a summary bounded by
+    the score RANGE, not the corpus — window into running offsets;
+    (2) rank only within (lang, band) and add the offset.  Band order
+    refines score order (equal scores share a band), so ranks are
+    identical to the single-window plan.  The bucket index is INTEGER
+    arithmetic — ``(rk-1)*3 div n`` — never an FP division whose
+    rounding could flip a boundary doc between engines.  The lang joins
+    are null-safe and UNHINTED (lang cardinality is unbounded on dirty
+    data; AQE broadcasts the runtime-small case — the source_cap rule).
+
+    Returns (doc_id, lang, avg_log2_prob, ppl_bucket)."""
+    from pyspark.sql.window import Window
+
+    lp = unigram_logprob(documents, head_k).select("doc_id", "avg_log2_prob")
+    scored = lp.join(documents.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "avg_log2_prob",
+        F.floor("avg_log2_prob").cast("int").alias("band"),
+    )
+    # feeds the band histogram, the stratum totals, and the data-side
+    # window — materialize so the LM scoring pipeline runs once
+    scored = materialize(scored)
+    band_w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        scored.groupBy("lang", "band")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("lang").alias("o_lang"),
+            F.col("band").alias("o_band"),
+            F.coalesce(F.sum("cnt").over(band_w), F.lit(0)).alias("offset"),
+        )
+    )
+    totals = scored.groupBy("lang").agg(F.count("*").alias("n_docs")).select(
+        F.col("lang").alias("t_lang"), "n_docs"
+    )
+    w = Window.partitionBy("lang", "band").orderBy(
+        F.col("avg_log2_prob").desc(), F.col("doc_id").asc()
+    )
+    bucket_idx = F.expr("(rk - 1) * 3 div n_docs")
+    bucket = (
+        F.when(bucket_idx == 0, F.lit(PPL_BUCKET_NAMES[0]))
+        .when(bucket_idx == 1, F.lit(PPL_BUCKET_NAMES[1]))
+        .otherwise(F.lit(PPL_BUCKET_NAMES[2]))
+    )
+    return (
+        scored.join(
+            offsets,
+            scored["lang"].eqNullSafe(offsets["o_lang"])
+            & (scored["band"] == offsets["o_band"]),
+        )
+        .withColumn("rk", F.col("offset") + F.row_number().over(w))
+        .join(totals, F.col("lang").eqNullSafe(F.col("t_lang")))
+        .select("doc_id", "lang", "avg_log2_prob", bucket.alias("ppl_bucket"))
+    )
+
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_HEX_CHARS = 3  # bucket = first 3 md5 hex chars -> width 16^3 = 4096
+CMS_TOP_K = 20
+
+
+def _cms_hashed(counts: DataFrame, depth: int) -> DataFrame:
+    """(tok, tf) vocabulary counts -> one row per (tok, tf, d, bucket):
+    the token's counter coordinates in every sketch row.  Bucket hashing
+    is positional — the first CMS_HEX_CHARS hex chars of
+    md5('cms<d>:'||token) — decoded identically in the DuckDB oracles."""
+    probes = [
+        F.struct(
+            F.lit(d).alias("d"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{d}:"), F.col("tok"))),
+                    1,
+                    CMS_HEX_CHARS,
+                ),
+                16,
+                10,
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+        for d in range(depth)
+    ]
+    return counts.select(
+        "tok", "tf", F.explode(F.array(*probes)).alias("h")
+    ).select("tok", "tf", F.col("h.d").alias("d"), F.col("h.bucket").alias("bucket"))
+
+
+def _cms_sketch(documents: DataFrame, depth: int) -> DataFrame:
+    """The depth×4096 counter table (d, bucket, cnt) over a corpus's
+    whitespace tokens.  Built from the ALREADY-AGGREGATED vocabulary
+    counts, not the raw token stream — summing per-token totals into a
+    bucket is arithmetically identical to counting the stream into it,
+    so the counters match a streaming build exactly while the heavy
+    zipf head is absorbed by the count shuffle's map-side partial agg."""
+    counts = (
+        documents.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    return _cms_hashed(counts, depth).groupBy("d", "bucket").agg(
+        F.sum("tf").alias("cnt")
+    )
+
+
+def cms_heavy_hitters(
+    documents: DataFrame, depth: int = CMS_DEPTH, top_k: int = CMS_TOP_K
+) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    estimate every token's frequency from a depth×4096 counter array —
+    the CONSTANT-MEMORY structure a streaming ingest would maintain —
+    and report the top-k tokens by estimate alongside their true counts
+    and the sketch's overestimate (est − true ≥ 0 always; the min over
+    ``depth`` independent rows bounds collision inflation).
+
+    The sketch table is ≤ depth×4096 rows BY CONSTRUCTION
+    (:func:`_cms_sketch`), so its join back to the vocabulary is a
+    forced broadcast (bounded control plane, not a data-dependent hot
+    set — the anti-join rule doesn't apply).  The final top-k is a
+    global orderBy+limit (TakeOrdered — no single-partition window over
+    the vocabulary); only the k kept rows pass through the rank window."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        documents.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    counts = materialize(counts)  # feeds the sketch build + the estimate join
+    hashed = _cms_hashed(counts, depth)
+    sketch = hashed.groupBy("d", "bucket").agg(F.sum("tf").alias("cnt"))
+    est = (
+        hashed.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("tok", "tf")
+        .agg(F.min("cnt").alias("est"))
+    )
+    top = est.orderBy(F.col("est").desc(), F.col("tok").asc()).limit(top_k)
+    w = Window.orderBy(F.col("est").desc(), F.col("tok").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("tok").alias("token"),
+        F.col("tf").cast("long").alias("true_count"),
+        F.col("est").cast("long").alias("cms_estimate"),
+        (F.col("est") - F.col("tf")).cast("long").alias("overestimate"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+HLL_P = 8  # 2^8 = 256 registers (first 2 md5 hex chars)
+HLL_M = 1 << HLL_P
+# alpha_m for m=256, embedded as the SAME literal in both engines (a
+# computed 0.7213/(1+1.079/m) could differ in the last ulp)
+HLL_ALPHA = repr(0.7213 / (1 + 1.079 / 256))
+# leading zero BITS of a hex digit (the table both engines CASE over)
+HLL_NIBBLE_LZ = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}
+HLL_SUB_HEX = 13  # 13 hex chars = 52 bits of rho-range after the register
+
+
+def hll_distinct_tokens(documents: DataFrame) -> DataFrame:
+    """HyperLogLog distinct-token counts per language (Flajolet et al.
+    2007) — the constant-memory cardinality sketch a 100-TB vocabulary
+    census would maintain (256 registers/stratum here vs a
+    corpus-sized exact distinct), reported ALONGSIDE the exact count so
+    retrieval quality is measured, not asserted (the ann_recall_at_k
+    discipline).
+
+    Engine portability is structural, not numeric: the register index
+    is the first 2 md5 hex chars, and rho (leading-zero count + 1 over
+    the next 52 bits) is computed from the HEX STRING — a regexp count
+    of leading '0' chars plus a CASE table over the first non-zero
+    nibble — never via FP log2.  Register maxima are ints; 2^-M sums
+    are sums of exact powers of two; the only rounding is the final
+    4-decimal estimate.  The small-range ln() correction fires only
+    when the estimate ≤ 2.5m AND empty registers exist — same literal
+    expression in both engines, inside the rounding.
+
+    Plan shape: rho is map-side string work; the sketch is one
+    partial-aggregated groupBy(lang, register) max — the register
+    table is ≤ 256 rows per stratum.  The exact distinct (the quality
+    yardstick, not the production path) is the one corpus-sized
+    shuffle."""
+    h = F.md5(F.col("tok"))
+    sub = F.substring(h, 3, HLL_SUB_HEX)
+    nz = F.length(F.regexp_extract(sub, "^(0*)", 1))
+    # Column-typed start position: F.substring only takes int literals
+    first = sub.substr(nz + 1, F.lit(1))
+    nibble_lz = F.lit(0)
+    for ch, lz in sorted(HLL_NIBBLE_LZ.items()):
+        nibble_lz = F.when(first == ch, F.lit(lz)).otherwise(nibble_lz)
+    rho = (
+        F.when(nz == HLL_SUB_HEX, F.lit(4 * HLL_SUB_HEX + 1))
+        .otherwise(4 * nz + nibble_lz + 1)
+        .cast("int")
+    )
+    toks = documents.select(
+        "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    toks = materialize(toks)  # feeds the sketch + the exact yardstick
+    regs = (
+        toks.select(
+            "lang",
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("lang", "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    sketch = regs.groupBy("lang").agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("sum_present"),
+    )
+    m = F.lit(float(HLL_M))
+    zeros = m - F.col("n_present")
+    raw = F.expr(f"{HLL_ALPHA}") * m * m / (F.col("sum_present") + zeros)
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), m * F.log(m / zeros)
+    ).otherwise(raw)
+    exact = toks.groupBy("lang").agg(
+        F.count_distinct("tok").alias("exact_distinct")
+    )
+    ex = exact.select(F.col("lang").alias("x_lang"), "exact_distinct")
+    # null-safe: a column-list join would drop the NULL-lang stratum
+    return sketch.join(ex, sketch["lang"].eqNullSafe(ex["x_lang"])).select(
+        "lang",
+        "exact_distinct",
+        F.round(est, 4).alias("hll_estimate"),
+    )
+
+
+def write_cms_index(
+    documents: DataFrame, path: str, depth: int = CMS_DEPTH
+) -> None:
+    """Persist the count-min sketch — the NINTH wave-keyed index family,
+    and the first whose total size is CONSTANT in corpus size (each
+    segment is ≤ depth×4096 counter rows, ~50 KB).  CMS counters add
+    linearly, so the sketch of an accumulated corpus is the elementwise
+    SUM of its waves' sketches: ``wave=0`` build here,
+    :func:`append_to_cms_index` adds one segment per crawl wave
+    (delete-before-overwrite → retries replay), probes sum counters
+    across segments, and compaction re-aggregates to one row per
+    (d, bucket) — the counts-family geometry.  ``depth`` is pinned to
+    the root (fsio.assert_index_param): a probe at a different depth
+    would min over rows the index never wrote and silently
+    under-estimate."""
+    from ..fsio import assert_index_kind, assert_index_param, write_wave_segment
+
+    # kind BEFORE param: refusing a foreign root must happen before any
+    # marker is adopted into it
+    assert_index_kind(documents.sparkSession, path, "cms_sketch")
+    assert_index_param(documents.sparkSession, path, "cms_depth", depth)
+    write_wave_segment(_cms_sketch(documents, depth), path, 0, kind="cms_sketch")
+
+
+def append_to_cms_index(
+    documents: DataFrame, path: str, wave, depth: int = CMS_DEPTH
+) -> None:
+    """Add a wave's sketch as its own ``wave=<id>`` segment.  Caller
+    contract: documents disjoint from the waves already folded in (a
+    re-counted doc double-counts — CMS has no subtraction) and ``wave``
+    stable across retries of the same wave, never the build's 0."""
+    from ..fsio import assert_index_kind, assert_index_param, write_wave_segment
+
+    if (isinstance(wave, int) and wave < 1) or str(wave) == "0":
+        raise ValueError(f"append wave id must not be the build's 0: {wave}")
+    assert_index_kind(documents.sparkSession, path, "cms_sketch")
+    assert_index_param(documents.sparkSession, path, "cms_depth", depth)
+    write_wave_segment(_cms_sketch(documents, depth), path, wave, kind="cms_sketch")
+
+
+def cms_delta_heavy_hitters(
+    spark,
+    delta_documents: DataFrame,
+    index_path: str,
+    depth: int = CMS_DEPTH,
+    top_k: int = CMS_TOP_K,
+) -> DataFrame:
+    """Heavy hitters of the ACCUMULATED corpus, probed O(delta): only the
+    delta wave is tokenized; the history is the persisted constant-size
+    sketch.  Estimates are exactly what :func:`cms_heavy_hitters` would
+    compute over index ∪ delta (counter sums are order-independent),
+    restricted to candidates the delta carries — the recurring-crawl
+    question is "what is heavy NOW, given everything so far".
+
+    Returns (token, delta_count, cms_estimate, rank): delta_count is the
+    token's true count WITHIN the delta (the full-corpus true count is
+    exactly what the sketch exists to avoid recounting);
+    cms_estimate ≥ the full-corpus true count always."""
+    from pyspark.sql.window import Window
+
+    from ..fsio import assert_index_param, refuse_mid_compaction
+
+    refuse_mid_compaction(spark, index_path)
+    assert_index_param(spark, index_path, "cms_depth", depth, create=False)
+    counts = (
+        delta_documents.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    counts = materialize(counts)  # feeds the delta sketch + the estimate join
+    hashed = _cms_hashed(counts, depth)
+    delta_sketch = hashed.groupBy("d", "bucket").agg(F.sum("tf").alias("cnt"))
+    idx = (
+        spark.read.parquet(index_path)
+        .select("d", "bucket", "cnt")  # explicit: tolerate the wave column
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("idx_cnt"))
+    )
+    # every candidate coordinate exists in the delta sketch, so a LEFT
+    # join picks up history where it overlaps; both sides are ≤
+    # depth×4096 rows by construction — forced broadcast is safe
+    combined = delta_sketch.join(F.broadcast(idx), ["d", "bucket"], "left").select(
+        "d",
+        "bucket",
+        (F.col("cnt") + F.coalesce(F.col("idx_cnt"), F.lit(0))).alias("cnt"),
+    )
+    est = (
+        hashed.join(F.broadcast(combined), ["d", "bucket"])
+        .groupBy("tok", "tf")
+        .agg(F.min("cnt").alias("est"))
+    )
+    top = est.orderBy(F.col("est").desc(), F.col("tok").asc()).limit(top_k)
+    w = Window.orderBy(F.col("est").desc(), F.col("tok").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("tok").alias("token"),
+        F.col("tf").cast("long").alias("delta_count"),
+        F.col("est").cast("long").alias("cms_estimate"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Gopher-style repetition signals: the fraction of bigram INSTANCES
     taken by the most frequent bigram (top_bg / n_bigrams — note Gopher's

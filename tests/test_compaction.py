@@ -219,3 +219,29 @@ def test_compaction_crash_recovery(spark, docs, tmp_path, monkeypatch):
     assert fsio.compact_index_kind(spark, path, "simhash") == 2
     assert fsio._wave_names(spark, path) == ["wave=2"]
     assert _rows(spark.read.parquet(path).drop("wave")) == expected
+
+
+def test_cms_compaction_parity(spark, docs, tmp_path):
+    """The counts family re-aggregates on compaction: counter TOTALS are
+    preserved, one row per (d, bucket), the probe estimates identically,
+    and the geometry pin survives."""
+    from paperoni_spark.operators import textstats
+
+    path = str(tmp_path / "cms_idx")
+    textstats.write_cms_index(_split(docs, "doc_id", 0, 7), path)
+    textstats.append_to_cms_index(_split(docs, "doc_id", 7, 9), path, 1)
+    delta = _split(docs, "doc_id", 9, 10)
+    before = _rows(textstats.cms_delta_heavy_hitters(spark, delta, path))
+    totals_before = _rows(
+        spark.read.parquet(path).groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert fsio.compact_index_kind(spark, path, "cms_sketch") == 2
+    merged = spark.read.parquet(path)
+    assert (
+        _rows(merged.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt")))
+        == totals_before
+    )
+    assert merged.count() == merged.select("d", "bucket").distinct().count()
+    with pytest.raises(ValueError, match="cms_depth"):
+        textstats.cms_delta_heavy_hitters(spark, delta, path, depth=6).collect()
+    assert _rows(textstats.cms_delta_heavy_hitters(spark, delta, path)) == before

@@ -2171,3 +2171,147 @@ def test_tfidf_top_terms(spark, docs, ddb):
         )
         scores = [r["tfidf"] for r in doc_rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_perplexity_buckets(spark, docs, ddb):
+    """CCNet tertiles: oracle match plus the structural invariants —
+    per-lang bucket sizes are balanced to within one doc, and every
+    head doc scores at least as well as every tail doc in its lang."""
+    out = textstats.perplexity_buckets(docs)
+    assert_matches_oracle(out, ddb, contract.oracle_perplexity_buckets())
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = {b: 0 for b in textstats.PPL_BUCKET_NAMES}
+        for r in rs:
+            sizes[r["ppl_bucket"]] += 1
+        if len(rs) >= 3:
+            assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        head_min = min(
+            (r["avg_log2_prob"] for r in rs if r["ppl_bucket"] == "head"),
+            default=None,
+        )
+        tail_max = max(
+            (r["avg_log2_prob"] for r in rs if r["ppl_bucket"] == "tail"),
+            default=None,
+        )
+        if head_min is not None and tail_max is not None:
+            assert head_min >= tail_max
+
+
+def test_cms_heavy_hitters(spark, docs, ddb):
+    """Count-min sketch: oracle match plus the CMS guarantee — the
+    estimate NEVER undercounts (min over depth rows of sums that each
+    include the token's own mass)."""
+    out = textstats.cms_heavy_hitters(docs)
+    assert_matches_oracle(out, ddb, contract.oracle_cms_heavy_hitters())
+    rows = out.collect()
+    assert len(rows) == textstats.CMS_TOP_K
+    assert sorted(r["rank"] for r in rows) == list(
+        range(1, textstats.CMS_TOP_K + 1)
+    )
+    for r in rows:
+        assert r["cms_estimate"] >= r["true_count"]
+        assert r["overestimate"] == r["cms_estimate"] - r["true_count"]
+
+
+def test_cluster_balanced_sample(spark, embeds, ddb):
+    """Diversity cap: oracle match plus per-cluster ranks dense in
+    1..min(cap, cluster size) against the independent assignment."""
+    out = similarity.cluster_balanced_sample(embeds)
+    assert_matches_oracle(out, ddb, contract.oracle_cluster_balanced_sample())
+    assigned, _ = similarity.ivf_assignments(embeds)
+    sizes = {
+        r["centroid"]: r["n"]
+        for r in assigned.groupBy("centroid").agg(F.count("*").alias("n")).collect()
+    }
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["centroid"], []).append(r["rk"])
+    for cid, rks in got.items():
+        expect = min(similarity.CLUSTER_SAMPLE_CAP, sizes[cid])
+        assert sorted(rks) == list(range(1, expect + 1))
+    # every non-empty cluster is represented
+    assert set(got) == {c for c, n in sizes.items() if n > 0}
+
+
+def test_cms_delta_matches_oracle(spark, ddb):
+    """The persisted-sketch probe through the gate query (memoized even-id
+    index + odd-id delta) against the two-sketch SQL replay."""
+    out = contract.build_queries()["cms_delta_heavy_hitters"](spark, SF_DIR)
+    assert_matches_oracle(out, ddb, contract.oracle_cms_delta_heavy_hitters())
+
+
+def test_cms_index_waves_linearity_and_replay(spark, docs, tmp_path):
+    """CMS linearity is the index family's whole premise: a build + an
+    append must estimate EXACTLY like a single-pass index over the union
+    (counter sums are order-independent).  Plus the family invariants:
+    append retry replays (same counters, same probe), the build wave id
+    is refused for appends, the depth geometry pin refuses a mismatched
+    probe, and a foreign family cannot write into the root."""
+    from paperoni_spark.operators.textstats import (
+        append_to_cms_index,
+        cms_delta_heavy_hitters,
+        write_cms_index,
+    )
+
+    wave0 = docs.where(F.col("doc_id") % 3 == 0)
+    wave1 = docs.where(F.col("doc_id") % 3 == 1)
+    delta = docs.where(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "cms_idx")
+    write_cms_index(wave0, path)
+    append_to_cms_index(wave1, path, 1)
+    got = sorted(map(tuple, cms_delta_heavy_hitters(spark, delta, path).collect()))
+
+    single = str(tmp_path / "cms_single")
+    write_cms_index(docs.where(F.col("doc_id") % 3 != 2), single)
+    want = sorted(
+        map(tuple, cms_delta_heavy_hitters(spark, delta, single).collect())
+    )
+    assert got == want
+
+    # retry replays: identical counters and identical probe output
+    before = sorted(
+        map(tuple, spark.read.parquet(path).select("d", "bucket", "cnt").collect())
+    )
+    append_to_cms_index(wave1, path, 1)
+    assert (
+        sorted(
+            map(
+                tuple,
+                spark.read.parquet(path).select("d", "bucket", "cnt").collect(),
+            )
+        )
+        == before
+    )
+    assert (
+        sorted(map(tuple, cms_delta_heavy_hitters(spark, delta, path).collect()))
+        == got
+    )
+
+    with pytest.raises(ValueError, match="wave id"):
+        append_to_cms_index(wave1, path, 0)
+    with pytest.raises(ValueError, match="cms_depth"):
+        cms_delta_heavy_hitters(spark, delta, path, depth=6).collect()
+    from paperoni_spark.operators.dedup import write_substring_index
+
+    with pytest.raises(ValueError, match="refusing to write"):
+        write_substring_index(docs, path, n=8)
+    # the refusal happened BEFORE any marker was adopted into the root
+    import os as _os
+
+    assert not _os.path.exists(_os.path.join(path, "_param_shingle_n_8"))
+
+
+def test_hll_distinct_tokens(spark, docs, ddb):
+    """HLL census: oracle match plus the estimator sanity band — with
+    256 registers the standard error is ~1.04/sqrt(256) ≈ 6.5%, so the
+    estimate must land within 5σ of exact (a hash-quality failure or a
+    rho off-by-one lands far outside)."""
+    out = textstats.hll_distinct_tokens(docs)
+    assert_matches_oracle(out, ddb, contract.oracle_hll_distinct_tokens())
+    for r in out.collect():
+        rel = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 5 * 1.04 / (textstats.HLL_M ** 0.5), (r, rel)

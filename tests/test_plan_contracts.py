@@ -90,6 +90,30 @@ PLAN_CONTRACTS = {
     # within-cluster min-id pruning: one shuffle (the cluster-keyed
     # pair stage), no pair cartesian, no Python at query time
     "semantic_dedup": (1, []),
+    # CCNet tertiles: the data-wide shuffles are the materialized LM
+    # scoring (inside the cut) and the per-(lang, band) rank window; the
+    # other exchanges run over the band histogram / stratum totals —
+    # summary tables bounded by score range × lang, not corpus size
+    "perplexity_buckets": (5, []),
+    # count-min sketch: the vocab-count agg lives inside the
+    # materialization; the final plan shuffles only the (d, bucket)
+    # sketch build and the per-token min — the sketch join back is a
+    # forced broadcast (depth×4096 rows by construction) and the top-k
+    # is TakeOrdered, never a corpus-wide window
+    "cms_heavy_hitters": (2, []),
+    # per-cluster diversity cap: same two-phase prefix-cut budget as
+    # source_cap_sample (summary agg + offsets window + in-prefix rank)
+    # over the materialized assignment frame
+    "cluster_balanced_sample": (3, []),
+    # persisted-sketch probe: delta-sketch agg + index counter re-agg +
+    # the per-token min — the index scan is column-pruned to
+    # (d, bucket, cnt) (wave never read) and both sketch joins are
+    # forced broadcasts of ≤ depth×4096 rows
+    "cms_delta_heavy_hitters": (3, []),
+    # HLL census: register maxima + per-lang fold + the exact-distinct
+    # yardstick's two-phase count — rho is map-side string work, the
+    # register table is ≤ 256 rows per stratum
+    "hll_distinct_tokens": (4, []),
     # per-source KL rollup: the head/tail split again, plus exactly two
     # source-keyed shuffles (the broadcast-side per-source totals agg
     # and the closing rollup) — source cardinality is tiny, so both are

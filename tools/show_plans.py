@@ -84,6 +84,11 @@ def main() -> None:
         "bigram_logprob (vocab²-bounded lp table; zipf head/tail split join)": textstats.bigram_logprob(docs),
         "tfidf_top_terms (df head/tail split; per-doc WindowGroupLimit rank)": textstats.tfidf_top_terms(docs),
         "source_kl_divergence (per-source KL rollup; broadcast source totals)": textstats.source_kl_divergence(docs),
+        "perplexity_buckets (band-histogram two-phase per-lang tertile rank)": textstats.perplexity_buckets(docs),
+        "cms_heavy_hitters (depth×4096 sketch from vocab counts; broadcast join back)": textstats.cms_heavy_hitters(docs),
+        "cluster_balanced_sample (k-means assignment + two-phase stratum cap)": similarity.cluster_balanced_sample(embeds),
+        "cms_delta_heavy_hitters (persisted constant-size sketch; only the delta tokenized)": contract.q_cms_delta_heavy_hitters(spark, SF),
+        "hll_distinct_tokens (string-level rho; 256-register partial-agg sketch)": textstats.hll_distinct_tokens(docs),
     }
 
     out = ["# PLANS — formatted physical plans for the headline queries\n"]
