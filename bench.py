@@ -65,6 +65,8 @@ INDEXED_QUERIES = {
     "ann_ivfpq_topk_indexed",
     "substring_delta",
     "cms_delta_heavy_hitters",
+    "bloom_delta_new_docs",
+    "shingle_novelty",
 }
 
 
@@ -230,6 +232,12 @@ def main() -> None:
         "cluster_balanced_sample",
         "cms_delta_heavy_hitters",
         "hll_distinct_tokens",
+        "quality_classifier_scores",
+        "source_temperature_mix",
+        "zipf_law_fit",
+        "bloom_delta_new_docs",
+        "shingle_novelty",
+        "funnel_conversion",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

@@ -80,6 +80,17 @@ def main(argv: list[str] | None = None) -> None:
         "substring cleaning.  First run bootstraps the index.",
     )
     parser.add_argument(
+        "--model-filter",
+        type=float,
+        nargs="?",
+        const=None,
+        default=False,
+        metavar="THRESHOLD",
+        help="add the hashed-linear model quality gate after the rule "
+        "filter (rejected:model_quality funnel stage); optional logit "
+        "threshold overrides the default",
+    )
+    parser.add_argument(
         "--append",
         action="store_true",
         help="append to an existing corpus output instead of overwriting "
@@ -138,6 +149,10 @@ def main(argv: list[str] | None = None) -> None:
         substring_clean=args.substring_clean is not None
         and args.substring_index is None,
         substring_n=substring_n,
+        model_filter=args.model_filter is not False,
+        model_threshold=args.model_filter
+        if args.model_filter not in (False, None)
+        else None,
     )
     if args.dedup_index is not None:
         from paperoni_spark.pipeline.compose import dedup_wave_against_index

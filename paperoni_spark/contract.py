@@ -743,6 +743,172 @@ FROM est
 """
 
 
+def oracle_bloom_delta_new_docs() -> str:
+    """DuckDB twin of the persisted-Bloom probe: base bits replayed from
+    the even ids (distinct positions — OR idempotence), the same 4-hex
+    positional decode, the all-k-probes-hit membership test over the
+    delta's distinct digests, and the exact-membership yardstick the
+    gate query adds (false positives measured, false negatives
+    impossible)."""
+    d = dedup
+    seeds = ", ".join(str(i) for i in range(d.BLOOM_K))
+    hexpos = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+    pos = (
+        f"(({hexpos.format(i=1)}) * 4096 + ({hexpos.format(i=2)}) * 256"
+        f" + ({hexpos.format(i=3)}) * 16 + ({hexpos.format(i=4)}))"
+    )
+    return f"""
+WITH bdig AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 2 = 0
+),
+bpos AS (
+  SELECT DISTINCT {pos} AS pos
+  FROM (SELECT md5('bloom' || i::VARCHAR || ':' || digest) AS h
+        FROM bdig, unnest([{seeds}]) AS t(i))
+),
+delta AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 2 = 1
+),
+dpos AS (
+  SELECT digest, {pos} AS pos
+  FROM (SELECT digest, md5('bloom' || i::VARCHAR || ':' || digest) AS h
+        FROM (SELECT DISTINCT digest FROM delta), unnest([{seeds}]) AS t(i))
+),
+hits AS (
+  SELECT digest, count(*) AS n_hit FROM dpos JOIN bpos USING (pos)
+  GROUP BY digest
+)
+SELECT d.doc_id, d.digest,
+       coalesce(h.n_hit, 0) = {d.BLOOM_K} AS possibly_seen,
+       d.digest IN (SELECT digest FROM bdig) AS actually_seen
+FROM delta d LEFT JOIN hits h USING (digest)
+"""
+
+
+def oracle_quality_classifier_scores() -> str:
+    """DuckDB twin of textstats.quality_classifier_scores: the identical
+    two-md5 bucket->weight derivation (6-hex positional decode), exact
+    integer weight sums (order-independent — the portability move), one
+    final division mirrored verbatim, and the keep verdict on the
+    ROUNDED logit."""
+    t = textstats
+    hexpos = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+    w = " + ".join(
+        f"({hexpos.format(i=i + 1)}) * {16 ** (t.QC_WEIGHT_HEX - 1 - i)}"
+        for i in range(t.QC_WEIGHT_HEX)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+w AS (
+  SELECT doc_id, ({w}) - {t.QC_WEIGHT_MID} AS w
+  FROM (SELECT doc_id,
+               md5('qw:' || substr(md5('qt:' || tok), 1, {t.QC_BUCKET_HEX})) AS h
+        FROM toks)
+),
+agg AS (SELECT doc_id, sum(w) AS w_sum, count(*) AS n_tokens FROM w GROUP BY doc_id)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       round(w_sum / (n_tokens * {float(t.QC_WEIGHT_MID)}), 6) AS quality_logit,
+       round(w_sum / (n_tokens * {float(t.QC_WEIGHT_MID)}), 6) >= {t.QC_THRESHOLD} AS kept
+FROM agg
+"""
+
+
+def oracle_source_temperature_mix() -> str:
+    """DuckDB twin of textstats.source_temperature_mix: the same α
+    literal, pow() immediately quantized to an integer relative weight
+    (exact sums), and the weight/epoch divisions in the identical
+    left-associated expression shape."""
+    t = textstats
+    return f"""
+WITH per_src AS (
+  SELECT source, sum(len({_TOKENS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS total FROM per_src),
+wi AS (
+  SELECT source, n_tokens, total,
+         round(pow(n_tokens / total, {t.MIX_ALPHA}) * {t.MIX_W_SCALE}, 0)::BIGINT AS w_int
+  FROM per_src CROSS JOIN tot
+),
+wt AS (SELECT sum(w_int) AS w_total FROM wi)
+SELECT source, n_tokens,
+       round(n_tokens / total, 6) AS p_raw,
+       round(w_int / w_total, 6) AS mix_weight,
+       round(w_int / w_total * total / n_tokens, 4) AS expected_epochs
+FROM wi CROSS JOIN wt
+"""
+
+
+def oracle_zipf_law_fit() -> str:
+    """DuckDB twin of textstats.zipf_law_fit: the naive whole-stratum
+    rank window IS the oracle (the banded two-phase is the scale
+    implementation — band order refines tf order, so ranks agree),
+    quantized integer regression sums (DuckDB sums BIGINT into HUGEINT;
+    exact either way at the bounded head size), and the final divisions
+    on exact integer inputs."""
+    t = textstats
+    return f"""
+WITH counts AS (
+  SELECT lang, tok, count(*) AS tf
+  FROM (SELECT lang, unnest({_TOKENS}) AS tok FROM documents)
+  GROUP BY lang, tok
+),
+ranked AS (
+  SELECT lang, tf,
+         row_number() OVER (PARTITION BY lang ORDER BY tf DESC, tok ASC) AS rk
+  FROM counts
+),
+pts AS (
+  SELECT lang,
+         round(log2(rk) * {t.ZIPF_Q}, 0)::BIGINT AS x,
+         round(log2(tf) * {t.ZIPF_Q}, 0)::BIGINT AS y
+  FROM ranked WHERE rk <= {t.ZIPF_TOP_K}
+),
+sums AS (
+  SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM pts GROUP BY lang
+)
+SELECT lang, n::INT AS n_head,
+       round((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE, 4) AS zipf_slope,
+       CASE WHEN (n*syy - sy*sy) = 0 THEN NULL
+            ELSE round((n*sxy - sx*sy)::DOUBLE * (n*sxy - sx*sy)::DOUBLE
+                       / ((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 4)
+       END AS zipf_r2
+FROM sums WHERE n >= 2
+"""
+
+
+def oracle_funnel_conversion() -> str:
+    """DuckDB twin of sessionize.funnel_conversion: per-step first-touch
+    completion times via the same monotone user-keyed min-joins, exact
+    timestamp comparisons, integer counts (the only FP step is the
+    rounded final rate)."""
+    steps = sessionize.FUNNEL_STEPS
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i, st in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN s{i-1} p ON e.user_id = p.user_id AND e.ts > p.t "
+            f"WHERE e.event_type = '{st}' GROUP BY e.user_id)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {i+1} AS step, '{st}' AS event_type, "
+        f"(SELECT count(*) FROM s{i+1}) AS n_users"
+        for i, st in enumerate(steps)
+    )
+    return f"""
+WITH {', '.join(ctes)},
+c AS ({unions})
+SELECT step, event_type, n_users::BIGINT AS n_users,
+       round(n_users / (SELECT count(*) FROM s1), 6) AS conv_rate
+FROM c
+"""
+
+
 def oracle_repetition_stats() -> str:
     return f"""
 WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
@@ -2843,6 +3009,70 @@ def q_substring_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty of the delta wave vs the persisted shingle
+    histogram — SHARES the memoized substring_hist index with
+    q_substring_delta (same builder, same key), so the gate pays the
+    build once for both probes.  The planted passages make the signal
+    non-trivial: passage carriers in the delta overlap the index's
+    carriers and score measurably less novel."""
+    probed = substring_probed_documents(spark, sf_dir)
+    index_path = _memo_index(
+        "substring_hist",
+        sf_dir,
+        lambda p: dedup.write_substring_index(
+            probed.where(F.col("doc_id") % 2 == 0), p, n=_SUBSTR_GATE_N
+        ),
+    )
+    return dedup.shingle_novelty(
+        spark,
+        probed.where(F.col("doc_id") % 2 == 1),
+        index_path,
+        n=_SUBSTR_GATE_N,
+    )
+
+
+def oracle_shingle_novelty(n: int = _SUBSTR_GATE_N) -> str:
+    """DuckDB twin of dedup.shingle_novelty over the planted corpus:
+    base histogram digests from the even ids, the delta's positional
+    shingle stream (repeats included), and the explicit NULL for
+    shingle-less docs (Spark's 0/0 is NULL, DuckDB's is NaN — the
+    boundary is never left to engine defaults)."""
+    passage = _SUBSTR_PASSAGE
+    concat = " || ' ' || ".join(f"arr[i+{k}]" for k in range(n))
+    return f"""
+WITH probed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < {_SUBSTR_PLANT_N} THEN text || ' {passage}'
+              WHEN doc_id = {_SUBSTR_PLANT_N} THEN text || ' ' || text
+              ELSE text END AS text
+  FROM documents
+),
+tok AS (SELECT doc_id, {_TOKENS} AS arr FROM probed),
+pos AS (
+  SELECT doc_id, md5({concat}) AS h
+  FROM tok, unnest(generate_series(1, len(arr) - {n - 1})) AS t(i)
+  WHERE len(arr) >= {n}
+),
+idx AS (SELECT DISTINCT h FROM pos WHERE doc_id % 2 = 0),
+agg AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN idx.h IS NULL THEN 0 ELSE 1 END) AS n_seen
+  FROM pos LEFT JOIN idx ON pos.h = idx.h
+  WHERE doc_id % 2 = 1
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(a.n_seen, 0)::BIGINT AS n_seen,
+       CASE WHEN coalesce(a.n_shingles, 0) = 0 THEN NULL
+            ELSE round((a.n_shingles - a.n_seen) / a.n_shingles, 6)
+       END AS novel_frac
+FROM (SELECT doc_id FROM tok WHERE doc_id % 2 = 1) t
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_cms_delta_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-CMS probe: the corpus split into a BASE wave (even ids
     — builds the constant-size sketch index once per sf_dir,
@@ -2858,6 +3088,39 @@ def q_cms_delta_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return textstats.cms_delta_heavy_hitters(
         spark, docs.where(F.col("doc_id") % 2 == 1), index_path
+    )
+
+
+def q_bloom_delta_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-Bloom admission gate: the corpus split into a BASE wave
+    (even ids — builds the constant-size bit index once per sf_dir,
+    bench-amortized) and a DELTA wave (odd ids — membership-tested
+    against the index bits).  The wrapper joins back the EXACT base
+    membership as ``actually_seen`` — the hll exact-yardstick
+    discipline: the oracle then pins both the filter's verdicts AND its
+    measured false positives (possibly_seen ⊇ actually_seen is the
+    no-false-negative guarantee, enforced row-by-row by the hash
+    compare)."""
+    docs = load(spark, sf_dir, "documents")
+    index_path = _memo_index(
+        "bloom_bits",
+        sf_dir,
+        lambda p: dedup.write_bloom_index(docs.where(F.col("doc_id") % 2 == 0), p),
+    )
+    probed = dedup.bloom_delta_new_docs(
+        spark, docs.where(F.col("doc_id") % 2 == 1), index_path
+    )
+    base = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .withColumn("seen", F.lit(True))
+    )
+    return probed.join(base, "digest", "left").select(
+        "doc_id",
+        "digest",
+        "possibly_seen",
+        F.coalesce("seen", F.lit(False)).alias("actually_seen"),
     )
 
 
@@ -3136,6 +3399,21 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": lambda spark, sf: textstats.hll_distinct_tokens(
             load(spark, sf, "documents")
         ),
+        # recurring-crawl admission gate from the persisted Bloom filter
+        # (definitely-new vs possibly-seen, O(delta), exact yardstick)
+        "bloom_delta_new_docs": q_bloom_delta_new_docs,
+        # fastText-style hashed-linear quality model (integer weights)
+        "quality_classifier_scores": lambda spark, sf: textstats.quality_classifier_scores(
+            load(spark, sf, "documents")
+        ),
+        # temperature-scaled source sampling weights (p^alpha mixing)
+        "source_temperature_mix": lambda spark, sf: textstats.source_temperature_mix(
+            load(spark, sf, "documents")
+        ),
+        # per-language Zipf slope/R^2 over the vocabulary head
+        "zipf_law_fit": lambda spark, sf: textstats.zipf_law_fit(
+            load(spark, sf, "documents")
+        ),
         "lang_id": lambda spark, sf: textstats.lang_id(load(spark, sf, "documents")),
         "lang_id_profile": q_lang_id_profile,
         "fingerprints": lambda spark, sf: textstats.fingerprints(load(spark, sf, "documents")),
@@ -3160,6 +3438,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-wave ExactSubstr: delta probed against the persisted
         # shingle histogram (the seventh wave-keyed index family)
         "substring_delta": q_substring_delta,
+        # per-doc novelty of the delta's shingle stream vs the same index
+        "shingle_novelty": q_shingle_novelty,
         # classical IVFADC: PQ over residuals, per-probe query tables
         "ann_ivfpq_residual_topk": lambda spark, sf: similarity.ann_ivfpq_topk(
             load(spark, sf, "embeddings"), residual=True
@@ -3202,6 +3482,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join family: documents ⋈ embeddings + aggregate
         "docs_joined_labels": q_docs_joined_labels,
         # sessionization (window functions, one shared shuffle)
+        "funnel_conversion": lambda spark, sf: sessionize.funnel_conversion(
+            load(spark, sf, "events")
+        ),
         "session_stats": lambda spark, sf: sessionize.session_stats(load(_utc(spark), sf, "events")),
         # streaming (batch shape + true Structured Streaming run + custom
         # stateful operator via applyInPandasWithState)
@@ -3296,6 +3579,13 @@ _GATE_PRIORITY = [
     "cluster_balanced_sample",
     "cms_delta_heavy_hitters",
     "hll_distinct_tokens",
+    # round-6 session-2 additions (never recorded)
+    "quality_classifier_scores",
+    "source_temperature_mix",
+    "zipf_law_fit",
+    "bloom_delta_new_docs",
+    "shingle_novelty",
+    "funnel_conversion",
 ]
 
 # Long-green remainder, measured-cost order (all hold a CORRECTNESS_r05
@@ -3427,6 +3717,12 @@ def build_oracles() -> dict[str, str]:
         "cms_heavy_hitters": oracle_cms_heavy_hitters(),
         "cms_delta_heavy_hitters": oracle_cms_delta_heavy_hitters(),
         "hll_distinct_tokens": oracle_hll_distinct_tokens(),
+        "bloom_delta_new_docs": oracle_bloom_delta_new_docs(),
+        "quality_classifier_scores": oracle_quality_classifier_scores(),
+        "source_temperature_mix": oracle_source_temperature_mix(),
+        "zipf_law_fit": oracle_zipf_law_fit(),
+        "shingle_novelty": oracle_shingle_novelty(),
+        "funnel_conversion": oracle_funnel_conversion(),
         "substring_delta": oracle_substring_delta(),
         "ann_ivfpq_residual_topk": oracle_ann_ivfpq_topk(residual=True),
         "ann_ivfpq_topk_indexed": oracle_ann_ivfpq_topk(residual=True),

@@ -401,6 +401,10 @@ def compact_index_kind(spark: SparkSession, path: str, kind: str) -> int:
                 F.sum("cnt").alias("cnt")
             )
         },
+        "bloom_bits": {
+            # idempotent-OR family: re-distinct to one row per set bit
+            "transform": lambda df: df.select("pos").distinct()
+        },
         "ivf": {"partition_by": ("centroid",)},
         "pq": {},
         "ivfpq": {"partition_by": ("centroid",)},

@@ -1354,3 +1354,185 @@ def substring_delta_clean(
         .select("h")
     )
     return _substring_rewrite(delta_documents, positioned, dup_h, n)
+
+
+BLOOM_K = 4  # independent hash functions
+BLOOM_HEX_CHARS = 4  # bit position = first 4 md5 hex chars -> m = 16^4 = 65536
+
+
+def _bloom_positions(digests: DataFrame, k: int = BLOOM_K) -> DataFrame:
+    """(digest) -> one row per (digest, pos): the digest's ``k`` bit
+    coordinates in the shared m=65536-bit array.  Positions are
+    positional-hex like every sketch in the repo — the first
+    BLOOM_HEX_CHARS hex chars of md5('bloom<i>:'||digest), decoded
+    identically by the DuckDB oracle."""
+    probes = [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bloom{i}:"), F.col("digest"))),
+                1,
+                BLOOM_HEX_CHARS,
+            ),
+            16,
+            10,
+        )
+        .cast("int")
+        .alias(f"p{i}")
+        for i in range(k)
+    ]
+    return digests.select(
+        "digest", F.explode(F.array(*probes)).alias("pos")
+    )
+
+
+def _bloom_bits(documents: DataFrame, k: int = BLOOM_K) -> DataFrame:
+    """The set-bit table (pos) of a corpus's text-digest Bloom filter —
+    ≤ 65536 rows BY CONSTRUCTION regardless of corpus size.  Built from
+    the distinct digests; setting a bit twice is the same bit (the OR
+    idempotence the index family leans on)."""
+    digests = documents.select(F.md5("text").alias("digest")).distinct()
+    return _bloom_positions(digests, k).select("pos").distinct()
+
+
+def write_bloom_index(
+    documents: DataFrame, path: str, k: int = BLOOM_K
+) -> None:
+    """Persist the exact-dedup membership Bloom filter — the TENTH
+    wave-keyed index family, constant-size like the CMS sketch (≤ 65536
+    bit rows per segment, ~0.5 MB) but IDEMPOTENT where CMS is linear:
+    bits combine by OR, so appends need NOT cover disjoint documents —
+    re-sending an already-indexed wave, or overlapping waves, yields the
+    identical filter (at-least-once ingest without the CMS disjointness
+    contract).  Probes union set bits across segments; compaction
+    re-distincts to one row per bit.  ``k`` is pinned to the root: a
+    probe at a different k tests bit coordinates the index never set
+    and would report seen documents as definitely-new (a false
+    NEGATIVE — the one error class a Bloom filter must never make)."""
+    from ..fsio import assert_index_kind, assert_index_param, write_wave_segment
+
+    # kind BEFORE param: refusing a foreign root must happen before any
+    # marker is adopted into it
+    assert_index_kind(documents.sparkSession, path, "bloom_bits")
+    assert_index_param(documents.sparkSession, path, "bloom_k", k)
+    write_wave_segment(_bloom_bits(documents, k), path, 0, kind="bloom_bits")
+
+
+def append_to_bloom_index(
+    documents: DataFrame, path: str, wave, k: int = BLOOM_K
+) -> None:
+    """Add a wave's set bits as its own ``wave=<id>`` segment.  Caller
+    contract: ``wave`` stable across retries of the same wave, never the
+    build's 0.  Unlike the CMS family there is NO disjointness
+    requirement — OR is idempotent, overlapping waves are safe."""
+    from ..fsio import assert_index_kind, assert_index_param, write_wave_segment
+
+    if (isinstance(wave, int) and wave < 1) or str(wave) == "0":
+        raise ValueError(f"append wave id must not be the build's 0: {wave}")
+    assert_index_kind(documents.sparkSession, path, "bloom_bits")
+    assert_index_param(documents.sparkSession, path, "bloom_k", k)
+    write_wave_segment(_bloom_bits(documents, k), path, wave, kind="bloom_bits")
+
+
+def bloom_delta_new_docs(
+    spark,
+    delta_documents: DataFrame,
+    index_path: str,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Which delta documents are DEFINITELY NEW vs the accumulated
+    history, answered O(delta) from the constant-size persisted filter:
+    a doc is possibly_seen iff ALL ``k`` of its digest's bit coordinates
+    are set in the index (union of wave segments) — no false negatives
+    by construction, false positives bounded by the filter's load.  This
+    is the recurring-crawl admission gate that never re-reads history:
+    at 100 TB the exact digest table is itself TB-scale, the filter is
+    half an MB.
+
+    Only the delta is hashed; the bit table is ≤ 65536 rows BY
+    CONSTRUCTION, so its join is a forced broadcast (bounded control
+    plane — the anti-join rule for data-dependent hot sets doesn't
+    apply).  Returns (doc_id, digest, possibly_seen); pair it with an
+    exact check where history is still queryable to MEASURE the
+    false-positive rate (the hll exact-yardstick discipline — the gate
+    query does exactly that)."""
+    from ..fsio import assert_index_param, refuse_mid_compaction
+
+    refuse_mid_compaction(spark, index_path)
+    assert_index_param(spark, index_path, "bloom_k", k, create=False)
+    bits = (
+        spark.read.parquet(index_path)
+        .select("pos")  # explicit: tolerate the wave partition column
+        .distinct()
+    )
+    delta = delta_documents.select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    hits = (
+        _bloom_positions(delta.select("digest").distinct(), k)
+        .join(F.broadcast(bits), "pos")
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return delta.join(hits, "digest", "left").select(
+        "doc_id",
+        "digest",
+        (F.coalesce("n_hit", F.lit(0)) == k).alias("possibly_seen"),
+    )
+
+
+def shingle_novelty(
+    spark,
+    delta_documents: DataFrame,
+    index_path: str,
+    n: int = SUBSTR_DEDUP_N,
+) -> DataFrame:
+    """Per-document novelty of a delta wave against the accumulated
+    corpus: the fraction of the doc's positional n-token shingle STREAM
+    (repeats included — a doc that repeats an already-seen passage is
+    that much less novel) whose digest never occurs in the persisted
+    ExactSubstr histogram (the ``substring_hist`` family).  The
+    crawl-scheduling signal: waves full of near-zero-novelty documents
+    are re-crawls feeding nothing new into the training mix.
+
+    O(delta): only the delta is tokenized/hashed; the index side is
+    digest-restricted by an UNHINTED join on the delta's distinct
+    digests (AQE broadcasts a small delta; a skewed one degrades to a
+    digest-keyed shuffle, never a driver-OOM broadcast) — the same
+    probe shape as substring_delta_clean.  Docs shorter than ``n``
+    tokens carry no shingles and are reported with novel_frac NULL.
+
+    Returns (doc_id, n_shingles, n_seen, novel_frac)."""
+    from ..fsio import assert_index_param, refuse_mid_compaction
+
+    refuse_mid_compaction(spark, index_path)
+    assert_index_param(spark, index_path, "shingle_n", n, create=False)
+    positioned = materialize(_positioned_shingles(delta_documents, n))
+    seen_h = (
+        spark.read.parquet(index_path)
+        .select("h")
+        .join(positioned.select("h").distinct(), "h")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    per_doc = (
+        positioned.join(seen_h, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("seen", F.lit(0))).alias("n_seen"),
+        )
+    )
+    return delta_documents.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_seen", F.lit(0)).cast("long").alias("n_seen"),
+        # explicit NULL for shingle-less docs: Spark's 0/0 is NULL but
+        # DuckDB's is NaN — don't leave the boundary to engine defaults
+        F.when(F.col("n_shingles") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("n_shingles") - F.col("n_seen")) / F.col("n_shingles"), 6
+            )
+        )
+        .alias("novel_frac"),
+    )

@@ -1034,3 +1034,225 @@ def length_stats(
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+QC_BUCKET_HEX = 4  # 16^4 = 65536 hashed feature buckets
+QC_WEIGHT_HEX = 6  # 24-bit unsigned weight field
+QC_WEIGHT_MID = 1 << 23  # recentering -> integer weights in [-2^23, 2^23)
+QC_THRESHOLD = 0.0  # applied to the ROUNDED logit (repo boundary rule)
+
+
+def quality_classifier_weight(tok: Column) -> Column:
+    """The deterministic stand-in for a trained fastText-style linear
+    classifier's weight table (Joulin et al. 2017 — the model CCNet and
+    RefinedWeb gate quality with): token -> hashed feature bucket
+    (first QC_BUCKET_HEX md5 hex chars: the hashing trick, collisions
+    and all) -> a pseudo-random INTEGER weight derived from the bucket
+    id by a second md5.  Integer weights are the engine-portability
+    move: per-document weight sums are exact long arithmetic —
+    order-independent across partitionings and engines — so the only
+    FP step is one final division, rounded.  A real deployment swaps
+    this expression for a broadcast-joined trained table; every plan
+    property (map-side scoring, one doc-keyed shuffle) is unchanged."""
+    bucket = F.substring(F.md5(F.concat(F.lit("qt:"), tok)), 1, QC_BUCKET_HEX)
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("qw:"), bucket)), 1, QC_WEIGHT_HEX),
+            16,
+            10,
+        ).cast("long")
+        - F.lit(QC_WEIGHT_MID)
+    )
+
+
+def quality_classifier_scores(
+    documents: DataFrame, threshold: float = QC_THRESHOLD
+) -> DataFrame:
+    """Model-based quality scoring: mean hashed-bag-of-words weight per
+    document, as a logit in [-1, 1), and the keep verdict at
+    QC_THRESHOLD — the model-gated twin of the rule-based
+    :func:`quality_filter`.  Fully map-side token work feeding ONE
+    partial-aggregated doc_id shuffle (tokens never leave their split;
+    only per-doc partial sums move) — the same plan shape as token_stats
+    at any corpus size.
+
+    Returns (doc_id, n_tokens, quality_logit, kept); kept compares the
+    ROUNDED logit so engine comparisons never sit on an unrounded FP
+    boundary."""
+    w = quality_classifier_weight(F.col("tok"))
+    scored = (
+        documents.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("w_sum"), F.count("*").alias("n_tokens"))
+    )
+    logit = F.round(
+        F.col("w_sum") / (F.col("n_tokens") * F.lit(float(QC_WEIGHT_MID))), 6
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        logit.alias("quality_logit"),
+        (logit >= F.lit(threshold)).alias("kept"),
+    )
+
+
+MIX_ALPHA = "0.3"  # temperature exponent, embedded as the SAME literal
+MIX_W_SCALE = 1_000_000  # relative weights quantized to integers
+
+
+def source_temperature_mix(documents: DataFrame) -> DataFrame:
+    """Temperature-scaled source mixing weights (the multilingual /
+    multi-source sampling rule of Lample & Conneau 2019 §3.1, UniMax's
+    baseline): source i with token share p_i is sampled proportionally
+    to p_i^α (α = 0.3 here — upweights the tail, flattens the head),
+    reported with the expected epochs over source i when one
+    corpus-size token budget is drawn under the mix.
+
+    Engine portability: the one genuinely libm-dependent step —
+    pow(p, α) — is immediately quantized to an integer relative weight
+    (× 1e6, rounded), so normalization sums are exact long arithmetic;
+    the final weight/epoch divisions run on exact integer inputs through
+    identical expression trees and are rounded.  Plan: one
+    source-keyed partial-aggregated shuffle; the totals join is a
+    1-row broadcast cross join (bounded control plane)."""
+    per_src = (
+        documents.select(
+            "source", F.size(tokens_col(F.col("text"))).alias("n_tok")
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    per_src = materialize(per_src)  # feeds the totals agg + the final join
+    total = per_src.agg(F.sum("n_tokens").alias("total"))
+    w_int = F.round(
+        F.pow(F.col("n_tokens") / F.col("total"), F.expr(MIX_ALPHA))
+        * F.lit(MIX_W_SCALE),
+        0,
+    ).cast("long")
+    weighted = per_src.crossJoin(F.broadcast(total)).select(
+        "source", "n_tokens", "total", w_int.alias("w_int")
+    )
+    wtot = weighted.agg(F.sum("w_int").alias("w_total"))
+    return weighted.crossJoin(F.broadcast(wtot)).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("n_tokens") / F.col("total"), 6).alias("p_raw"),
+        F.round(F.col("w_int") / F.col("w_total"), 6).alias("mix_weight"),
+        F.round(
+            F.col("w_int") / F.col("w_total") * F.col("total") / F.col("n_tokens"),
+            4,
+        ).alias("expected_epochs"),
+    )
+
+
+ZIPF_TOP_K = 256  # per-language head the power law is fit over
+ZIPF_Q = 1000  # log2 values quantized to 1e-3 -> exact integer sums
+
+
+def zipf_law_fit(documents: DataFrame, top_k: int = ZIPF_TOP_K) -> DataFrame:
+    """Per-language Zipf's-law fit over the vocabulary head: least-squares
+    slope and R² of log2(tf) against log2(rank) for the top_k most
+    frequent tokens — the corpus-health diagnostic that catches
+    boilerplate floods and template spam (they bend the head away from
+    the ~-1 power law long before they dominate raw counts).
+
+    Ranks are exact and computed scalably with the banded two-phase of
+    :func:`perplexity_buckets`: per-(lang, log2-band) counts (a summary
+    bounded by the tf RANGE) -> running offsets -> only bands
+    intersecting the top_k are ranked in a window, so no whole-vocabulary
+    single-partition window exists; the boundary band's population
+    bounds the windowed rows (tiny at the zipf head, where high-tf bands
+    hold few tokens).  Regression inputs are QUANTIZED to integers
+    (round(log2·1000)) so every regression sum is exact long arithmetic
+    — order-independent across engines — and the slope/R² divisions run
+    on exact integer inputs through identical expression trees, then
+    round.  Strata with fewer than 2 head terms are dropped (the
+    variance denominator is 0).
+
+    Returns (lang, n_head, zipf_slope, zipf_r2)."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        documents.select(
+            "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("band", F.floor(F.log2("tf")).cast("int"))
+    )
+    counts = materialize(counts)  # feeds the band histogram + the rank join
+    band_w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        counts.groupBy("lang", "band")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("lang").alias("o_lang"),
+            F.col("band").alias("o_band"),
+            F.coalesce(F.sum("cnt").over(band_w), F.lit(0)).alias("offset"),
+        )
+        .where(F.col("offset") < top_k)  # bands intersecting the head
+    )
+    rank_w = Window.partitionBy("lang", "band").orderBy(
+        F.col("tf").desc(), F.col("tok").asc()
+    )
+    head = (
+        counts.join(
+            offsets,
+            counts["lang"].eqNullSafe(offsets["o_lang"])
+            & (counts["band"] == offsets["o_band"]),
+        )
+        .withColumn("rk", F.col("offset") + F.row_number().over(rank_w))
+        .where(F.col("rk") <= top_k)
+    )
+    q = F.lit(ZIPF_Q)
+    pts = head.select(
+        "lang",
+        F.round(F.log2("rk") * q, 0).cast("long").alias("x"),
+        F.round(F.log2("tf") * q, 0).cast("long").alias("y"),
+    )
+    sums = pts.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return sums.where(F.col("n") >= 2).select(
+        "lang",
+        F.col("n").cast("int").alias("n_head"),
+        F.round(num / denx, 4).alias("zipf_slope"),
+        F.when(deny == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num * num / (denx * deny), 4))
+        .alias("zipf_r2"),
+    )
+
+
+def quality_logit_col(text: Column) -> Column:
+    """The :func:`quality_classifier_scores` logit as a single map-side
+    COLUMN EXPRESSION (array fold instead of explode+agg) — for
+    composed pipelines that must stay shuffle-free per stage
+    (compose.build_training_corpus attaches it like the rule verdict,
+    never a self-join back through the extraction UDF).  The integer
+    accumulator makes the fold exactly equal to the operator's
+    aggregated sum regardless of evaluation order; row-identity between
+    the two forms is test-pinned.  The standalone operator keeps the
+    explode+partial-agg shape — whole-stage codegen beats the
+    interpreted higher-order fold when the shuffle is affordable."""
+    toks = tokens_col(text)
+    wsum = F.aggregate(
+        F.transform(toks, lambda t: quality_classifier_weight(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.round(wsum / (F.size(toks) * F.lit(float(QC_WEIGHT_MID))), 6)

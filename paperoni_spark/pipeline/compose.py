@@ -63,6 +63,8 @@ def build_training_corpus(
     max_hamming: int | None = None,
     substring_clean: bool = False,
     substring_n: int | None = None,
+    model_filter: bool = False,
+    model_threshold: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The full training-data funnel as one lazy program:
 
@@ -89,6 +91,13 @@ def build_training_corpus(
     token spans removed from surviving texts; nothing rejected — the
     ``cleaned:substring_dup`` funnel row counts affected docs).
 
+    ``model_filter=True`` adds the fastText-style model gate after the
+    rule verdict (textstats.quality_classifier_scores semantics as a
+    map-side fold): rule survivors scoring below ``model_threshold`` (default
+    QC_THRESHOLD) get
+    ``reject_reason = 'model_quality'`` and flow into the funnel like
+    any rule reject.
+
     ``near_dup=True`` inserts the production near-duplicate stage between
     exact dedup and the sink: 64-bit SimHash pairs (pigeonhole-exact
     banding) → connected components → cluster survivors only, with a
@@ -110,6 +119,25 @@ def build_training_corpus(
 
     scored = flat.withColumns(quality_score_cols())
     judged = scored.withColumn("reject_reason", quality_reject_reason())
+    if model_filter:
+        # model gate AFTER the rules (first failing rule wins, the model
+        # verdict only judges rule survivors — one reason per doc keeps
+        # the funnel reconciliation exact).  Map-side integer fold: the
+        # composed pipeline stays shuffle-free per stage, and the logit
+        # equals the standalone operator's bit-for-bit (test-pinned)
+        from ..operators.textstats import QC_THRESHOLD, quality_logit_col
+
+        thr = QC_THRESHOLD if model_threshold is None else model_threshold
+        judged = judged.withColumn(
+            "reject_reason",
+            F.coalesce(
+                F.col("reject_reason"),
+                F.when(
+                    quality_logit_col(F.col("text")) < F.lit(thr),
+                    F.lit("model_quality"),
+                ),
+            ),
+        )
     if persist:
         from pyspark import StorageLevel
 

@@ -245,3 +245,27 @@ def test_cms_compaction_parity(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="cms_depth"):
         textstats.cms_delta_heavy_hitters(spark, delta, path, depth=6).collect()
     assert _rows(textstats.cms_delta_heavy_hitters(spark, delta, path)) == before
+
+
+def test_bloom_compaction_parity(spark, docs, tmp_path):
+    """The idempotent-OR family re-distincts on compaction: the merged
+    segment holds exactly the union bit-set (one row per bit), the probe
+    verdicts are identical, the k geometry pin survives, and appending
+    at a consumed wave id is refused forever."""
+    path = str(tmp_path / "bloom_idx")
+    dedup.write_bloom_index(_split(docs, "doc_id", 0, 7), path)
+    dedup.append_to_bloom_index(_split(docs, "doc_id", 7, 9), path, 1)
+    delta = _split(docs, "doc_id", 9, 10)
+    before = _rows(dedup.bloom_delta_new_docs(spark, delta, path))
+    bits_before = {
+        r["pos"] for r in spark.read.parquet(path).select("pos").collect()
+    }
+    assert fsio.compact_index_kind(spark, path, "bloom_bits") == 2
+    merged = spark.read.parquet(path)
+    assert {r["pos"] for r in merged.collect()} == bits_before
+    assert merged.count() == len(bits_before)  # one row per set bit
+    with pytest.raises(ValueError, match="bloom_k"):
+        dedup.bloom_delta_new_docs(spark, delta, path, k=2).collect()
+    assert _rows(dedup.bloom_delta_new_docs(spark, delta, path)) == before
+    with pytest.raises(ValueError, match="owned by a compaction"):
+        dedup.append_to_bloom_index(_split(docs, "doc_id", 7, 9), path, 1)

@@ -2315,3 +2315,162 @@ def test_hll_distinct_tokens(spark, docs, ddb):
     for r in out.collect():
         rel = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
         assert rel < 5 * 1.04 / (textstats.HLL_M ** 0.5), (r, rel)
+
+
+def test_quality_classifier_scores(spark, docs, ddb):
+    """Model-based quality gate: oracle match plus the integer-weight
+    invariants — the logit is bounded by the weight range, and kept is
+    exactly the threshold test on the rounded logit."""
+    out = textstats.quality_classifier_scores(docs)
+    assert_matches_oracle(out, ddb, contract.oracle_quality_classifier_scores())
+    rows = out.collect()
+    assert {r["kept"] for r in rows} == {True, False}  # model discriminates
+    for r in rows:
+        assert -1.0 <= r["quality_logit"] < 1.0
+        assert r["kept"] == (r["quality_logit"] >= textstats.QC_THRESHOLD)
+
+
+def test_source_temperature_mix(spark, docs, ddb):
+    """Temperature mixing: oracle match plus the α<1 flattening law —
+    weights sum to ~1 and every below-average source is upweighted
+    relative to its raw share (p^α lifts the tail, damps the head)."""
+    out = textstats.source_temperature_mix(docs)
+    assert_matches_oracle(out, ddb, contract.oracle_source_temperature_mix())
+    rows = out.collect()
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-4
+    mean_p = 1.0 / len(rows)
+    for r in rows:
+        if r["p_raw"] < mean_p * 0.5:
+            assert r["mix_weight"] > r["p_raw"], r
+        assert r["expected_epochs"] > 0
+
+
+def test_zipf_law_fit(spark, docs, ddb):
+    """Zipf fit: oracle match (banded two-phase ranks == the oracle's
+    whole-stratum window) plus the power-law sanity band — natural-ish
+    text slopes land negative with a real fit quality."""
+    out = textstats.zipf_law_fit(docs)
+    assert_matches_oracle(out, ddb, contract.oracle_zipf_law_fit())
+    rows = out.collect()
+    assert rows, "every lang stratum vanished"
+    for r in rows:
+        assert r["zipf_slope"] < 0, r
+        assert 0.0 <= r["zipf_r2"] <= 1.0, r
+
+
+def test_bloom_delta_matches_oracle(spark, ddb):
+    """The persisted-Bloom probe through the gate query (memoized even-id
+    index + odd-id delta) against the bit-replay oracle, plus the two
+    filter laws: NO false negatives ever, and possibly_seen ⊇
+    actually_seen."""
+    out = contract.build_queries()["bloom_delta_new_docs"](spark, SF_DIR)
+    assert_matches_oracle(out, ddb, contract.oracle_bloom_delta_new_docs())
+    for r in out.collect():
+        if r["actually_seen"]:
+            assert r["possibly_seen"], r
+
+
+def test_bloom_index_idempotent_or_and_replay(spark, docs, tmp_path):
+    """The Bloom family's contract vs CMS: bits combine by OR, so
+    overlapping appends — including re-sending an ALREADY-INDEXED wave —
+    leave the filter identical to the single-pass build over the union
+    (CMS would double-count; this family has no disjointness clause).
+    Plus the family invariants: retry replay, build-wave refusal, k
+    geometry pin, foreign-kind refusal before marker adoption."""
+    from paperoni_spark.operators.dedup import (
+        append_to_bloom_index,
+        bloom_delta_new_docs,
+        write_bloom_index,
+    )
+
+    wave0 = docs.where(F.col("doc_id") % 3 == 0)
+    wave1 = docs.where(F.col("doc_id") % 3 == 1)
+    delta = docs.where(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "bloom_idx")
+    write_bloom_index(wave0, path)
+    append_to_bloom_index(wave1, path, 1)
+    # OVERLAPPING append: wave0 ∪ wave1 re-sent under a fresh wave id —
+    # pure OR idempotence, the filter must not change
+    append_to_bloom_index(docs.where(F.col("doc_id") % 3 != 2), path, 2)
+    got = sorted(
+        tuple(r)
+        for r in bloom_delta_new_docs(spark, delta, path).collect()
+    )
+
+    single = str(tmp_path / "bloom_single")
+    write_bloom_index(docs.where(F.col("doc_id") % 3 != 2), single)
+    want = sorted(
+        tuple(r)
+        for r in bloom_delta_new_docs(spark, delta, single).collect()
+    )
+    assert got == want
+
+    # the union of segment bit-sets equals the single-pass bit-set
+    union_bits = {
+        r["pos"]
+        for r in spark.read.parquet(path).select("pos").distinct().collect()
+    }
+    single_bits = {
+        r["pos"] for r in spark.read.parquet(single).select("pos").collect()
+    }
+    assert union_bits == single_bits
+
+    # retry replays byte-identically
+    before = sorted(
+        r["pos"] for r in spark.read.parquet(f"{path}/wave=1").collect()
+    )
+    append_to_bloom_index(wave1, path, 1)
+    assert (
+        sorted(r["pos"] for r in spark.read.parquet(f"{path}/wave=1").collect())
+        == before
+    )
+
+    with pytest.raises(ValueError, match="wave id"):
+        append_to_bloom_index(wave1, path, 0)
+    with pytest.raises(ValueError, match="bloom_k"):
+        bloom_delta_new_docs(spark, delta, path, k=2).collect()
+    from paperoni_spark.operators.textstats import write_cms_index
+
+    with pytest.raises(ValueError, match="refusing to write"):
+        write_cms_index(docs, path)
+    assert not os.path.exists(os.path.join(path, "_param_cms_depth_4"))
+
+
+def test_shingle_novelty(spark, ddb):
+    """Novelty probe through the gate query (shared substring_hist memo)
+    against the SQL replay, plus the planted-signal sanity: passage
+    carriers in the delta (odd ids < the plant count) overlap the
+    index's carriers and must score strictly less novel than the
+    average junk doc."""
+    out = contract.build_queries()["shingle_novelty"](spark, SF_DIR)
+    assert_matches_oracle(out, ddb, contract.oracle_shingle_novelty())
+    rows = {r["doc_id"]: r for r in out.collect()}
+    carriers = [
+        r for i, r in rows.items() if i < contract._SUBSTR_PLANT_N and i % 2 == 1
+    ]
+    plain = [
+        r
+        for i, r in rows.items()
+        if i > contract._SUBSTR_PLANT_N and r["n_shingles"] > 0
+    ]
+    assert carriers and plain
+    avg = lambda rs: sum(r["novel_frac"] for r in rs) / len(rs)
+    assert avg(carriers) < avg(plain)
+    for r in rows.values():
+        assert r["n_seen"] <= r["n_shingles"]
+
+
+def test_funnel_conversion(spark, ddb):
+    """Ordered funnel against the SQL replay, plus the funnel laws:
+    monotone narrowing (step i+1 ≤ step i) and rates relative to
+    step 1."""
+    events = contract.load(spark, SF_DIR, "events")
+    from paperoni_spark.operators import sessionize
+
+    out = sessionize.funnel_conversion(events)
+    assert_matches_oracle(out, ddb, contract.oracle_funnel_conversion())
+    rows = sorted(out.collect(), key=lambda r: r["step"])
+    assert [r["event_type"] for r in rows] == list(sessionize.FUNNEL_STEPS)
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_users"] <= a["n_users"]
+    assert rows[0]["conv_rate"] == 1.0

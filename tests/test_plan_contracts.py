@@ -119,6 +119,32 @@ PLAN_CONTRACTS = {
     # and the closing rollup) — source cardinality is tiny, so both are
     # cheap at any corpus size
     "source_kl_divergence": (2, []),
+    # hashed-linear quality model: map-side md5 weights feeding ONE
+    # partial-aggregated doc shuffle — tokens never leave their split,
+    # and the scan reads only (doc_id, text)
+    "quality_classifier_scores": (1, ["lang", "source", "n_chars"]),
+    # temperature mix: the source rollup lives inside the
+    # materialization; the final plan is 1-row total aggs + broadcast
+    # cross joins — zero data-sized shuffles
+    "source_temperature_mix": (0, []),
+    # zipf head fit: band histogram + offsets window + in-band rank +
+    # the closing per-lang regression agg — every post-materialization
+    # exchange moves a summary (bands × langs / top-k head), never the
+    # vocabulary
+    "zipf_law_fit": (4, []),
+    # persisted-Bloom probe: delta digest distinct + per-digest hit agg
+    # + the verdict join — the bit table is a forced broadcast (≤ 65536
+    # rows by construction, pruned to pos alone), and only (doc_id,
+    # text) is read from the corpus
+    "bloom_delta_new_docs": (3, ["lang", "source", "n_chars"]),
+    # novelty probe: delta digest distinct + index restriction join +
+    # the per-doc fold — the index scan is pruned to the digest alone
+    # and the corpus side reads (doc_id) plus the materialized shingles
+    "shingle_novelty": (3, ["lang", "source", "n_chars"]),
+    # ordered funnel: one user-keyed min-agg per step over a
+    # monotonically narrowing side; each step's event_type filter is
+    # pushed into the parquet scan, and the payload columns never load
+    "funnel_conversion": (4, ["props", "value", "event_id"]),
 }
 
 

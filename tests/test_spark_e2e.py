@@ -660,3 +660,48 @@ print("CJ_SUBSTR_OK")
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=560
     )
     assert "CJ_SUBSTR_OK" in proc.stdout, proc.stdout[-2000:] + proc.stderr[-4000:]
+
+
+def test_build_training_corpus_model_filter(spark):
+    """The opt-in model quality gate: the map-side fold logit equals the
+    standalone operator's bit-for-bit, model rejects are attributed as
+    rejected:model_quality AFTER the rules (one reason per doc), and the
+    funnel still reconciles with the written corpus."""
+    from paperoni_spark.operators import textstats
+    from paperoni_spark.pipeline.compose import build_training_corpus
+    from pyspark.sql import functions as F
+
+    docs = make_documents_df(spark, synth_corpus(12))
+    # the synthetic vocabulary scores uniformly negative under the
+    # stand-in weights, so pick a threshold INSIDE the fixture's logit
+    # range — the gate must discriminate, not wipe the corpus
+    thr = -0.08
+    corpus, funnel = build_training_corpus(
+        docs, model_filter=True, model_threshold=thr
+    )
+    rows = corpus.collect()
+    stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    assert stages.get("rejected:model_quality", 0) > 0
+    assert stages.get("kept", 0) - stages.get("rejected:duplicate", 0) == len(rows)
+
+    # row-identity: the fold expression == the explode+agg operator
+    plain, _ = build_training_corpus(docs)
+    flat = plain.select("doc_id", "text")
+    via_expr = flat.select(
+        "doc_id", textstats.quality_logit_col(F.col("text")).alias("logit")
+    )
+    via_op = textstats.quality_classifier_scores(flat).select(
+        "doc_id", F.col("quality_logit").alias("logit")
+    )
+    logits = {r["doc_id"]: r["logit"] for r in via_expr.collect()}
+    assert sorted(logits.items()) == sorted(
+        (r["doc_id"], r["logit"]) for r in via_op.collect()
+    )
+    # the gate changes membership, not scores: the gated corpus is
+    # exactly the plain corpus minus the below-threshold docs (duplicate
+    # clusters share text, hence logit — no canonical can vanish while
+    # its duplicate survives)
+    plain_ids = {r["doc_id"] for r in plain.collect()}
+    assert {r["doc_id"] for r in rows} == {
+        d for d in plain_ids if logits[d] >= thr
+    }

@@ -89,6 +89,12 @@ def main() -> None:
         "cluster_balanced_sample (k-means assignment + two-phase stratum cap)": similarity.cluster_balanced_sample(embeds),
         "cms_delta_heavy_hitters (persisted constant-size sketch; only the delta tokenized)": contract.q_cms_delta_heavy_hitters(spark, SF),
         "hll_distinct_tokens (string-level rho; 256-register partial-agg sketch)": textstats.hll_distinct_tokens(docs),
+        "quality_classifier_scores (map-side hashed-linear model; one doc shuffle)": textstats.quality_classifier_scores(docs),
+        "source_temperature_mix (p^alpha mixing; 1-row broadcast totals)": textstats.source_temperature_mix(docs),
+        "zipf_law_fit (banded two-phase head rank; integer regression sums)": textstats.zipf_law_fit(docs),
+        "bloom_delta_new_docs (broadcast 65536-bit filter; O(delta) probe)": contract.q_bloom_delta_new_docs(spark, SF),
+        "shingle_novelty (digest-restricted index join; per-doc novelty fold)": contract.q_shingle_novelty(spark, SF),
+        "funnel_conversion (per-step user-keyed min-joins; pushed event_type filters)": sessionize.funnel_conversion(events),
     }
 
     out = ["# PLANS — formatted physical plans for the headline queries\n"]
