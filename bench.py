@@ -238,6 +238,9 @@ def main() -> None:
         "bloom_delta_new_docs",
         "shingle_novelty",
         "funnel_conversion",
+        "asof_join_enrich",
+        "time_rollup",
+        "session_concurrency",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

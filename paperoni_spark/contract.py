@@ -38,6 +38,7 @@ from .operators import (
     sampling,
     sessionize,
     similarity,
+    temporal,
     textstats,
 )
 from .operators.extract import run_extract
@@ -906,6 +907,86 @@ c AS ({unions})
 SELECT step, event_type, n_users::BIGINT AS n_users,
        round(n_users / (SELECT count(*) FROM s1), 6) AS conv_rate
 FROM c
+"""
+
+
+def oracle_asof_join_enrich() -> str:
+    """DuckDB twin of temporal.asof_enrich: the same union-window spelling
+    (not DuckDB's ASOF JOIN — its tie semantics at equal timestamps are
+    not the contract's; the window replay pins the exact total order)."""
+    return f"""
+WITH tagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, 0 AS is_tgt
+  FROM events WHERE event_type = '{temporal.ASOF_REF_TYPE}'
+  UNION ALL
+  SELECT user_id, event_id, epoch_us(ts), 1
+  FROM events WHERE event_type = '{temporal.ASOF_TARGET_TYPE}'
+),
+carried AS (
+  SELECT user_id, event_id, ts_us, is_tgt,
+         last_value(CASE WHEN is_tgt = 0 THEN event_id END IGNORE NULLS)
+           OVER win AS ref_event_id,
+         last_value(CASE WHEN is_tgt = 0 THEN ts_us END IGNORE NULLS)
+           OVER win AS ref_ts_us
+  FROM tagged
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, is_tgt, event_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id::BIGINT AS event_id, user_id, ts_us::BIGINT AS ts_us,
+       coalesce(ref_event_id, -1)::BIGINT AS ref_event_id,
+       coalesce(ref_ts_us, -1)::BIGINT AS ref_ts_us,
+       coalesce(ts_us - ref_ts_us, -1)::BIGINT AS lag_us
+FROM carried WHERE is_tgt = 1
+"""
+
+
+def oracle_time_rollup() -> str:
+    """DuckDB twin of temporal.time_rollup.  Each level aggregates the
+    base table directly (the engine re-aggregates coarse levels from fine
+    partials; per-row integer micro-unit quantization makes both exact
+    long sums, so the shapes agree bit-for-bit)."""
+    levels = []
+    for res in temporal.ROLLUP_RESOLUTIONS_S:
+        levels.append(
+            f"SELECT {res} AS resolution_s, "
+            f"((epoch_us(ts) // {1_000_000 * res}) * {res})::BIGINT AS bucket_start_s, "
+            f"event_type, count(*)::BIGINT AS n_events, "
+            f"sum(floor(value * 1e6)::BIGINT)::BIGINT AS sum_value_micro "
+            f"FROM events GROUP BY 1, 2, 3"
+        )
+    return " UNION ALL ".join(levels)
+
+
+def oracle_session_concurrency() -> str:
+    """DuckDB twin of temporal.session_concurrency: the same gap sessions
+    (session_stats CTE), then the DIRECT interval-overlap join — at oracle
+    scale the pair set is materializable, and DuckDB plans the two
+    inequalities as an IEJoin.  The engine's sweep formulation must count
+    exactly what the naive join counts."""
+    gap_us = sessionize.DEFAULT_GAP_MINUTES * 60 * 1_000_000
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered
+),
+iv AS (
+  SELECT user_id, session_idx::BIGINT AS session_idx,
+         epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+  FROM sess GROUP BY user_id, session_idx
+)
+SELECT a.user_id, a.session_idx,
+       (count(*) - 1)::BIGINT AS n_concurrent
+FROM iv a JOIN iv b ON b.s_us <= a.e_us AND b.e_us >= a.s_us
+GROUP BY a.user_id, a.session_idx
 """
 
 
@@ -3485,6 +3566,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": lambda spark, sf: sessionize.funnel_conversion(
             load(spark, sf, "events")
         ),
+        # temporal operators Spark lacks as built-ins (µs-exact contracts)
+        "asof_join_enrich": lambda spark, sf: temporal.asof_enrich(
+            load(_utc(spark), sf, "events")
+        ),
+        "time_rollup": lambda spark, sf: temporal.time_rollup(
+            load(_utc(spark), sf, "events")
+        ),
+        "session_concurrency": lambda spark, sf: temporal.session_concurrency(
+            load(_utc(spark), sf, "events")
+        ),
         "session_stats": lambda spark, sf: sessionize.session_stats(load(_utc(spark), sf, "events")),
         # streaming (batch shape + true Structured Streaming run + custom
         # stateful operator via applyInPandasWithState)
@@ -3586,6 +3677,10 @@ _GATE_PRIORITY = [
     "bloom_delta_new_docs",
     "shingle_novelty",
     "funnel_conversion",
+    # round-6 session-3 additions (never recorded)
+    "asof_join_enrich",
+    "time_rollup",
+    "session_concurrency",
 ]
 
 # Long-green remainder, measured-cost order (all hold a CORRECTNESS_r05
@@ -3723,6 +3818,9 @@ def build_oracles() -> dict[str, str]:
         "zipf_law_fit": oracle_zipf_law_fit(),
         "shingle_novelty": oracle_shingle_novelty(),
         "funnel_conversion": oracle_funnel_conversion(),
+        "asof_join_enrich": oracle_asof_join_enrich(),
+        "time_rollup": oracle_time_rollup(),
+        "session_concurrency": oracle_session_concurrency(),
         "substring_delta": oracle_substring_delta(),
         "ann_ivfpq_residual_topk": oracle_ann_ivfpq_topk(residual=True),
         "ann_ivfpq_topk_indexed": oracle_ann_ivfpq_topk(residual=True),

@@ -1,0 +1,271 @@
+"""Temporal operators Spark lacks as built-ins, re-expressed Spark-first:
+as-of join, hypertable-style multi-resolution rollup, and interval-overlap
+concurrency.
+
+These are the classic time-series shapes a training-data/event pipeline
+needs beyond plain windows (reference scope: the events surface mirrored
+from paperoni's fetch/summary timing metrics, generalized the way
+TimescaleDB/QuestDB expose them).  None is implemented as a pairwise
+range join — every shape here is a composition of pushed filters, ONE
+union-window pass, or a two-phase band count, so no plan materializes a
+candidate cross product and every shuffle key is either the natural
+entity key (user_id) or a bounded summary.
+
+Portability contract (shared with every oracled query): timestamps are
+compared as epoch-µs integers (exact on both engines), value sums are
+quantized to integer micro-units BEFORE aggregation (exact long sums in
+any order), and every tie-break is a total order over integer columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Hypertable rollup grid, coarse levels re-aggregated from the finest
+# (seconds).  Each level must divide the next.
+ROLLUP_RESOLUTIONS_S = (60, 600, 3600)
+
+ASOF_TARGET_TYPE = "purchase"
+ASOF_REF_TYPE = "click"
+
+# Hour bands for the two-phase concurrency counts (µs per band).  Bands
+# sub-range a VALUE-ordered key, so the band must be a monotone integer
+# function of the value itself (integer division of epoch-µs).
+CONCURRENCY_BAND_US = 3600 * 1_000_000
+
+
+def _us(col):
+    """Epoch microseconds of a parquet NTZ timestamp (session tz must be
+    UTC — callers load events through the contract's UTC session)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def _idiv(col, n: int):
+    """Exact long floor-division for non-negative longs.  A bare
+    ``(col / n).cast("long")`` goes through double division, whose
+    round-to-nearest can land exactly ON the next integer and flip a
+    boundary bucket vs DuckDB's integer ``//``; subtracting the modulus
+    first makes the division exact (quotient < 2^53)."""
+    return ((col - col % F.lit(n)) / F.lit(n)).cast("long")
+
+
+def asof_enrich(
+    events: DataFrame,
+    target_type: str = ASOF_TARGET_TYPE,
+    ref_type: str = ASOF_REF_TYPE,
+) -> DataFrame:
+    """As-of join: attach to every ``target_type`` event the user's most
+    recent ``ref_type`` event at-or-before it (ties at equal µs count as
+    prior; among equal-µs refs the highest event_id wins — a total order
+    both engines replay).
+
+    Spark has no ASOF JOIN; the join-then-rank spelling shuffles the
+    cross product of every (target, earlier-ref) pair.  This is the
+    scale-correct union trick instead: tag both filtered streams, union,
+    ONE user-keyed ordered window carrying the last non-null ref forward
+    (``last(ignorenulls)`` — running frame, no full-partition buffering),
+    then keep the targets.  One shuffle total, both event_type filters
+    pushed into the parquet scan, payload columns never read.
+
+    Returns (event_id, user_id, ts_us, ref_event_id, ref_ts_us, lag_us);
+    ref columns are -1 when the user has no prior ref event (event ids
+    are non-negative; a NULL cannot cross the correctness gate — the
+    driver's pandas canonicalization maps NULL to NaN on BOTH engines
+    and NaN != NaN fails the row compare).
+    """
+    refs = events.where(F.col("event_type") == ref_type).select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        _us(F.col("ts")).alias("ts_us"),
+        F.lit(0).alias("is_tgt"),
+    )
+    tgts = events.where(F.col("event_type") == target_type).select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        _us(F.col("ts")).alias("ts_us"),
+        F.lit(1).alias("is_tgt"),
+    )
+    tagged = refs.unionByName(tgts).select(
+        "*",
+        F.when(F.col("is_tgt") == 0, F.col("event_id")).alias("r_id"),
+        F.when(F.col("is_tgt") == 0, F.col("ts_us")).alias("r_ts"),
+    )
+    # Refs sort before targets at equal ts (is_tgt asc) => "<=" semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_tgt", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "is_tgt",
+        F.last("r_id", ignorenulls=True).over(w).alias("ref_event_id"),
+        F.last("r_ts", ignorenulls=True).over(w).alias("ref_ts_us"),
+    )
+    return carried.where(F.col("is_tgt") == 1).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.coalesce(F.col("ref_event_id"), F.lit(-1)).cast("long").alias("ref_event_id"),
+        F.coalesce(F.col("ref_ts_us"), F.lit(-1)).cast("long").alias("ref_ts_us"),
+        F.coalesce(F.col("ts_us") - F.col("ref_ts_us"), F.lit(-1))
+        .cast("long")
+        .alias("lag_us"),
+    )
+
+
+def time_rollup(
+    events: DataFrame, resolutions_s: tuple[int, ...] = ROLLUP_RESOLUTIONS_S
+) -> DataFrame:
+    """Hypertable-style multi-resolution tumbling rollup (the TimescaleDB
+    continuous-aggregate shape): per (resolution, bucket, event_type)
+    counts and value sums at every grid level at once.
+
+    Only the FINEST level touches the raw events (one partial-aggregated
+    shuffle); each coarser level re-aggregates the previous level's
+    partials — at 100 TB the coarse rollups move kilobytes, not the
+    corpus.  Values are quantized to integer micro-units per ROW
+    (floor(value·1e6): both engines compute the same double, floor is
+    rounding-mode free), so every aggregation is exact long arithmetic
+    and re-aggregation order cannot drift.
+
+    Returns (resolution_s, bucket_start_s, event_type, n_events,
+    sum_value_micro).
+    """
+    finest = resolutions_s[0]
+    for coarse, fine in zip(resolutions_s[1:], resolutions_s):
+        if coarse % fine:
+            raise ValueError(f"rollup grid must nest: {coarse} % {fine} != 0")
+    level = (
+        events.select(
+            "event_type",
+            _idiv(_us(F.col("ts")), 1_000_000 * finest).alias("b"),
+            F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+        )
+        .groupBy("b", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").alias("sum_value_micro"),
+        )
+    )
+
+    def _shape(df: DataFrame, res: int) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution_s"),
+            (F.col("b") * res).cast("long").alias("bucket_start_s"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "sum_value_micro",
+        )
+
+    out = _shape(level, finest)
+    prev, prev_res = level, finest
+    for res in resolutions_s[1:]:
+        step = res // prev_res
+        prev = (
+            prev.withColumn("b", _idiv(F.col("b"), step))
+            .groupBy("b", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value_micro").alias("sum_value_micro"),
+            )
+        )
+        prev_res = res
+        out = out.unionByName(_shape(prev, res))
+    return out
+
+
+def _session_intervals(events: DataFrame, gap_minutes: int) -> DataFrame:
+    """(user_id, session_idx, s_us, e_us) via the shared sessionizer —
+    the window and the closing agg share the user_id shuffle."""
+    from . import sessionize
+
+    s = sessionize.sessionize(events, gap_minutes)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.min(_us(F.col("ts"))).alias("s_us"),
+        F.max(_us(F.col("ts"))).alias("e_us"),
+    )
+
+
+def session_concurrency(
+    events: DataFrame, gap_minutes: int | None = None
+) -> DataFrame:
+    """Per-session concurrency: for each gap-based session, how many OTHER
+    sessions (any user) overlap it in time — the load-profile signal a
+    crawl scheduler reads.  Overlap is inclusive: [s1,e1] and [s2,e2]
+    overlap iff s2 <= e1 AND e2 >= s1 (µs integers).
+
+    A pairwise interval join materializes every concurrent pair — k²
+    rows under heavy concurrency.  This is the sweep formulation
+    instead: overlap(i) = |{j : s_j <= e_i}| − |{j : e_j < s_i}| − 1,
+    two prefix-counts over POINT sets, each computed with the repo's
+    two-phase exact-rank idiom (hour-band histogram — a driver-bounded
+    summary — plus an in-band count join), so the plan never forms a
+    pair and every shuffle moves sessions or band summaries, never
+    pairs.  Band = integer division of the µs value itself, valid for
+    any value-ordered key.
+
+    Returns (user_id, session_idx, n_concurrent).
+    """
+    from . import sessionize
+
+    gap = sessionize.DEFAULT_GAP_MINUTES if gap_minutes is None else gap_minutes
+    from ..materialize import materialize
+
+    # Five consumers (2 point sets, 2 query sets, the band union) — cut
+    # once so the sessionizer window runs once, not five times.
+    sess = materialize(_session_intervals(events, gap))
+
+    def _prefix_count(points: DataFrame, queries: DataFrame, strict: bool) -> DataFrame:
+        """#points with val <= q (strict=False) / val < q (strict=True)
+        per query row, via band histogram + in-band count."""
+        pts = points.withColumn("band", _idiv(F.col("val"), CONCURRENCY_BAND_US))
+        qs = queries.withColumn("band", _idiv(F.col("q"), CONCURRENCY_BAND_US))
+        hist = pts.groupBy("band").agg(F.count("*").alias("n"))
+        # Offsets must cover every band a QUERY lands in, not only bands
+        # that contain points (a point-free query band still owes the
+        # count of all earlier bands) — key the prefix sum on the union.
+        bands = pts.select("band").union(qs.select("band")).distinct()
+        w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+        # The histogram is bands-sized (hours of corpus span) — the
+        # single-partition offsets window moves a driver-bounded summary,
+        # same as every other two-phase rank in the repo.
+        offsets = (
+            bands.join(hist, on="band", how="left")
+            .select("band", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+            .select("band", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("n_before"))
+        )
+        cond = F.col("p.val") < F.col("q.q") if strict else F.col("p.val") <= F.col("q.q")
+        in_band = (
+            qs.alias("q")
+            .join(pts.alias("p"), on=(F.col("p.band") == F.col("q.band")) & cond, how="left")
+            .groupBy("q.user_id", "q.session_idx", "q.band")
+            .agg(F.count(F.col("p.val")).alias("n_in"))
+        )
+        return (
+            in_band.join(F.broadcast(offsets), on="band", how="left")
+            .select(
+                "user_id",
+                "session_idx",
+                (F.coalesce(F.col("n_before"), F.lit(0)) + F.col("n_in")).alias("n"),
+            )
+        )
+
+    starts = sess.select(F.col("s_us").alias("val"))
+    ends = sess.select(F.col("e_us").alias("val"))
+    q_le = sess.select("user_id", "session_idx", F.col("e_us").alias("q"))
+    q_lt = sess.select("user_id", "session_idx", F.col("s_us").alias("q"))
+    c1 = _prefix_count(starts, q_le, strict=False).withColumnRenamed("n", "c1")
+    c2 = _prefix_count(ends, q_lt, strict=True).withColumnRenamed("n", "c2")
+    return (
+        c1.join(c2, on=["user_id", "session_idx"])
+        .select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            (F.col("c1") - F.col("c2") - F.lit(1)).cast("long").alias("n_concurrent"),
+        )
+    )

@@ -2474,3 +2474,112 @@ def test_funnel_conversion(spark, ddb):
     for a, b in zip(rows, rows[1:]):
         assert b["n_users"] <= a["n_users"]
     assert rows[0]["conv_rate"] == 1.0
+
+
+def test_asof_join_enrich(spark, ddb):
+    """Union-window as-of join vs the SQL replay, the as-of laws (ref at
+    or before the target, exact lag, -1 sentinel only when no prior ref
+    exists), and a full brute-force replay of the winner selection —
+    the check the window trick must not be allowed to grade itself on."""
+    from paperoni_spark.operators import temporal
+
+    events = contract.load(spark, SF_DIR, "events")
+    out = temporal.asof_enrich(events)
+    assert_matches_oracle(out, ddb, contract.oracle_asof_join_enrich())
+    rows = out.collect()
+    assert len(rows) == events.where(
+        F.col("event_type") == temporal.ASOF_TARGET_TYPE
+    ).count()
+    for r in rows:
+        if r["ref_event_id"] == -1:
+            assert r["ref_ts_us"] == -1 and r["lag_us"] == -1
+        else:
+            assert r["ref_ts_us"] <= r["ts_us"]
+            assert r["lag_us"] == r["ts_us"] - r["ref_ts_us"] >= 0
+
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).collect()
+    refs = [e for e in ev if e.event_type == temporal.ASOF_REF_TYPE]
+    by_tgt = {r["event_id"]: r for r in rows}
+    for t in (e for e in ev if e.event_type == temporal.ASOF_TARGET_TYPE):
+        cands = [
+            r
+            for r in refs
+            if r.user_id == t.user_id
+            and (r.us, 0, r.event_id) < (t.us, 1, t.event_id)
+        ]
+        got = by_tgt[t.event_id]
+        if not cands:
+            assert got["ref_event_id"] == -1
+        else:
+            best = max(cands, key=lambda r: (r.us, r.event_id))
+            assert got["ref_event_id"] == best.event_id
+            assert got["ref_ts_us"] == best.us
+
+
+def test_time_rollup(spark, ddb):
+    """Multi-resolution rollup vs the SQL replay, plus the hypertable
+    laws: every level's counts total the raw table, and each coarse
+    bucket is EXACTLY the sum of its fine children (integer micro-unit
+    sums make this an equality, not an approximation)."""
+    from paperoni_spark.operators import temporal
+
+    events = contract.load(spark, SF_DIR, "events")
+    out = temporal.time_rollup(events)
+    assert_matches_oracle(out, ddb, contract.oracle_time_rollup())
+    rows = out.collect()
+    by_res = {}
+    for r in rows:
+        by_res.setdefault(r["resolution_s"], []).append(r)
+    assert sorted(by_res) == sorted(temporal.ROLLUP_RESOLUTIONS_S)
+    n_raw = events.count()
+    for res, rs in by_res.items():
+        assert sum(r["n_events"] for r in rs) == n_raw
+    for coarse, fine in zip(
+        temporal.ROLLUP_RESOLUTIONS_S[1:], temporal.ROLLUP_RESOLUTIONS_S
+    ):
+        kids = {}
+        for f in by_res[fine]:
+            key = (f["bucket_start_s"] // coarse * coarse, f["event_type"])
+            n, s = kids.get(key, (0, 0))
+            kids[key] = (n + f["n_events"], s + f["sum_value_micro"])
+        got = {
+            (r["bucket_start_s"], r["event_type"]): (
+                r["n_events"],
+                r["sum_value_micro"],
+            )
+            for r in by_res[coarse]
+        }
+        assert got == kids
+
+
+def test_session_concurrency(spark, ddb):
+    """Sweep-formulated interval concurrency vs the SQL replay (which
+    uses the DIRECT pairwise overlap join), plus a brute-force count
+    over the engine's own intervals — the two-phase band arithmetic
+    must reproduce the naive O(n^2) answer exactly."""
+    from paperoni_spark.operators import sessionize, temporal
+
+    events = contract.load(spark, SF_DIR, "events")
+    out = temporal.session_concurrency(events)
+    assert_matches_oracle(out, ddb, contract.oracle_session_concurrency())
+    rows = out.collect()
+    assert all(r["n_concurrent"] >= 0 for r in rows)
+
+    iv = temporal._session_intervals(
+        events, sessionize.DEFAULT_GAP_MINUTES
+    ).collect()
+    expected = {
+        (a.user_id, a.session_idx): sum(
+            1 for b in iv if b.s_us <= a.e_us and b.e_us >= a.s_us
+        )
+        - 1
+        for a in iv
+    }
+    assert {
+        (r.user_id, r.session_idx): r.n_concurrent for r in rows
+    } == expected

@@ -145,6 +145,18 @@ PLAN_CONTRACTS = {
     # monotonically narrowing side; each step's event_type filter is
     # pushed into the parquet scan, and the payload columns never load
     "funnel_conversion": (4, ["props", "value", "event_id"]),
+    # as-of join via the union-window trick: ONE user-keyed shuffle for
+    # the carry-forward window (never the join-then-rank cross product);
+    # both event_type filters push into the scans, payload never loads
+    "asof_join_enrich": (1, ["props", "value"]),
+    # hypertable rollup: only the finest level shuffles event-sized data
+    # (1 exchange); the coarse levels re-aggregate bucket partials and
+    # the union branches reuse the finest exchange
+    "time_rollup": (5, ["props", "user_id", "event_id"]),
+    # interval concurrency sweep: the sessionizer runs once behind the
+    # materialize cut; every post-cut exchange moves sessions or hour-
+    # band summaries — no session-pair set is ever formed
+    "session_concurrency": (8, []),
 }
 
 

@@ -24,6 +24,7 @@ def main() -> None:
         sampling,
         sessionize,
         similarity,
+        temporal,
         textstats,
     )
     from paperoni_spark.pipeline import build_spark, extract_pipeline
@@ -95,6 +96,9 @@ def main() -> None:
         "bloom_delta_new_docs (broadcast 65536-bit filter; O(delta) probe)": contract.q_bloom_delta_new_docs(spark, SF),
         "shingle_novelty (digest-restricted index join; per-doc novelty fold)": contract.q_shingle_novelty(spark, SF),
         "funnel_conversion (per-step user-keyed min-joins; pushed event_type filters)": sessionize.funnel_conversion(events),
+        "asof_join_enrich (union-window as-of join; one user-keyed shuffle)": temporal.asof_enrich(events),
+        "time_rollup (multi-resolution rollup; coarse levels from fine partials)": temporal.time_rollup(events),
+        "session_concurrency (interval sweep; band histogram + in-band count)": temporal.session_concurrency(events),
     }
 
     out = ["# PLANS — formatted physical plans for the headline queries\n"]
