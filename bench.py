@@ -241,6 +241,7 @@ def main() -> None:
         "asof_join_enrich",
         "time_rollup",
         "session_concurrency",
+        "doc_pagerank",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

@@ -31,6 +31,7 @@ from pyspark.sql.types import (
 
 from .operators import (
     dedup,
+    graph,
     multimodal,
     packing,
     pdf,
@@ -1081,6 +1082,47 @@ _CAND_SELECT = """
 
 def oracle_lsh_candidate_doc_pairs() -> str:
     return f"WITH {_capped_cand_ctes()}\n{_CAND_SELECT}"
+
+
+def oracle_doc_pagerank() -> str:
+    """DuckDB twin of graph.doc_pagerank: the Lloyd-style lockstep replay
+    (IVF k-means precedent) — each PageRank iteration is one chained CTE,
+    every term exact long arithmetic (``//`` == Spark ``div`` on
+    non-negative longs), the edge CTE composes the lsh_candidate_doc_pairs
+    oracle as a derived table so edits to the pair replay propagate."""
+    S = graph.PAGERANK_SCALE
+    dn, dd = graph.PAGERANK_DAMP_NUM, graph.PAGERANK_DAMP_DEN
+    teleport = f"({S} * {dd - dn}) // ({dd} * (SELECT n FROM nn))"
+    ctes = [
+        "pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ("
+        + oracle_lsh_candidate_doc_pairs()
+        + ") t)",
+        "edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "nd AS MATERIALIZED (SELECT d.doc_id, coalesce(g.deg, 0) AS deg "
+        "FROM documents d LEFT JOIN deg g ON g.src = d.doc_id)",
+        "nn AS (SELECT count(*) AS n FROM nd)",
+        f"pr0 AS MATERIALIZED (SELECT doc_id, deg, {S} // (SELECT n FROM nn) AS pr FROM nd)",
+    ]
+    for i in range(graph.PAGERANK_ITERS):
+        share = (
+            f"(SELECT coalesce(sum((pr * {dn}) // {dd}), 0) FROM pr{i} "
+            f"WHERE deg = 0) // (SELECT n FROM nn)"
+        )
+        ctes.append(
+            f"pr{i + 1} AS MATERIALIZED (SELECT n.doc_id, n.deg, "
+            f"({teleport} + {share} + coalesce(s.c, 0))::BIGINT AS pr "
+            f"FROM nd n LEFT JOIN ("
+            f"SELECT e.dst AS doc_id, sum((p.pr * {dn}) // ({dd} * p.deg)) AS c "
+            f"FROM pr{i} p JOIN edges e ON e.src = p.doc_id "
+            f"WHERE p.deg > 0 GROUP BY e.dst) s ON s.doc_id = n.doc_id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, pr::BIGINT AS pr_scaled FROM pr{graph.PAGERANK_ITERS}"
+    )
 
 
 _NORM_PLANT_N = 20
@@ -3576,6 +3618,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_concurrency": lambda spark, sf: temporal.session_concurrency(
             load(_utc(spark), sf, "events")
         ),
+        # centrality over the near-dup candidate graph (iterative, exact
+        # integer mass — the CC loop's PageRank sibling)
+        "doc_pagerank": lambda spark, sf: graph.doc_pagerank(
+            load(spark, sf, "documents")
+        ),
         "session_stats": lambda spark, sf: sessionize.session_stats(load(_utc(spark), sf, "events")),
         # streaming (batch shape + true Structured Streaming run + custom
         # stateful operator via applyInPandasWithState)
@@ -3681,6 +3728,7 @@ _GATE_PRIORITY = [
     "asof_join_enrich",
     "time_rollup",
     "session_concurrency",
+    "doc_pagerank",
 ]
 
 # Long-green remainder, measured-cost order (all hold a CORRECTNESS_r05
@@ -3821,6 +3869,7 @@ def build_oracles() -> dict[str, str]:
         "asof_join_enrich": oracle_asof_join_enrich(),
         "time_rollup": oracle_time_rollup(),
         "session_concurrency": oracle_session_concurrency(),
+        "doc_pagerank": oracle_doc_pagerank(),
         "substring_delta": oracle_substring_delta(),
         "ann_ivfpq_residual_topk": oracle_ann_ivfpq_topk(residual=True),
         "ann_ivfpq_topk_indexed": oracle_ann_ivfpq_topk(residual=True),

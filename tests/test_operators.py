@@ -2583,3 +2583,48 @@ def test_session_concurrency(spark, ddb):
     assert {
         (r.user_id, r.session_idx): r.n_concurrent for r in rows
     } == expected
+
+
+def test_doc_pagerank(spark, ddb):
+    """Integer PageRank vs the chained-CTE SQL replay, plus a full
+    Python big-int replay of the five iterations (same floor-division
+    semantics — the strongest cross-check available: three independent
+    implementations must agree bit-for-bit), plus the mass laws."""
+    import collections
+
+    from paperoni_spark.operators import dedup, graph
+
+    docs = contract.load(spark, SF_DIR, "documents")
+    out_df = graph.doc_pagerank(docs)
+    assert_matches_oracle(out_df, ddb, contract.oracle_doc_pagerank())
+    rows = out_df.collect()
+
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    pairs = dedup.lsh_candidate_doc_pairs(docs).select("doc_a", "doc_b").collect()
+    nbrs = collections.defaultdict(list)
+    for p in pairs:
+        nbrs[p.doc_a].append(p.doc_b)
+        nbrs[p.doc_b].append(p.doc_a)
+    n = len(ids)
+    S, dn, dd = graph.PAGERANK_SCALE, graph.PAGERANK_DAMP_NUM, graph.PAGERANK_DAMP_DEN
+    teleport = S * (dd - dn) // (dd * n)
+    pr = {v: S // n for v in ids}
+    for _ in range(graph.PAGERANK_ITERS):
+        dangling = sum(pr[v] * dn // dd for v in ids if not nbrs[v])
+        share = dangling // n
+        new = {v: teleport + share for v in ids}
+        for v in ids:
+            deg = len(nbrs[v])
+            if deg:
+                c = pr[v] * dn // (dd * deg)
+                for u in nbrs[v]:
+                    new[u] += c
+        pr = new
+    assert {r.doc_id: r.pr_scaled for r in rows} == pr
+    total = sum(pr.values())
+    assert 0.99 * S <= total <= S
+    # isolated docs all carry the identical floor (teleport + share)
+    floor_pr = min(pr.values())
+    for v in ids:
+        if not nbrs[v]:
+            assert pr[v] == floor_pr
