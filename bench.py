@@ -242,6 +242,7 @@ def main() -> None:
         "time_rollup",
         "session_concurrency",
         "doc_pagerank",
+        "source_overlap_matrix",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

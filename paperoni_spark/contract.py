@@ -911,6 +911,45 @@ FROM c
 """
 
 
+def oracle_source_overlap_matrix() -> str:
+    """DuckDB twin of dedup.source_overlap_matrix: same winnow selection
+    CTEs as oracle_winnow_overlap_pairs, projected to (source, fp)."""
+    w = dedup.WINNOW_WINDOW - 1
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS arr FROM documents),
+sh AS (
+  SELECT doc_id, i AS pos, md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]) AS h
+  FROM toks, unnest(generate_series(1, len(arr) - 2)) AS t(i)
+  WHERE len(arr) >= 3
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {w} FOLLOWING) AS fp
+  FROM sh
+),
+sf AS (
+  SELECT DISTINCT coalesce(d.source, '{dedup.NULL_SOURCE_LABEL}') AS source, s.fp
+  FROM sel s JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT source, count(*) AS n_fp FROM sf GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM sf a JOIN sf b USING (fp)
+  WHERE a.source < b.source GROUP BY 1, 2
+)
+SELECT g.source_a, g.source_b,
+       coalesce(p.n_shared, 0)::BIGINT AS n_shared,
+       round(coalesce(p.n_shared, 0)::DOUBLE / least(na.n_fp, nb.n_fp), 6)
+         AS containment
+FROM (SELECT a.source AS source_a, b.source AS source_b
+      FROM sizes a JOIN sizes b ON a.source < b.source) g
+JOIN sizes na ON na.source = g.source_a
+JOIN sizes nb ON nb.source = g.source_b
+LEFT JOIN pairs p ON p.source_a = g.source_a AND p.source_b = g.source_b
+"""
+
+
 def oracle_asof_join_enrich() -> str:
     """DuckDB twin of temporal.asof_enrich: the same union-window spelling
     (not DuckDB's ASOF JOIN — its tie semantics at equal timestamps are
@@ -3623,6 +3662,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": lambda spark, sf: graph.doc_pagerank(
             load(spark, sf, "documents")
         ),
+        # cross-source contamination matrix (winnow fingerprints projected
+        # to sources; per-key join multiplicity bounded by source count)
+        "source_overlap_matrix": lambda spark, sf: dedup.source_overlap_matrix(
+            load(spark, sf, "documents")
+        ),
         "session_stats": lambda spark, sf: sessionize.session_stats(load(_utc(spark), sf, "events")),
         # streaming (batch shape + true Structured Streaming run + custom
         # stateful operator via applyInPandasWithState)
@@ -3729,6 +3773,7 @@ _GATE_PRIORITY = [
     "time_rollup",
     "session_concurrency",
     "doc_pagerank",
+    "source_overlap_matrix",
 ]
 
 # Long-green remainder, measured-cost order (all hold a CORRECTNESS_r05
@@ -3870,6 +3915,7 @@ def build_oracles() -> dict[str, str]:
         "time_rollup": oracle_time_rollup(),
         "session_concurrency": oracle_session_concurrency(),
         "doc_pagerank": oracle_doc_pagerank(),
+        "source_overlap_matrix": oracle_source_overlap_matrix(),
         "substring_delta": oracle_substring_delta(),
         "ann_ivfpq_residual_topk": oracle_ann_ivfpq_topk(residual=True),
         "ann_ivfpq_topk_indexed": oracle_ann_ivfpq_topk(residual=True),

@@ -2628,3 +2628,37 @@ def test_doc_pagerank(spark, ddb):
     for v in ids:
         if not nbrs[v]:
             assert pr[v] == floor_pr
+
+
+def test_source_overlap_matrix(spark, ddb):
+    """Cross-source fingerprint matrix vs the SQL replay, plus a
+    set-arithmetic brute force from the engine's own winnow selection
+    (n_shared must equal the literal intersection size) and the grid
+    law: every unordered source pair appears exactly once."""
+    from paperoni_spark.operators import dedup
+
+    docs = contract.load(spark, SF_DIR, "documents")
+    out_df = dedup.source_overlap_matrix(docs)
+    assert_matches_oracle(out_df, ddb, contract.oracle_source_overlap_matrix())
+    rows = out_df.collect()
+
+    sel = (
+        dedup._winnow_selected(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "fp")
+        .distinct()
+        .collect()
+    )
+    by_src = {}
+    for r in sel:
+        by_src.setdefault(r.source, set()).add(r.fp)
+    assert {(r.source_a, r.source_b) for r in rows} == {
+        (a, b) for a in by_src for b in by_src if a < b
+    }
+    for r in rows:
+        a, b = by_src[r.source_a], by_src[r.source_b]
+        assert r.n_shared == len(a & b)
+        assert abs(
+            r.containment - round(len(a & b) / min(len(a), len(b)), 6)
+        ) < 1e-9
+        assert 0.0 <= r.containment <= 1.0

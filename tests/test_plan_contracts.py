@@ -157,6 +157,11 @@ PLAN_CONTRACTS = {
     # materialize cut; every post-cut exchange moves sessions or hour-
     # band summaries — no session-pair set is ever formed
     "session_concurrency": (8, []),
+    # source contamination matrix: winnow window + (source, fp) distinct
+    # + the fp join (per-key multiplicity bounded by source count); the
+    # (source, fp) exchange is reused across sizes and both join sides,
+    # and only (doc_id, text) / (doc_id, source) are read
+    "source_overlap_matrix": (9, ["lang", "n_chars"]),
 }
 
 

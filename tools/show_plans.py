@@ -99,6 +99,7 @@ def main() -> None:
         "asof_join_enrich (union-window as-of join; one user-keyed shuffle)": temporal.asof_enrich(events),
         "time_rollup (multi-resolution rollup; coarse levels from fine partials)": temporal.time_rollup(events),
         "session_concurrency (interval sweep; band histogram + in-band count)": temporal.session_concurrency(events),
+        "source_overlap_matrix (winnow fps to sources; bounded fp join)": dedup.source_overlap_matrix(docs),
     }
 
     out = ["# PLANS — formatted physical plans for the headline queries\n"]
