@@ -67,6 +67,7 @@ INDEXED_QUERIES = {
     "cms_delta_heavy_hitters",
     "bloom_delta_new_docs",
     "shingle_novelty",
+    "asof_delta_enrich",
 }
 
 
@@ -243,6 +244,7 @@ def main() -> None:
         "session_concurrency",
         "doc_pagerank",
         "source_overlap_matrix",
+        "asof_delta_enrich",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

@@ -950,10 +950,21 @@ LEFT JOIN pairs p ON p.source_a = g.source_a AND p.source_b = g.source_b
 """
 
 
-def oracle_asof_join_enrich() -> str:
+_ASOF_CUTOFF = "2024-01-24 00:00:00"
+
+
+def oracle_asof_join_enrich(delta_only: bool = False) -> str:
     """DuckDB twin of temporal.asof_enrich: the same union-window spelling
     (not DuckDB's ASOF JOIN — its tie semantics at equal timestamps are
-    not the contract's; the window replay pins the exact total order)."""
+    not the contract's; the window replay pins the exact total order).
+    ``delta_only`` restricts the OUTPUT to targets at/after the delta
+    cutoff while still ranking over full history — exactly the identity
+    the incremental probe (asof_delta_enrich) must reproduce."""
+    cut = (
+        f" AND ts_us >= epoch_us(TIMESTAMP '{_ASOF_CUTOFF}')"
+        if delta_only
+        else ""
+    )
     return f"""
 WITH tagged AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us, 0 AS is_tgt
@@ -976,7 +987,7 @@ SELECT event_id::BIGINT AS event_id, user_id, ts_us::BIGINT AS ts_us,
        coalesce(ref_event_id, -1)::BIGINT AS ref_event_id,
        coalesce(ref_ts_us, -1)::BIGINT AS ref_ts_us,
        coalesce(ts_us - ref_ts_us, -1)::BIGINT AS lag_us
-FROM carried WHERE is_tgt = 1
+FROM carried WHERE is_tgt = 1{cut}
 """
 
 
@@ -3235,6 +3246,24 @@ LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_asof_delta_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental as-of enrichment: history (events before _ASOF_CUTOFF)
+    builds the per-user latest-ref state index ONCE (bench-amortized);
+    the delta window's targets are enriched from within-delta refs plus
+    the O(users) index probe — history is never re-scanned.  The oracle
+    is the FULL-history union-window replay restricted to delta targets,
+    so the identity 'incremental == full' is what the gate hash-checks."""
+    spark = _utc(spark)
+    events = load(spark, sf_dir, "events")
+    cut = F.expr(f"TIMESTAMP_NTZ '{_ASOF_CUTOFF}'")
+    hist = events.where(F.col("ts") < cut)
+    delta = events.where(F.col("ts") >= cut)
+    index_path = _memo_index(
+        "user_state", sf_dir, lambda p: temporal.write_user_state_index(hist, p)
+    )
+    return temporal.asof_enrich_delta(spark, delta, index_path)
+
+
 def q_cms_delta_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-CMS probe: the corpus split into a BASE wave (even ids
     — builds the constant-size sketch index once per sf_dir,
@@ -3667,6 +3696,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": lambda spark, sf: dedup.source_overlap_matrix(
             load(spark, sf, "documents")
         ),
+        # incremental as-of join against the persisted user-state index
+        # (eleventh wave-keyed family; idempotent max-merge appends)
+        "asof_delta_enrich": q_asof_delta_enrich,
         "session_stats": lambda spark, sf: sessionize.session_stats(load(_utc(spark), sf, "events")),
         # streaming (batch shape + true Structured Streaming run + custom
         # stateful operator via applyInPandasWithState)
@@ -3774,6 +3806,7 @@ _GATE_PRIORITY = [
     "session_concurrency",
     "doc_pagerank",
     "source_overlap_matrix",
+    "asof_delta_enrich",
 ]
 
 # Long-green remainder, measured-cost order (all hold a CORRECTNESS_r05
@@ -3916,6 +3949,7 @@ def build_oracles() -> dict[str, str]:
         "session_concurrency": oracle_session_concurrency(),
         "doc_pagerank": oracle_doc_pagerank(),
         "source_overlap_matrix": oracle_source_overlap_matrix(),
+        "asof_delta_enrich": oracle_asof_join_enrich(delta_only=True),
         "substring_delta": oracle_substring_delta(),
         "ann_ivfpq_residual_topk": oracle_ann_ivfpq_topk(residual=True),
         "ann_ivfpq_topk_indexed": oracle_ann_ivfpq_topk(residual=True),

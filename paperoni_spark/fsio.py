@@ -405,6 +405,16 @@ def compact_index_kind(spark: SparkSession, path: str, kind: str) -> int:
             # idempotent-OR family: re-distinct to one row per set bit
             "transform": lambda df: df.select("pos").distinct()
         },
+        "user_state": {
+            # idempotent-MAX family: re-merge to one row per user again
+            "transform": lambda df: df.groupBy("user_id")
+            .agg(F.max(F.struct("ts_us", "event_id")).alias("m"))
+            .select(
+                "user_id",
+                F.col("m.ts_us").alias("ts_us"),
+                F.col("m.event_id").alias("event_id"),
+            )
+        },
         "ivf": {"partition_by": ("centroid",)},
         "pq": {},
         "ivfpq": {"partition_by": ("centroid",)},

@@ -51,6 +51,48 @@ def _idiv(col, n: int):
     return ((col - col % F.lit(n)) / F.lit(n)).cast("long")
 
 
+def _carried_targets(
+    events: DataFrame, target_type: str, ref_type: str
+) -> DataFrame:
+    """The union-window carry: target rows with NULLABLE ref_event_id /
+    ref_ts_us of the most recent at-or-before ref (ties at equal µs: refs
+    sort before targets, highest event_id among equal-µs refs wins)."""
+    refs = events.where(F.col("event_type") == ref_type).select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        _us(F.col("ts")).alias("ts_us"),
+        F.lit(0).alias("is_tgt"),
+    )
+    tgts = events.where(F.col("event_type") == target_type).select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        _us(F.col("ts")).alias("ts_us"),
+        F.lit(1).alias("is_tgt"),
+    )
+    tagged = refs.unionByName(tgts).select(
+        "*",
+        F.when(F.col("is_tgt") == 0, F.col("event_id")).alias("r_id"),
+        F.when(F.col("is_tgt") == 0, F.col("ts_us")).alias("r_ts"),
+    )
+    # Refs sort before targets at equal ts (is_tgt asc) => "<=" semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_tgt", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            "is_tgt",
+            F.last("r_id", ignorenulls=True).over(w).alias("ref_event_id"),
+            F.last("r_ts", ignorenulls=True).over(w).alias("ref_ts_us"),
+        )
+        .where(F.col("is_tgt") == 1)
+    )
+
+
 def asof_enrich(
     events: DataFrame,
     target_type: str = ASOF_TARGET_TYPE,
@@ -75,38 +117,8 @@ def asof_enrich(
     driver's pandas canonicalization maps NULL to NaN on BOTH engines
     and NaN != NaN fails the row compare).
     """
-    refs = events.where(F.col("event_type") == ref_type).select(
-        "user_id",
-        F.col("event_id").cast("long").alias("event_id"),
-        _us(F.col("ts")).alias("ts_us"),
-        F.lit(0).alias("is_tgt"),
-    )
-    tgts = events.where(F.col("event_type") == target_type).select(
-        "user_id",
-        F.col("event_id").cast("long").alias("event_id"),
-        _us(F.col("ts")).alias("ts_us"),
-        F.lit(1).alias("is_tgt"),
-    )
-    tagged = refs.unionByName(tgts).select(
-        "*",
-        F.when(F.col("is_tgt") == 0, F.col("event_id")).alias("r_id"),
-        F.when(F.col("is_tgt") == 0, F.col("ts_us")).alias("r_ts"),
-    )
-    # Refs sort before targets at equal ts (is_tgt asc) => "<=" semantics.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us", "is_tgt", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = tagged.select(
-        "user_id",
-        "event_id",
-        "ts_us",
-        "is_tgt",
-        F.last("r_id", ignorenulls=True).over(w).alias("ref_event_id"),
-        F.last("r_ts", ignorenulls=True).over(w).alias("ref_ts_us"),
-    )
-    return carried.where(F.col("is_tgt") == 1).select(
+    carried = _carried_targets(events, target_type, ref_type)
+    return carried.select(
         "event_id",
         "user_id",
         "ts_us",
@@ -268,4 +280,123 @@ def session_concurrency(
             F.col("session_idx").cast("long").alias("session_idx"),
             (F.col("c1") - F.col("c2") - F.lit(1)).cast("long").alias("n_concurrent"),
         )
+    )
+
+
+USER_STATE_KIND = "user_state"
+
+
+def _user_ref_state(events: DataFrame, ref_type: str) -> DataFrame:
+    """(user_id, ts_us, event_id): each user's LATEST ref event as the
+    struct-max over (ts_us, event_id) — ties at equal µs resolve to the
+    highest event_id, the same winner the as-of window order picks."""
+    return (
+        events.where(F.col("event_type") == ref_type)
+        .select(
+            "user_id",
+            _us(F.col("ts")).alias("ts_us"),
+            F.col("event_id").cast("long").alias("event_id"),
+        )
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts_us", "event_id")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.ts_us").alias("ts_us"),
+            F.col("m.event_id").alias("event_id"),
+        )
+    )
+
+
+def write_user_state_index(
+    events: DataFrame, path: str, ref_type: str = ASOF_REF_TYPE
+) -> None:
+    """Persist per-user latest-ref state — the ELEVENTH wave-keyed index
+    family and the second IDEMPOTENT one: state merges by struct-MAX
+    (like Bloom's OR, unlike CMS's linear counters), so overlapping or
+    re-sent appends are safe by construction.  One row per user ever
+    seen, O(users) regardless of event volume: the incremental as-of
+    join probes this instead of re-scanning 10^12 historical events.
+    ``ref_type`` is param-pinned — probing a 'click' index for
+    'signup' refs would silently enrich against the wrong stream."""
+    spark = events.sparkSession
+    from ..fsio import assert_index_kind, assert_index_param, write_wave_segment
+
+    # kind BEFORE param: refusing a foreign root must precede adopting
+    # any marker into it
+    assert_index_kind(spark, path, USER_STATE_KIND)
+    assert_index_param(spark, path, "ref_type", ref_type)
+    write_wave_segment(_user_ref_state(events, ref_type), path, 0, kind=USER_STATE_KIND)
+
+
+def append_to_user_state_index(
+    events: DataFrame, path: str, wave, ref_type: str = ASOF_REF_TYPE
+) -> None:
+    """Add a wave's per-user latest-ref state as its own ``wave=<id>``
+    segment.  Unlike every linear family there is NO disjointness
+    contract — max-merge makes re-sent events harmless — but the wave id
+    rules still hold (stable across retries, never the build's 0)."""
+    spark = events.sparkSession
+    from ..fsio import assert_index_kind, assert_index_param, write_wave_segment
+
+    if (isinstance(wave, int) and wave < 1) or str(wave) == "0":
+        raise ValueError(f"append wave id must not be the build's 0: {wave}")
+    assert_index_kind(spark, path, USER_STATE_KIND)
+    assert_index_param(spark, path, "ref_type", ref_type)
+    write_wave_segment(_user_ref_state(events, ref_type), path, wave, kind=USER_STATE_KIND)
+
+
+def _read_user_state(spark, index_path: str) -> DataFrame:
+    """Merged per-user state across wave segments (explicit columns — the
+    wave partition column is never read)."""
+    return (
+        spark.read.parquet(index_path)
+        .select("user_id", "ts_us", "event_id")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts_us", "event_id")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.ts_us").alias("s_ts"),
+            F.col("m.event_id").alias("s_id"),
+        )
+    )
+
+
+def asof_enrich_delta(
+    spark,
+    delta_events: DataFrame,
+    index_path: str,
+    target_type: str = ASOF_TARGET_TYPE,
+    ref_type: str = ASOF_REF_TYPE,
+) -> DataFrame:
+    """Incremental as-of join: enrich the DELTA wave's targets against
+    within-delta refs plus the persisted user-state index — O(delta +
+    touched users), history never re-scanned.
+
+    Caller contract: the index covers events strictly BEFORE the delta
+    window (the crawl-wave invariant).  Under it the combine rule is a
+    plain coalesce: a within-delta carry ref is always newer than any
+    index ref (carry ts >= delta start > every history ts), and the
+    index row is itself the window order's winner among history refs
+    (struct-max over (ts_us, event_id)), so the result is EXACTLY the
+    full-history as-of join restricted to delta targets — that identity
+    is what the oracle checks.
+
+    Same -1 sentinel convention as :func:`asof_enrich`."""
+    from ..fsio import assert_index_param, refuse_mid_compaction
+
+    refuse_mid_compaction(spark, index_path)
+    assert_index_param(spark, index_path, "ref_type", ref_type, create=False)
+    carried = _carried_targets(delta_events, target_type, ref_type)
+    state = _read_user_state(spark, index_path)
+    combined = carried.join(state, "user_id", "left")
+    ref_ts = F.coalesce("ref_ts_us", "s_ts")
+    return combined.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.coalesce("ref_event_id", "s_id", F.lit(-1))
+        .cast("long")
+        .alias("ref_event_id"),
+        F.coalesce(ref_ts, F.lit(-1)).cast("long").alias("ref_ts_us"),
+        F.coalesce(F.col("ts_us") - ref_ts, F.lit(-1)).cast("long").alias("lag_us"),
     )

@@ -2662,3 +2662,58 @@ def test_source_overlap_matrix(spark, ddb):
             r.containment - round(len(a & b) / min(len(a), len(b)), 6)
         ) < 1e-9
         assert 0.0 <= r.containment <= 1.0
+
+
+def test_asof_delta_enrich(spark, ddb, tmp_path):
+    """Incremental as-of against the user-state index: (1) the gate
+    identity — incremental == full-history as-of restricted to delta
+    targets (both via the oracle and via the engine's own full join);
+    (2) idempotent appends — re-sending an OVERLAPPING wave leaves the
+    probe bit-identical (max-merge, the Bloom-OR property); (3)
+    compaction parity — folding segments changes nothing."""
+    from paperoni_spark import fsio
+    from paperoni_spark.operators import temporal
+
+    assert_matches_oracle(
+        contract.q_asof_delta_enrich(spark, SF_DIR),
+        ddb,
+        contract.oracle_asof_join_enrich(delta_only=True),
+    )
+
+    events = contract.load(spark, SF_DIR, "events")
+    cut = F.expr(f"TIMESTAMP_NTZ '{contract._ASOF_CUTOFF}'")
+    hist, delta = events.where(F.col("ts") < cut), events.where(F.col("ts") >= cut)
+    idx = str(tmp_path / "user_state")
+    temporal.write_user_state_index(hist, idx)
+
+    def probe():
+        return sorted(
+            tuple(r)
+            for r in temporal.asof_enrich_delta(spark, delta, idx).collect()
+        )
+
+    base = probe()
+    full = sorted(
+        tuple(r)
+        for r in temporal.asof_enrich(events)
+        .where(F.col("ts_us") >= F.unix_micros(cut.cast("timestamp")))
+        .collect()
+    )
+    assert base == full
+
+    # overlapping re-append: the SAME history sent again as wave 1
+    temporal.append_to_user_state_index(hist, idx, wave=1)
+    assert probe() == base
+    # and a genuinely overlapping partial wave
+    temporal.append_to_user_state_index(hist.limit(200), idx, wave=2)
+    assert probe() == base
+
+    folded = fsio.compact_index_kind(spark, idx, "user_state")
+    assert folded == 3
+    assert probe() == base
+
+    # geometry pin: probing for a different ref stream is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ref_type"):
+        temporal.asof_enrich_delta(spark, delta, idx, ref_type="signup")

@@ -100,6 +100,7 @@ def main() -> None:
         "time_rollup (multi-resolution rollup; coarse levels from fine partials)": temporal.time_rollup(events),
         "session_concurrency (interval sweep; band histogram + in-band count)": temporal.session_concurrency(events),
         "source_overlap_matrix (winnow fps to sources; bounded fp join)": dedup.source_overlap_matrix(docs),
+        "asof_delta_enrich (O(users) state-index probe + within-delta carry)": contract.q_asof_delta_enrich(spark, SF),
     }
 
     out = ["# PLANS — formatted physical plans for the headline queries\n"]
