@@ -245,6 +245,7 @@ def main() -> None:
         "doc_pagerank",
         "source_overlap_matrix",
         "asof_delta_enrich",
+        "streaming_asof_enrich",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

@@ -1583,13 +1583,16 @@ def _stage_micro_batches(
     n_batches: int = 2,
     key_col: str = "doc_id",
     root: str | None = None,
+    class_expr=None,
 ) -> tuple[str, str]:
     """Stage a documents frame as ``n_batches`` mtime-ordered parquet
-    files (doc_id mod ``n_batches``) under ``root`` (or a fresh temp dir)
-    — the shared harness for the streaming gates (file sources order
-    batches by modification time).  Returns ``(tmp_root, docs_dir)``;
-    the caller owns cleanup (rmtree after the stream drains, or a
-    _stream_tmp root when the returned frame reads lazily)."""
+    files (doc_id mod ``n_batches``, or an explicit ``class_expr`` int
+    column 0..n-1 — the time-ordered streams need a ts split, not a key
+    split) under ``root`` (or a fresh temp dir) — the shared harness for
+    the streaming gates (file sources order batches by modification
+    time).  Returns ``(tmp_root, docs_dir)``; the caller owns cleanup
+    (rmtree after the stream drains, or a _stream_tmp root when the
+    returned frame reads lazily)."""
     import glob
     import shutil
     import tempfile
@@ -1604,8 +1607,13 @@ def _stage_micro_batches(
     # class in exactly one task → exactly one file per class (and keeps AQE
     # from coalescing the write, per the round-4 partitioned-write finding)
     sdir = os.path.join(tmp, "staged")
+    cls = (
+        class_expr
+        if class_expr is not None
+        else (F.col(key_col) % n_batches).cast("int")
+    )
     (
-        docs.withColumn("_b", (F.col(key_col) % n_batches).cast("int"))
+        docs.withColumn("_b", cls)
         .repartition(n_batches, "_b")
         .write.partitionBy("_b")
         .parquet(sdir)
@@ -3246,6 +3254,39 @@ LEFT JOIN agg a USING (doc_id)
 """
 
 
+_ASOF_STREAM_SPLIT = "2024-01-16 00:00:00"
+
+
+def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time as-of enrichment as a stateful stream: the events
+    TIME-SPLIT into two mtime-ordered micro-batches (the event-log
+    tailing contract the operator documents — a key split would put
+    later refs in an earlier batch and break as-of semantics), one
+    (ts_us, event_id) state row per user, gated row-for-row against the
+    SAME full-history union-window oracle as the batch asof_join_enrich
+    — the streaming, incremental-index, and batch shapes all hash-check
+    to one answer."""
+    from .streaming.asof import run_streaming_asof_enrich
+
+    spark = _utc(spark)
+    events = load(spark, sf_dir, "events")
+    split = (
+        (F.col("ts") >= F.expr(f"TIMESTAMP_NTZ '{_ASOF_STREAM_SPLIT}'"))
+        .cast("int")
+    )
+    tmp, events_dir = _stage_micro_batches(
+        events, root=_stream_tmp("sasof"), class_expr=split
+    )
+    return run_streaming_asof_enrich(
+        spark,
+        events_dir,
+        temporal.ASOF_TARGET_TYPE,
+        temporal.ASOF_REF_TYPE,
+        max_files_per_trigger=1,
+        state_partitions=_STREAM_STATE_PARTITIONS,
+    )
+
+
 def q_asof_delta_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental as-of enrichment: history (events before _ASOF_CUTOFF)
     builds the per-user latest-ref state index ONCE (bench-amortized);
@@ -3699,6 +3740,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental as-of join against the persisted user-state index
         # (eleventh wave-keyed family; idempotent max-merge appends)
         "asof_delta_enrich": q_asof_delta_enrich,
+        # the streaming twin: per-user (ts, id) group state, append-mode
+        # emission, same oracle as the batch as-of join
+        "streaming_asof_enrich": q_streaming_asof_enrich,
         "session_stats": lambda spark, sf: sessionize.session_stats(load(_utc(spark), sf, "events")),
         # streaming (batch shape + true Structured Streaming run + custom
         # stateful operator via applyInPandasWithState)
@@ -3807,6 +3851,7 @@ _GATE_PRIORITY = [
     "doc_pagerank",
     "source_overlap_matrix",
     "asof_delta_enrich",
+    "streaming_asof_enrich",
 ]
 
 # Long-green remainder, measured-cost order (all hold a CORRECTNESS_r05
@@ -3950,6 +3995,7 @@ def build_oracles() -> dict[str, str]:
         "doc_pagerank": oracle_doc_pagerank(),
         "source_overlap_matrix": oracle_source_overlap_matrix(),
         "asof_delta_enrich": oracle_asof_join_enrich(delta_only=True),
+        "streaming_asof_enrich": oracle_asof_join_enrich(),
         "substring_delta": oracle_substring_delta(),
         "ann_ivfpq_residual_topk": oracle_ann_ivfpq_topk(residual=True),
         "ann_ivfpq_topk_indexed": oracle_ann_ivfpq_topk(residual=True),

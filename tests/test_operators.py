@@ -2717,3 +2717,29 @@ def test_asof_delta_enrich(spark, ddb, tmp_path):
 
     with _pytest.raises(ValueError, match="ref_type"):
         temporal.asof_enrich_delta(spark, delta, idx, ref_type="signup")
+
+
+def test_streaming_asof_enrich(spark, ddb):
+    """Streaming shape == the batch oracle, and at least one enrichment
+    CROSSES the micro-batch boundary (ref in batch 0, target in batch 1)
+    — the group state must be doing real cross-batch work, not a
+    within-batch shortcut."""
+    import datetime
+
+    out = contract.q_streaming_asof_enrich(spark, SF_DIR)
+    assert_matches_oracle(out, ddb, contract.oracle_asof_join_enrich())
+    rows = out.collect()
+    split_us = int(
+        datetime.datetime.strptime(
+            contract._ASOF_STREAM_SPLIT, "%Y-%m-%d %H:%M:%S"
+        )
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    cross = [
+        r
+        for r in rows
+        if r.ts_us >= split_us and r.ref_event_id != -1 and r.ref_ts_us < split_us
+    ]
+    assert cross, "no enrichment crossed the micro-batch boundary"
