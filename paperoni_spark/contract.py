@@ -1002,7 +1002,7 @@ def oracle_time_rollup() -> str:
             f"SELECT {res} AS resolution_s, "
             f"((epoch_us(ts) // {1_000_000 * res}) * {res})::BIGINT AS bucket_start_s, "
             f"event_type, count(*)::BIGINT AS n_events, "
-            f"sum(floor(value * 1e6)::BIGINT)::BIGINT AS sum_value_micro "
+            f"sum(coalesce(floor(value * 1e6)::BIGINT, 0))::BIGINT AS sum_value_micro "
             f"FROM events GROUP BY 1, 2, 3"
         )
     return " UNION ALL ".join(levels)

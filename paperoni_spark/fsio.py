@@ -383,6 +383,13 @@ def compact_index_kind(spark: SparkSession, path: str, kind: str) -> int:
     silently drop the partition layout probes prune on."""
     from pyspark.sql import functions as F
 
+    def _merge_user_state(df):
+        # the SHARED user_state winner rule — build/probe/compaction must
+        # stay in lockstep (lazy import: operators modules import fsio)
+        from .operators.temporal import merge_user_state
+
+        return merge_user_state(df)
+
     geometries: dict[str, dict] = {
         "minhash_bands": {"partition_by": ("band",)},
         "simhash": {},
@@ -407,13 +414,7 @@ def compact_index_kind(spark: SparkSession, path: str, kind: str) -> int:
         },
         "user_state": {
             # idempotent-MAX family: re-merge to one row per user again
-            "transform": lambda df: df.groupBy("user_id")
-            .agg(F.max(F.struct("ts_us", "event_id")).alias("m"))
-            .select(
-                "user_id",
-                F.col("m.ts_us").alias("ts_us"),
-                F.col("m.event_id").alias("event_id"),
-            )
+            "transform": _merge_user_state
         },
         "ivf": {"partition_by": ("centroid",)},
         "pq": {},
@@ -425,6 +426,26 @@ def compact_index_kind(spark: SparkSession, path: str, kind: str) -> int:
             f"(known: {sorted(geometries)})"
         )
     return compact_index(spark, path, kind=kind, **geometries[kind])
+
+
+def assert_append_wave(wave) -> None:
+    """Validate an APPEND wave id (shared by every family's
+    append_to_*_index): never the build's 0, never negative, never
+    empty — in both int and string spelling.  Non-numeric string ids are
+    allowed (corpus_job uses run-derived names); numeric strings obey
+    the same >= 1 rule as ints so ``"-1"`` cannot sneak past the string
+    branch and write a layout-violating ``wave=-1`` segment."""
+    s = str(wave)
+    if not s:
+        raise ValueError("append wave id must not be empty")
+    try:
+        n = int(s)
+    except ValueError:
+        return  # non-numeric string id: allowed
+    if n < 1:
+        raise ValueError(
+            f"append wave id must not be the build's 0 (or negative): {wave}"
+        )
 
 
 def write_wave_segment(

@@ -206,6 +206,17 @@ def source_overlap_matrix(
     Zero-overlap pairs are kept (n_shared = 0); sources with no
     fingerprints at all (every doc shorter than the shingle width) have
     no row — containment is undefined without a denominator."""
+    # the sentinel must not SILENTLY merge with a real source literally
+    # named like it — that would union two strata's fingerprints and
+    # corrupt every containment involving either, with no error.  The
+    # guard scan is source-only + pushed filter + limit 1: noise next
+    # to the shingle pass.
+    if documents.where(F.col("source") == NULL_SOURCE_LABEL).limit(1).count():
+        raise ValueError(
+            f"a real source is named {NULL_SOURCE_LABEL!r} — it would "
+            "silently merge with the NULL-source stratum; rename the "
+            "sentinel (dedup.NULL_SOURCE_LABEL)"
+        )
     sel = _winnow_selected(documents, n, window)
     src = documents.select(
         "doc_id", F.coalesce("source", F.lit(NULL_SOURCE_LABEL)).alias("source")
@@ -1357,10 +1368,14 @@ def append_to_substring_index(
     job-managed string id (corpus_job's uuid wave ids; string ids mix
     fine with ints, the wave column is never semantic) that must not
     collide with the build's ``wave=0``."""
-    from ..fsio import assert_index_kind, assert_index_param, write_wave_segment
+    from ..fsio import (
+        assert_append_wave,
+        assert_index_kind,
+        assert_index_param,
+        write_wave_segment,
+    )
 
-    if (isinstance(wave, int) and wave < 1) or str(wave) == "0":
-        raise ValueError(f"append wave id must not be the build's 0: {wave}")
+    assert_append_wave(wave)
     assert_index_kind(documents.sparkSession, path, "substring_hist")
     assert_index_param(documents.sparkSession, path, "shingle_n", n)
     write_wave_segment(
@@ -1479,10 +1494,14 @@ def append_to_bloom_index(
     contract: ``wave`` stable across retries of the same wave, never the
     build's 0.  Unlike the CMS family there is NO disjointness
     requirement — OR is idempotent, overlapping waves are safe."""
-    from ..fsio import assert_index_kind, assert_index_param, write_wave_segment
+    from ..fsio import (
+        assert_append_wave,
+        assert_index_kind,
+        assert_index_param,
+        write_wave_segment,
+    )
 
-    if (isinstance(wave, int) and wave < 1) or str(wave) == "0":
-        raise ValueError(f"append wave id must not be the build's 0: {wave}")
+    assert_append_wave(wave)
     assert_index_kind(documents.sparkSession, path, "bloom_bits")
     assert_index_param(documents.sparkSession, path, "bloom_k", k)
     write_wave_segment(_bloom_bits(documents, k), path, wave, kind="bloom_bits")

@@ -43,12 +43,18 @@ def _us(col):
 
 
 def _idiv(col, n: int):
-    """Exact long floor-division for non-negative longs.  A bare
-    ``(col / n).cast("long")`` goes through double division, whose
-    round-to-nearest can land exactly ON the next integer and flip a
-    boundary bucket vs DuckDB's integer ``//``; subtracting the modulus
-    first makes the division exact (quotient < 2^53)."""
-    return ((col - col % F.lit(n)) / F.lit(n)).cast("long")
+    """Exact long floor-division for non-negative longs, for ANY long.
+    A bare ``(col / n).cast("long")`` goes through double division,
+    whose round-to-nearest can land exactly ON the next integer and
+    flip a boundary bucket vs DuckDB's integer ``//``.  Subtracting the
+    modulus makes the dividend exactly divisible, and the division runs
+    in DECIMAL(38,0) (not double: a dividend above 2^53 would round
+    BEFORE dividing — rounding an exact integer quotient is the
+    identity, so the decimal path is exact for the whole long range)."""
+    return (
+        ((col - col % F.lit(n)).cast("decimal(38,0)") / F.lit(n))
+        .cast("long")
+    )
 
 
 def _carried_targets(
@@ -156,7 +162,12 @@ def time_rollup(
         events.select(
             "event_type",
             _idiv(_us(F.col("ts")), 1_000_000 * finest).alias("b"),
-            F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+            # NULL value => 0 contribution (still counted in n_events):
+            # an all-NULL bucket must not emit a NULL sum — NULL output
+            # cells cannot cross the gate (CLAUDE.md NaN law)
+            F.coalesce(F.floor(F.col("value") * 1e6).cast("long"), F.lit(0)).alias(
+                "v"
+            ),
         )
         .groupBy("b", "event_type")
         .agg(
@@ -234,29 +245,59 @@ def session_concurrency(
 
     def _prefix_count(points: DataFrame, queries: DataFrame, strict: bool) -> DataFrame:
         """#points with val <= q (strict=False) / val < q (strict=True)
-        per query row, via band histogram + in-band count."""
-        pts = points.withColumn("band", _idiv(F.col("val"), CONCURRENCY_BAND_US))
-        qs = queries.withColumn("band", _idiv(F.col("q"), CONCURRENCY_BAND_US))
+        per query row, via band histogram + an IN-BAND RUNNING COUNT.
+
+        The in-band step is a per-band window over the points ∪ queries
+        union, never a (query × point) join: a join is quadratic within
+        a band — under the exact condition this operator exists for
+        (10^6 sessions starting inside one hour) a single band would
+        materialize ~10^12 pairs.  The window sorts the band once
+        (O(rows log rows), one task per band) and reads each query's
+        count off the running sum; band skew degrades parallelism, not
+        complexity."""
+        pts = points.select(
+            F.col("val").alias("v"),
+            F.lit(1).alias("w_pt"),
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("long").alias("session_idx"),
+        ).withColumn("band", _idiv(F.col("v"), CONCURRENCY_BAND_US))
+        qs = queries.select(
+            F.col("q").alias("v"),
+            F.lit(0).alias("w_pt"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_idx").cast("long").alias("session_idx"),
+        ).withColumn("band", _idiv(F.col("v"), CONCURRENCY_BAND_US))
+        # tie order at equal val: non-strict counts equal points (points
+        # first), strict excludes them (queries first).  Rows of the SAME
+        # kind at equal (v, tie) are interchangeable for the count, so
+        # the ROWS frame is deterministic without a further key.
+        tie = F.col("w_pt") if strict else (1 - F.col("w_pt"))
+        both = pts.unionByName(qs).withColumn("tie", tie)
+        w_run = (
+            Window.partitionBy("band")
+            .orderBy("v", "tie")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        in_band = (
+            both.withColumn("n_in", F.sum("w_pt").over(w_run))
+            .where(F.col("w_pt") == 0)
+            .select("band", "user_id", "session_idx", "n_in")
+        )
         hist = pts.groupBy("band").agg(F.count("*").alias("n"))
         # Offsets must cover every band a QUERY lands in, not only bands
         # that contain points (a point-free query band still owes the
         # count of all earlier bands) — key the prefix sum on the union.
         bands = pts.select("band").union(qs.select("band")).distinct()
-        w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+        w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
         # The histogram is bands-sized (hours of corpus span) — the
         # single-partition offsets window moves a driver-bounded summary,
         # same as every other two-phase rank in the repo.
         offsets = (
             bands.join(hist, on="band", how="left")
             .select("band", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
-            .select("band", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("n_before"))
-        )
-        cond = F.col("p.val") < F.col("q.q") if strict else F.col("p.val") <= F.col("q.q")
-        in_band = (
-            qs.alias("q")
-            .join(pts.alias("p"), on=(F.col("p.band") == F.col("q.band")) & cond, how="left")
-            .groupBy("q.user_id", "q.session_idx", "q.band")
-            .agg(F.count(F.col("p.val")).alias("n_in"))
+            .select(
+                "band", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("n_before")
+            )
         )
         return (
             in_band.join(F.broadcast(offsets), on="band", how="left")
@@ -286,23 +327,34 @@ def session_concurrency(
 USER_STATE_KIND = "user_state"
 
 
-def _user_ref_state(events: DataFrame, ref_type: str) -> DataFrame:
-    """(user_id, ts_us, event_id): each user's LATEST ref event as the
-    struct-max over (ts_us, event_id) — ties at equal µs resolve to the
-    highest event_id, the same winner the as-of window order picks."""
+def merge_user_state(rows: DataFrame) -> DataFrame:
+    """THE user_state winner rule — struct-max over (ts_us, event_id)
+    per user (ties at equal µs resolve to the highest event_id, the same
+    winner the as-of window order picks).  Single-sourced on purpose:
+    build/append (:func:`_user_ref_state`), probe
+    (:func:`_read_user_state`) and compaction (fsio.compact_index_kind's
+    user_state geometry) must all merge with the SAME rule, or a
+    compacted index keeps a different winner than a fresh probe
+    computes."""
     return (
-        events.where(F.col("event_type") == ref_type)
-        .select(
-            "user_id",
-            _us(F.col("ts")).alias("ts_us"),
-            F.col("event_id").cast("long").alias("event_id"),
-        )
-        .groupBy("user_id")
+        rows.groupBy("user_id")
         .agg(F.max(F.struct("ts_us", "event_id")).alias("m"))
         .select(
             "user_id",
             F.col("m.ts_us").alias("ts_us"),
             F.col("m.event_id").alias("event_id"),
+        )
+    )
+
+
+def _user_ref_state(events: DataFrame, ref_type: str) -> DataFrame:
+    """(user_id, ts_us, event_id): each user's LATEST ref event — the
+    shared :func:`merge_user_state` rule over the filtered ref stream."""
+    return merge_user_state(
+        events.where(F.col("event_type") == ref_type).select(
+            "user_id",
+            _us(F.col("ts")).alias("ts_us"),
+            F.col("event_id").cast("long").alias("event_id"),
         )
     )
 
@@ -336,10 +388,14 @@ def append_to_user_state_index(
     contract — max-merge makes re-sent events harmless — but the wave id
     rules still hold (stable across retries, never the build's 0)."""
     spark = events.sparkSession
-    from ..fsio import assert_index_kind, assert_index_param, write_wave_segment
+    from ..fsio import (
+        assert_append_wave,
+        assert_index_kind,
+        assert_index_param,
+        write_wave_segment,
+    )
 
-    if (isinstance(wave, int) and wave < 1) or str(wave) == "0":
-        raise ValueError(f"append wave id must not be the build's 0: {wave}")
+    assert_append_wave(wave)
     assert_index_kind(spark, path, USER_STATE_KIND)
     assert_index_param(spark, path, "ref_type", ref_type)
     write_wave_segment(_user_ref_state(events, ref_type), path, wave, kind=USER_STATE_KIND)
@@ -347,17 +403,14 @@ def append_to_user_state_index(
 
 def _read_user_state(spark, index_path: str) -> DataFrame:
     """Merged per-user state across wave segments (explicit columns — the
-    wave partition column is never read)."""
-    return (
-        spark.read.parquet(index_path)
-        .select("user_id", "ts_us", "event_id")
-        .groupBy("user_id")
-        .agg(F.max(F.struct("ts_us", "event_id")).alias("m"))
-        .select(
-            "user_id",
-            F.col("m.ts_us").alias("s_ts"),
-            F.col("m.event_id").alias("s_id"),
-        )
+    wave partition column is never read; :func:`merge_user_state` is the
+    single winner rule)."""
+    return merge_user_state(
+        spark.read.parquet(index_path).select("user_id", "ts_us", "event_id")
+    ).select(
+        "user_id",
+        F.col("ts_us").alias("s_ts"),
+        F.col("event_id").alias("s_id"),
     )
 
 

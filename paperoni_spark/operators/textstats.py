@@ -776,10 +776,14 @@ def append_to_cms_index(
     contract: documents disjoint from the waves already folded in (a
     re-counted doc double-counts — CMS has no subtraction) and ``wave``
     stable across retries of the same wave, never the build's 0."""
-    from ..fsio import assert_index_kind, assert_index_param, write_wave_segment
+    from ..fsio import (
+        assert_append_wave,
+        assert_index_kind,
+        assert_index_param,
+        write_wave_segment,
+    )
 
-    if (isinstance(wave, int) and wave < 1) or str(wave) == "0":
-        raise ValueError(f"append wave id must not be the build's 0: {wave}")
+    assert_append_wave(wave)
     assert_index_kind(documents.sparkSession, path, "cms_sketch")
     assert_index_param(documents.sparkSession, path, "cms_depth", depth)
     write_wave_segment(_cms_sketch(documents, depth), path, wave, kind="cms_sketch")

@@ -154,8 +154,9 @@ PLAN_CONTRACTS = {
     # the union branches reuse the finest exchange
     "time_rollup": (5, ["props", "user_id", "event_id"]),
     # interval concurrency sweep: the sessionizer runs once behind the
-    # materialize cut; every post-cut exchange moves sessions or hour-
-    # band summaries — no session-pair set is ever formed
+    # materialize cut; in-band counts are per-band RUNNING WINDOWS over
+    # the points ∪ queries union (a band-keyed join would be quadratic
+    # within a skewed band) — no session-pair set is ever formed
     "session_concurrency": (8, []),
     # source contamination matrix: winnow window + (source, fp) distinct
     # + the fp join (per-key multiplicity bounded by source count); the
