@@ -68,6 +68,7 @@ INDEXED_QUERIES = {
     "bloom_delta_new_docs",
     "shingle_novelty",
     "asof_delta_enrich",
+    "time_rollup_delta",
 }
 
 
@@ -246,6 +247,8 @@ def main() -> None:
         "source_overlap_matrix",
         "asof_delta_enrich",
         "streaming_asof_enrich",
+        "time_rollup_delta",
+        "label_centroid_similarity",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

@@ -911,6 +911,32 @@ FROM c
 """
 
 
+def oracle_label_centroid_similarity() -> str:
+    """DuckDB twin of similarity.label_centroid_similarity: same per-dim
+    rounded means (the IVF centroid portability rule), dim index 1-based
+    here vs 0-based in Spark — internal join key only, never output."""
+    m, c = similarity.CENTROID_MEAN_ROUND, similarity.CENTROID_COS_ROUND
+    return f"""
+WITH dims AS (
+  SELECT label, i AS d, emb[i] AS x
+  FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+       unnest(generate_series(1, len(emb))) AS t(i)
+),
+cent AS (SELECT label, d, round(avg(x), {m}) AS c FROM dims GROUP BY 1, 2),
+norms AS (SELECT label, sum(c * c) AS nn FROM cent GROUP BY 1),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
+  FROM cent a JOIN cent b USING (d)
+  WHERE a.label < b.label GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       round(dot / (sqrt(na.nn) * sqrt(nb.nn)), {c}) AS cosine
+FROM dots
+JOIN norms na ON na.label = dots.label_a
+JOIN norms nb ON nb.label = dots.label_b
+"""
+
+
 def oracle_source_overlap_matrix() -> str:
     """DuckDB twin of dedup.source_overlap_matrix: same winnow selection
     CTEs as oracle_winnow_overlap_pairs, projected to (source, fp)."""
@@ -3287,6 +3313,28 @@ def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_rollup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate probe: history (events before _ASOF_CUTOFF)
+    builds the finest-grid partials index ONCE (bench-amortized), the
+    delta window appends its own partials segment, and the probe merges
+    segments in O(index) — raw events never re-scanned.  The oracle is
+    the FULL-corpus rollup (oracle_time_rollup unchanged): partials add,
+    so 'index ∪ delta == full recompute' is the additive identity the
+    gate hash-checks."""
+    spark = _utc(spark)
+    events = load(spark, sf_dir, "events")
+    cut = F.expr(f"TIMESTAMP_NTZ '{_ASOF_CUTOFF}'")
+
+    def _build(p: str) -> None:
+        temporal.write_rollup_index(events.where(F.col("ts") < cut), p)
+        temporal.append_to_rollup_index(
+            events.where(F.col("ts") >= cut), p, wave=1
+        )
+
+    index_path = _memo_index("time_rollup", sf_dir, _build)
+    return temporal.time_rollup_from_index(spark, index_path)
+
+
 def q_asof_delta_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental as-of enrichment: history (events before _ASOF_CUTOFF)
     builds the per-user latest-ref state index ONCE (bench-amortized);
@@ -3743,6 +3791,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the streaming twin: per-user (ts, id) group state, append-mode
         # emission, same oracle as the batch as-of join
         "streaming_asof_enrich": q_streaming_asof_enrich,
+        # continuous-aggregate probe: persisted finest-grid partials
+        # (twelfth wave-keyed family, additive), full-recompute oracle
+        "time_rollup_delta": q_time_rollup_delta,
+        # per-label centroid geometry (rounded means, label-bounded joins)
+        "label_centroid_similarity": lambda spark, sf: similarity.label_centroid_similarity(
+            load(spark, sf, "embeddings")
+        ),
         "session_stats": lambda spark, sf: sessionize.session_stats(load(_utc(spark), sf, "events")),
         # streaming (batch shape + true Structured Streaming run + custom
         # stateful operator via applyInPandasWithState)
@@ -3852,6 +3907,8 @@ _GATE_PRIORITY = [
     "source_overlap_matrix",
     "asof_delta_enrich",
     "streaming_asof_enrich",
+    "time_rollup_delta",
+    "label_centroid_similarity",
 ]
 
 # Long-green remainder, measured-cost order (all hold a CORRECTNESS_r05
@@ -3996,6 +4053,8 @@ def build_oracles() -> dict[str, str]:
         "source_overlap_matrix": oracle_source_overlap_matrix(),
         "asof_delta_enrich": oracle_asof_join_enrich(delta_only=True),
         "streaming_asof_enrich": oracle_asof_join_enrich(),
+        "time_rollup_delta": oracle_time_rollup(),
+        "label_centroid_similarity": oracle_label_centroid_similarity(),
         "substring_delta": oracle_substring_delta(),
         "ann_ivfpq_residual_topk": oracle_ann_ivfpq_topk(residual=True),
         "ann_ivfpq_topk_indexed": oracle_ann_ivfpq_topk(residual=True),

@@ -416,6 +416,13 @@ def compact_index_kind(spark: SparkSession, path: str, kind: str) -> int:
             # idempotent-MAX family: re-merge to one row per user again
             "transform": _merge_user_state
         },
+        "time_rollup": {
+            # counts family: re-aggregate to one row per bucket again
+            "transform": lambda df: df.groupBy("b", "event_type").agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value_micro").alias("sum_value_micro"),
+            )
+        },
         "ivf": {"partition_by": ("centroid",)},
         "pq": {},
         "ivfpq": {"partition_by": ("centroid",)},

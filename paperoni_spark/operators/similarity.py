@@ -103,6 +103,55 @@ def _rank_topk_adc(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+CENTROID_MEAN_ROUND = 6
+CENTROID_COS_ROUND = 4
+
+
+def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the
+    cluster-geometry diagnostic (labels whose centroids are near-parallel
+    are candidates for merging; near-orthogonal ones are safe strata).
+
+    Plan shape: one (label, dim) partial-aggregated shuffle over the
+    exploded dims, then label-cardinality-bounded frames everywhere —
+    the dim join's per-key multiplicity is |labels| (a config-sized
+    constant), so no pair set scales with corpus size.  Portability:
+    the per-dim MEAN is the one FP-order-sensitive step — rounded to
+    {mean} decimals before anything consumes it (the IVF centroid rule:
+    rounding re-synchronizes the engines' sum orders); dot/norm sums
+    over 64 rounded values drift below the final {cos}-decimal rounding.
+
+    Returns (label_a, label_b, cosine) for label_a < label_b.
+    """.format(mean=CENTROID_MEAN_ROUND, cos=CENTROID_COS_ROUND)
+    dims = embeddings.select("label", F.posexplode("embedding").alias("d", "x"))
+    cent = dims.groupBy("label", "d").agg(
+        F.round(F.avg("x"), CENTROID_MEAN_ROUND).alias("c")
+    )
+    norms = cent.groupBy("label").agg(F.sum(F.col("c") * F.col("c")).alias("nn"))
+    a = cent.select(F.col("label").alias("label_a"), "d", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "d", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "d")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nn").alias("nna"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nn").alias("nnb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot") / (F.sqrt("nna") * F.sqrt("nnb")),
+                CENTROID_COS_ROUND,
+            ).alias("cosine"),
+        )
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:

@@ -154,27 +154,21 @@ def time_rollup(
     Returns (resolution_s, bucket_start_s, event_type, n_events,
     sum_value_micro).
     """
-    finest = resolutions_s[0]
+    return _rollup_levels(
+        _rollup_partials(events, resolutions_s[0]), resolutions_s
+    )
+
+
+def _rollup_levels(
+    level: DataFrame, resolutions_s: tuple[int, ...]
+) -> DataFrame:
+    """Shape the finest-grid partials into the multi-resolution output —
+    THE rollup derivation, shared by the direct query and the index
+    probe (the 'index probe == full recompute' identity holds because
+    both paths run this exact code over per-key-summed partials)."""
     for coarse, fine in zip(resolutions_s[1:], resolutions_s):
         if coarse % fine:
             raise ValueError(f"rollup grid must nest: {coarse} % {fine} != 0")
-    level = (
-        events.select(
-            "event_type",
-            _idiv(_us(F.col("ts")), 1_000_000 * finest).alias("b"),
-            # NULL value => 0 contribution (still counted in n_events):
-            # an all-NULL bucket must not emit a NULL sum — NULL output
-            # cells cannot cross the gate (CLAUDE.md NaN law)
-            F.coalesce(F.floor(F.col("value") * 1e6).cast("long"), F.lit(0)).alias(
-                "v"
-            ),
-        )
-        .groupBy("b", "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum("v").alias("sum_value_micro"),
-        )
-    )
 
     def _shape(df: DataFrame, res: int) -> DataFrame:
         return df.select(
@@ -185,6 +179,7 @@ def time_rollup(
             "sum_value_micro",
         )
 
+    finest = resolutions_s[0]
     out = _shape(level, finest)
     prev, prev_res = level, finest
     for res in resolutions_s[1:]:
@@ -453,3 +448,96 @@ def asof_enrich_delta(
         F.coalesce(ref_ts, F.lit(-1)).cast("long").alias("ref_ts_us"),
         F.coalesce(F.col("ts_us") - ref_ts, F.lit(-1)).cast("long").alias("lag_us"),
     )
+
+
+ROLLUP_KIND = "time_rollup"
+
+
+def _rollup_partials(events: DataFrame, finest: int) -> DataFrame:
+    """Finest-grid partials (b, event_type, n_events, sum_value_micro) —
+    the only thing the rollup index stores: coarse levels derive from
+    these, and partials ADD (counts family), so the index of an
+    accumulated corpus is the per-key SUM of its waves' partials."""
+    return (
+        events.select(
+            "event_type",
+            _idiv(_us(F.col("ts")), 1_000_000 * finest).alias("b"),
+            F.coalesce(F.floor(F.col("value") * 1e6).cast("long"), F.lit(0)).alias(
+                "v"
+            ),
+        )
+        .groupBy("b", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").alias("sum_value_micro"),
+        )
+    )
+
+
+def write_rollup_index(
+    events: DataFrame, path: str, finest: int = ROLLUP_RESOLUTIONS_S[0]
+) -> None:
+    """Persist the finest-grid rollup partials — the TWELFTH wave-keyed
+    index family (the hypertable continuous-aggregate pattern): ≤
+    (time span / finest) × event_types rows regardless of event volume.
+    ADDITIVE like the CMS counters: appends must cover DISJOINT event
+    sets (a re-counted event double-counts — there is no subtraction),
+    probes sum partials across segments, compaction re-aggregates.
+    ``finest`` is param-pinned: a probe at a different grid would merge
+    buckets that never align."""
+    spark = events.sparkSession
+    from ..fsio import assert_index_kind, assert_index_param, write_wave_segment
+
+    # kind BEFORE param: refusing a foreign root must precede adopting
+    # any marker into it
+    assert_index_kind(spark, path, ROLLUP_KIND)
+    assert_index_param(spark, path, "finest_s", finest)
+    write_wave_segment(_rollup_partials(events, finest), path, 0, kind=ROLLUP_KIND)
+
+
+def append_to_rollup_index(
+    events: DataFrame, path: str, wave, finest: int = ROLLUP_RESOLUTIONS_S[0]
+) -> None:
+    """Add a wave's partials as its own ``wave=<id>`` segment.  Caller
+    contract: events disjoint from the waves already folded in, and
+    ``wave`` stable across retries of the same wave, never the
+    build's 0."""
+    spark = events.sparkSession
+    from ..fsio import (
+        assert_append_wave,
+        assert_index_kind,
+        assert_index_param,
+        write_wave_segment,
+    )
+
+    assert_append_wave(wave)
+    assert_index_kind(spark, path, ROLLUP_KIND)
+    assert_index_param(spark, path, "finest_s", finest)
+    write_wave_segment(_rollup_partials(events, finest), path, wave, kind=ROLLUP_KIND)
+
+
+def time_rollup_from_index(
+    spark,
+    index_path: str,
+    resolutions_s: tuple[int, ...] = ROLLUP_RESOLUTIONS_S,
+) -> DataFrame:
+    """The CURRENT multi-resolution rollup of everything ingested so far,
+    in O(index) — raw events are never re-scanned.  Merges the finest
+    partials across wave segments (exact long sums, order-free by the
+    integer micro-unit quantization), then re-aggregates the coarse
+    levels exactly like :func:`time_rollup` — the oracle equality
+    'index probe == full recompute' is what the gate hash-checks."""
+    from ..fsio import assert_index_param, refuse_mid_compaction
+
+    refuse_mid_compaction(spark, index_path)
+    assert_index_param(spark, index_path, "finest_s", resolutions_s[0], create=False)
+    level = (
+        spark.read.parquet(index_path)
+        .select("b", "event_type", "n_events", "sum_value_micro")
+        .groupBy("b", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_micro").alias("sum_value_micro"),
+        )
+    )
+    return _rollup_levels(level, resolutions_s)

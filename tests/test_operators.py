@@ -2743,3 +2743,73 @@ def test_streaming_asof_enrich(spark, ddb):
         if r.ts_us >= split_us and r.ref_event_id != -1 and r.ref_ts_us < split_us
     ]
     assert cross, "no enrichment crossed the micro-batch boundary"
+
+
+def test_time_rollup_index(spark, ddb, tmp_path):
+    """Continuous-aggregate index: the additive identity (probe over
+    build+append segments == full recompute), compaction parity, and
+    the finest-grid param pin."""
+    import pytest as _pytest
+
+    from paperoni_spark import fsio
+    from paperoni_spark.operators import temporal
+
+    events = contract.load(spark, SF_DIR, "events")
+    cut = F.expr(f"TIMESTAMP_NTZ '{contract._ASOF_CUTOFF}'")
+    idx = str(tmp_path / "rollup")
+    temporal.write_rollup_index(events.where(F.col("ts") < cut), idx)
+    temporal.append_to_rollup_index(events.where(F.col("ts") >= cut), idx, wave=1)
+
+    def probe():
+        return sorted(
+            tuple(r)
+            for r in temporal.time_rollup_from_index(spark, idx).collect()
+        )
+
+    base = probe()
+    full = sorted(tuple(r) for r in temporal.time_rollup(events).collect())
+    assert base == full
+
+    assert fsio.compact_index_kind(spark, idx, "time_rollup") == 2
+    assert probe() == base
+
+    # geometry pin: a probe at a different finest grid is refused
+    with _pytest.raises(ValueError, match="finest_s"):
+        temporal.time_rollup_from_index(spark, idx, resolutions_s=(120, 600, 3600))
+
+
+def test_label_centroid_similarity(spark, ddb):
+    """Centroid cosine matrix vs the SQL replay, a numpy brute force
+    with the same rounding ladder, and the geometry laws (full upper
+    triangle, cosine within [-1, 1])."""
+    import numpy as np
+
+    from paperoni_spark.operators import similarity
+
+    embeds = contract.load(spark, SF_DIR, "embeddings")
+    out_df = similarity.label_centroid_similarity(embeds)
+    assert_matches_oracle(
+        out_df, ddb, contract.oracle_label_centroid_similarity()
+    )
+    rows = out_df.collect()
+
+    data = embeds.select("label", "embedding").collect()
+    by_label = {}
+    for r in data:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    cents = {
+        lb: np.round(np.mean(np.stack(v), axis=0), similarity.CENTROID_MEAN_ROUND)
+        for lb, v in by_label.items()
+    }
+    labels = sorted(cents)
+    assert {(r.label_a, r.label_b) for r in rows} == {
+        (a, b) for a in labels for b in labels if a < b
+    }
+    for r in rows:
+        ca, cb = cents[r.label_a], cents[r.label_b]
+        want = round(
+            float(ca @ cb) / (float(np.sqrt(ca @ ca)) * float(np.sqrt(cb @ cb))),
+            similarity.CENTROID_COS_ROUND,
+        )
+        assert abs(r.cosine - want) < 1e-9
+        assert -1.0 <= r.cosine <= 1.0

@@ -163,6 +163,11 @@ PLAN_CONTRACTS = {
     # (source, fp) exchange is reused across sizes and both join sides,
     # and only (doc_id, text) / (doc_id, source) are read
     "source_overlap_matrix": (9, ["lang", "n_chars"]),
+    # centroid geometry: one (label, dim) partial-agg shuffle over the
+    # exploded dims; everything after is label-cardinality-bounded
+    # (norms broadcast, dim join multiplicity = |labels|), vec_id never
+    # read
+    "label_centroid_similarity": (6, ["vec_id"]),
 }
 
 

@@ -101,6 +101,8 @@ def main() -> None:
         "session_concurrency (interval sweep; band histogram + in-band count)": temporal.session_concurrency(events),
         "source_overlap_matrix (winnow fps to sources; bounded fp join)": dedup.source_overlap_matrix(docs),
         "asof_delta_enrich (O(users) state-index probe + within-delta carry)": contract.q_asof_delta_enrich(spark, SF),
+        "time_rollup_delta (persisted finest-grid partials; O(index) probe)": contract.q_time_rollup_delta(spark, SF),
+        "label_centroid_similarity (rounded per-dim means; label-bounded joins)": similarity.label_centroid_similarity(embeds),
     }
 
     out = ["# PLANS — formatted physical plans for the headline queries\n"]
