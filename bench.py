@@ -249,6 +249,7 @@ def main() -> None:
         "streaming_asof_enrich",
         "time_rollup_delta",
         "label_centroid_similarity",
+        "pmi_collocations",
     ):
         if name in INDEXED_QUERIES:
             # build-and-memo the persisted index untimed

@@ -911,6 +911,40 @@ FROM c
 """
 
 
+def oracle_pmi_collocations() -> str:
+    """DuckDB twin of textstats.pmi_collocations: the SAME five-term
+    left-to-right log2 sum and milli-bit quantization; top-K under the
+    identical total order."""
+    t = textstats
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS arr FROM documents),
+base AS (SELECT * FROM toks WHERE len(arr) >= 2),
+bg AS (
+  SELECT arr[i] AS w1, arr[i+1] AS w2
+  FROM base, unnest(generate_series(1, len(arr) - 1)) AS s(i)
+),
+bgc AS (
+  SELECT w1, w2, count(*) AS bf FROM bg GROUP BY 1, 2
+  HAVING count(*) >= {t.PMI_MIN_COUNT}
+),
+uni AS (
+  SELECT tok, count(*) AS uf
+  FROM (SELECT unnest(arr) AS tok FROM base) u GROUP BY 1
+),
+tot AS (SELECT (SELECT sum(uf) FROM uni) AS n_uni,
+               (SELECT count(*) FROM bg) AS n_bi)
+SELECT w1, w2, bf::BIGINT AS n_ab,
+       round((log2(bf) + 2 * log2(n_uni) - log2(n_bi)
+              - log2(u1.uf) - log2(u2.uf)) * {t.PMI_Q}, 0)::BIGINT AS pmi_q
+FROM bgc
+CROSS JOIN tot
+JOIN uni u1 ON u1.tok = w1
+JOIN uni u2 ON u2.tok = w2
+ORDER BY pmi_q DESC, w1, w2
+LIMIT {t.PMI_TOP_K}
+"""
+
+
 def oracle_label_centroid_similarity() -> str:
     """DuckDB twin of similarity.label_centroid_similarity: same per-dim
     rounded means (the IVF centroid portability rule), dim index 1-based
@@ -3798,6 +3832,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_similarity": lambda spark, sf: similarity.label_centroid_similarity(
             load(spark, sf, "embeddings")
         ),
+        # phrase mining: top-K bigram PMI (quantized milli-bit logs)
+        "pmi_collocations": lambda spark, sf: textstats.pmi_collocations(
+            load(spark, sf, "documents")
+        ),
         "session_stats": lambda spark, sf: sessionize.session_stats(load(_utc(spark), sf, "events")),
         # streaming (batch shape + true Structured Streaming run + custom
         # stateful operator via applyInPandasWithState)
@@ -3909,6 +3947,7 @@ _GATE_PRIORITY = [
     "streaming_asof_enrich",
     "time_rollup_delta",
     "label_centroid_similarity",
+    "pmi_collocations",
 ]
 
 # Long-green remainder, measured-cost order (all hold a CORRECTNESS_r05
@@ -4055,6 +4094,7 @@ def build_oracles() -> dict[str, str]:
         "streaming_asof_enrich": oracle_asof_join_enrich(),
         "time_rollup_delta": oracle_time_rollup(),
         "label_centroid_similarity": oracle_label_centroid_similarity(),
+        "pmi_collocations": oracle_pmi_collocations(),
         "substring_delta": oracle_substring_delta(),
         "ann_ivfpq_residual_topk": oracle_ann_ivfpq_topk(residual=True),
         "ann_ivfpq_topk_indexed": oracle_ann_ivfpq_topk(residual=True),

@@ -1260,3 +1260,81 @@ def quality_logit_col(text: Column) -> Column:
         lambda acc, x: acc + x,
     )
     return F.round(wsum / (F.size(toks) * F.lit(float(QC_WEIGHT_MID))), 6)
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+PMI_Q = 1000
+
+
+def pmi_collocations(
+    documents: DataFrame, min_count: int = PMI_MIN_COUNT, top_k: int = PMI_TOP_K
+) -> DataFrame:
+    """Top-K collocations by pointwise mutual information over adjacent
+    word pairs — the classic phrase-mining signal (high-PMI bigrams are
+    multiword expressions worth protecting from token-level shuffling).
+
+    PMI = log2(p(ab) / (p(a)·p(b))) expanded to the PINNED five-term sum
+    log2(bf) + 2·log2(N_uni) − log2(N_bi) − log2(uf₁) − log2(uf₂)
+    evaluated LEFT TO RIGHT and quantized to integer milli-bits
+    (round(·1000) — the zipf discipline: log2 of exact long counts
+    agrees across engines at this granularity; the product form would
+    overflow long at corpus scale, the sum form never does).  Ranking is
+    total-ordered (pmi_q desc, w1, w2) so the top-K cut is deterministic.
+
+    Plan shape: bigrams zip JVM-side (no positional self-join); the
+    unigram joins have vocab-bounded per-key multiplicity; the top-K is
+    a TakeOrdered over the (vocab²-bounded, min_count-filtered) bigram
+    table, never a corpus-wide window.
+
+    Returns (w1, w2, n_ab, pmi_q)."""
+    toks = tokens_col(F.col("text"))
+    tail_len = F.size(toks) - 1
+    bg_structs = F.zip_with(
+        F.slice(toks, 1, tail_len),
+        F.slice(toks, 2, tail_len),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    base = documents.where(F.size(toks) >= 2)
+    bgc_all = (
+        base.select(F.explode(bg_structs).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("bf"))
+    )
+    # one tokenize pass: the UNFILTERED count table feeds both the
+    # bigram total and the min_count cut (a separate count(*) over the
+    # raw explode would re-derive the corpus)
+    bgc_all = materialize(bgc_all)
+    bgc = bgc_all.where(F.col("bf") >= min_count)
+    uni = (
+        base.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("uf"))
+    )
+    uni = materialize(uni)  # feeds the total + both endpoint joins
+    totals = uni.agg(F.sum("uf").alias("n_uni")).crossJoin(
+        bgc_all.agg(F.sum("bf").alias("n_bi"))
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("uf").alias("uf1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("uf").alias("uf2"))
+    pmi = (
+        F.log2("bf")
+        + F.lit(2.0) * F.log2("n_uni")
+        - F.log2("n_bi")
+        - F.log2("uf1")
+        - F.log2("uf2")
+    )
+    return (
+        bgc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("bf").cast("long").alias("n_ab"),
+            F.round(pmi * F.lit(PMI_Q), 0).cast("long").alias("pmi_q"),
+        )
+        .orderBy(F.col("pmi_q").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+    )

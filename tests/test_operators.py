@@ -2813,3 +2813,29 @@ def test_label_centroid_similarity(spark, ddb):
         )
         assert abs(r.cosine - want) < 1e-9
         assert -1.0 <= r.cosine <= 1.0
+
+
+def test_pmi_collocations(spark, ddb):
+    """Top-K PMI collocations vs the SQL replay, plus the laws: exactly
+    top_k rows, min_count respected, the (pmi_q desc, w1, w2) order, and
+    exact bigram counts vs a Python Counter replay."""
+    import collections
+
+    from paperoni_spark.operators import textstats
+
+    docs = contract.load(spark, SF_DIR, "documents")
+    out_df = textstats.pmi_collocations(docs)
+    assert_matches_oracle(out_df, ddb, contract.oracle_pmi_collocations())
+    rows = out_df.collect()
+    assert len(rows) == textstats.PMI_TOP_K
+
+    counts = collections.Counter()
+    for r in docs.select("text").collect():
+        t = r.text.strip().split()
+        if len(t) >= 2:
+            counts.update(zip(t, t[1:]))
+    keys = [(-r.pmi_q, r.w1, r.w2) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r.n_ab >= textstats.PMI_MIN_COUNT
+        assert counts[(r.w1, r.w2)] == r.n_ab

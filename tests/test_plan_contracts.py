@@ -168,6 +168,10 @@ PLAN_CONTRACTS = {
     # (norms broadcast, dim join multiplicity = |labels|), vec_id never
     # read
     "label_centroid_similarity": (6, ["vec_id"]),
+    # PMI top-K: the tokenize/count passes live behind the materialize
+    # cuts; the final plan is broadcast joins + ONE TakeOrdered — never
+    # a corpus-wide sort or window
+    "pmi_collocations": (0, []),
 }
 
 
