@@ -103,6 +103,7 @@ def main() -> None:
         "asof_delta_enrich (O(users) state-index probe + within-delta carry)": contract.q_asof_delta_enrich(spark, SF),
         "time_rollup_delta (persisted finest-grid partials; O(index) probe)": contract.q_time_rollup_delta(spark, SF),
         "label_centroid_similarity (rounded per-dim means; label-bounded joins)": similarity.label_centroid_similarity(embeds),
+        "pmi_collocations (quantized five-term log2 sum; TakeOrdered top-K)": textstats.pmi_collocations(docs),
     }
 
     out = ["# PLANS — formatted physical plans for the headline queries\n"]
