@@ -396,13 +396,18 @@ def append_to_user_state_index(
     write_wave_segment(_user_ref_state(events, ref_type), path, wave, kind=USER_STATE_KIND)
 
 
-def _read_user_state(spark, index_path: str) -> DataFrame:
-    """Merged per-user state across wave segments (explicit columns — the
-    wave partition column is never read; :func:`merge_user_state` is the
-    single winner rule)."""
-    return merge_user_state(
-        spark.read.parquet(index_path).select("user_id", "ts_us", "event_id")
-    ).select(
+def _read_user_state(spark, index_path: str, exclude_wave=None) -> DataFrame:
+    """Merged per-user state across wave segments (:func:`merge_user_state`
+    is the single winner rule).  ``exclude_wave`` drops one wave's own
+    segment from the merge — the RETRY shape: a crashed wave may already
+    have appended its state, and a retried probe that sees the wave's own
+    refs would enrich targets against FUTURE events (an index ref is only
+    at-or-before by the waves-are-ordered contract, which the wave's own
+    rows do not satisfy).  Partition pruning makes the exclusion free."""
+    rows = spark.read.parquet(index_path)
+    if exclude_wave is not None:
+        rows = rows.where(F.col("wave").cast("string") != str(exclude_wave))
+    return merge_user_state(rows.select("user_id", "ts_us", "event_id")).select(
         "user_id",
         F.col("ts_us").alias("s_ts"),
         F.col("event_id").alias("s_id"),
@@ -415,6 +420,7 @@ def asof_enrich_delta(
     index_path: str,
     target_type: str = ASOF_TARGET_TYPE,
     ref_type: str = ASOF_REF_TYPE,
+    exclude_wave=None,
 ) -> DataFrame:
     """Incremental as-of join: enrich the DELTA wave's targets against
     within-delta refs plus the persisted user-state index — O(delta +
@@ -435,7 +441,7 @@ def asof_enrich_delta(
     refuse_mid_compaction(spark, index_path)
     assert_index_param(spark, index_path, "ref_type", ref_type, create=False)
     carried = _carried_targets(delta_events, target_type, ref_type)
-    state = _read_user_state(spark, index_path)
+    state = _read_user_state(spark, index_path, exclude_wave=exclude_wave)
     combined = carried.join(state, "user_id", "left")
     ref_ts = F.coalesce("ref_ts_us", "s_ts")
     return combined.select(

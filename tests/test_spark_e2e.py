@@ -705,3 +705,63 @@ def test_build_training_corpus_model_filter(spark):
     assert {r["doc_id"] for r in rows} == {
         d for d in plain_ids if logits[d] >= thr
     }
+
+
+def test_events_job_waves(tmp_path_factory):
+    """The events-ingestion job end-to-end: bootstrap wave + follow-up
+    wave, the exactness identity (the job's enriched output == the
+    full-history batch as-of restricted to the wave), idempotent retry
+    of a wave whose indexes were already appended (the exclude-wave
+    probe), the rollup-index additive identity, and the out-of-order
+    refusal.  Subprocess: events_job.main owns (and stops) its session."""
+    import subprocess
+    import sys
+
+    tmp = str(tmp_path_factory.mktemp("events_job"))
+    script = f"""
+import os, sys
+sys.path.insert(0, {repr(str(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__)))))})
+from jobs.events_job import main as events_main, _synthetic_events
+
+tmp = {repr(tmp)}
+out = os.path.join(tmp, "ev"); ust = os.path.join(tmp, "ust")
+ru = os.path.join(tmp, "ru"); met = os.path.join(tmp, "met")
+base = ["--output", out, "--user-state-index", ust,
+        "--rollup-index", ru, "--metrics", met]
+events_main(["--input", "synthetic:2000", "--wave-id", "w1"] + base)
+events_main(["--input", "synthetic:1000:2000", "--wave-id", "w2", "--append"] + base)
+# retry w2: its index segments already exist — must replay, not refuse
+events_main(["--input", "synthetic:1000:2000", "--wave-id", "w2", "--append"] + base)
+# out-of-order wave: refused loudly
+try:
+    events_main(["--input", "synthetic:500:1500", "--wave-id", "w3", "--append"] + base)
+    raise AssertionError("out-of-order wave was not refused")
+except SystemExit as e:
+    assert "out-of-order" in str(e), e
+
+from pyspark.sql import SparkSession
+from paperoni_spark.operators import temporal
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false").getOrCreate())
+allev = _synthetic_events(spark, "synthetic:3000")
+full = temporal.asof_enrich(allev)
+w2min = 1704067200000000 + 2000 * 37_000_000
+want = sorted(tuple(r) for r in full.where(full.ts_us >= w2min).collect())
+got = sorted(tuple(r) for r in spark.read.parquet(os.path.join(out, "wave=w2"))
+             .select("event_id","user_id","ts_us","ref_event_id","ref_ts_us","lag_us").collect())
+assert got == want, (len(got), len(want))
+# the w2 retry must have produced history-enriched rows (cross-wave state)
+n_hist = sum(1 for r in got if r[4] >= 0 and r[4] < w2min)
+assert n_hist > 0
+probe = sorted(tuple(r) for r in temporal.time_rollup_from_index(spark, ru).collect())
+direct = sorted(tuple(r) for r in temporal.time_rollup(allev).collect())
+assert probe == direct, (len(probe), len(direct))
+spark.stop()
+print("EVENTS_JOB_OK")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=560
+    )
+    assert "EVENTS_JOB_OK" in proc.stdout, proc.stdout[-2000:] + proc.stderr[-4000:]
