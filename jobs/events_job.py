@@ -121,45 +121,82 @@ def main(argv: list[str] | None = None) -> None:
     ust_fs = hpath(args.user_state_index).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
-    have_state = ust_fs.exists(hpath(args.user_state_index))
+    # the user_state wave=0 segment is the BOOTSTRAP COMMIT POINT: it is
+    # written last, so a crashed bootstrap (rollup written, state not)
+    # re-runs the whole bootstrap and every wave-keyed/idempotent write
+    # replays.  A bare-root probe would see a crashed attempt's markers
+    # and refuse the retry.
+    have_state = ust_fs.exists(hpath(f"{args.user_state_index}/wave=0"))
     if args.append and not have_state:
         raise SystemExit(
-            f"--append but {args.user_state_index} does not exist — "
-            "bootstrap the first wave without --append"
+            f"--append but {args.user_state_index} has no committed "
+            "bootstrap — run the first wave without --append"
         )
     if have_state and not args.append:
         raise SystemExit(
             f"{args.user_state_index} already exists — pass --append for "
             "follow-up waves (a re-bootstrap would orphan the history)"
         )
+    rollup_fs = hpath(args.rollup_index).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    if args.append and not rollup_fs.exists(hpath(f"{args.rollup_index}/wave=0")):
+        # without this, an append onto a missing/mistyped rollup root
+        # silently bootstraps a history-less index whose every future
+        # probe under-counts by all prior waves (the counters are
+        # additive — the loss is unrecoverable and invisible)
+        raise SystemExit(
+            f"--append but {args.rollup_index} has no committed bootstrap "
+            "— the rollup index would silently lose all prior waves"
+        )
 
-    n_events = events.count()
+    wave_min = events.agg(F.min(temporal._us(F.col("ts")))).collect()[0][0]
     if have_state:
-        # ENFORCE the time-order contract before touching anything: the
-        # wave must be strictly after every ref the index has seen, or
-        # the probe's coalesce combine rule is no longer the as-of winner.
-        # THIS wave's own segment (a crashed earlier attempt) is excluded
-        # everywhere — the retry must see exactly the pre-wave history.
+        # ENFORCE the time-order contract before touching anything — TWO
+        # signals, because each alone has a blind spot.  (1) exact µs
+        # against the ref state: the wave must be strictly after every
+        # ref the index has seen (else the probe's coalesce combine rule
+        # is no longer the as-of winner).  (2) minute-bucket against the
+        # rollup partials, which see EVERY event type: catches waves
+        # overlapping prior waves' ref-less tail and re-fed ref-less
+        # waves (which would double-count the additive rollup counters).
+        # Residual (documented, not enforceable from these summaries):
+        # ordering WITHIN one rollup bucket of the boundary is the
+        # caller's responsibility.  THIS wave's own segments (a crashed
+        # earlier attempt) are excluded everywhere — the retry must see
+        # exactly the pre-wave history.
         fsio.refuse_mid_compaction(spark, args.user_state_index)
+        fsio.refuse_mid_compaction(spark, args.rollup_index)
         hist_max = (
-            spark.read.parquet(args.user_state_index)
-            .where(F.col("wave").cast("string") != str(wave))
+            temporal.user_state_rows(spark, args.user_state_index, exclude_wave=wave)
             .agg(F.max("ts_us"))
             .collect()[0][0]
         )
-        wave_min = events.agg(
-            F.min(F.unix_micros(F.col("ts").cast("timestamp")))
-        ).collect()[0][0]
-        if (
-            hist_max is not None
-            and wave_min is not None
-            and wave_min <= hist_max
-        ):
+        if hist_max is not None and wave_min is not None and wave_min <= hist_max:
             raise SystemExit(
                 f"out-of-order wave: earliest event ({wave_min} µs) is not "
                 f"strictly after the ingested history (max ref {hist_max} "
                 "µs) — as-of enrichment would be silently wrong.  Feed "
                 "waves in time order."
+            )
+        finest = temporal.ROLLUP_RESOLUTIONS_S[0]
+        hist_max_b = (
+            spark.read.schema(temporal.ROLLUP_SCHEMA)
+            .parquet(args.rollup_index)
+            .where(F.col("wave") != str(wave))
+            .agg(F.max("b"))
+            .collect()[0][0]
+        )
+        if (
+            hist_max_b is not None
+            and wave_min is not None
+            and wave_min // (1_000_000 * finest) < hist_max_b
+        ):
+            raise SystemExit(
+                f"out-of-order wave: earliest event ({wave_min} µs) falls in "
+                f"an earlier {finest}s bucket than ingested history (max "
+                f"bucket {hist_max_b}) — a replayed or overlapping wave "
+                "would double-count the additive rollup index."
             )
         enriched = temporal.asof_enrich_delta(
             spark, events, args.user_state_index, exclude_wave=wave
@@ -177,13 +214,11 @@ def main(argv: list[str] | None = None) -> None:
     enriched.write.mode("overwrite").parquet(out_seg)
 
     if args.metrics is not None:
+        n_events = events.count()
         n_targets = enriched.count()
         n_matched = enriched.where(F.col("ref_event_id") >= 0).count()
-        wave_min_ts = events.agg(
-            F.min(F.unix_micros(F.col("ts").cast("timestamp")))
-        ).collect()[0][0]
         n_hist = enriched.where(
-            (F.col("ref_ts_us") >= 0) & (F.col("ref_ts_us") < wave_min_ts)
+            (F.col("ref_ts_us") >= 0) & (F.col("ref_ts_us") < wave_min)
         ).count()
         metrics = spark.createDataFrame(
             [
@@ -200,15 +235,18 @@ def main(argv: list[str] | None = None) -> None:
         metrics.write.mode("overwrite").parquet(m_seg)
 
     # index segments LAST (a failed wave never poisons the indexes; both
-    # appends replay under the same wave id).  The user_state append is
-    # idempotent by construction (struct-max); the rollup append relies
-    # on delete-before-overwrite.
+    # appends replay under the same wave id), and within them the
+    # user_state write LAST of all — its wave=0 segment is the bootstrap
+    # commit point the next run's have_state probe reads, so everything
+    # written before it must be (and is) replayable: the rollup wave
+    # segment replays delete-before-overwrite, the user_state append is
+    # idempotent by construction (struct-max).
     if have_state:
-        temporal.append_to_user_state_index(events, args.user_state_index, wave)
         temporal.append_to_rollup_index(events, args.rollup_index, wave)
+        temporal.append_to_user_state_index(events, args.user_state_index, wave)
     else:
-        temporal.write_user_state_index(events, args.user_state_index)
         temporal.write_rollup_index(events, args.rollup_index)
+        temporal.write_user_state_index(events, args.user_state_index)
 
     enriched.unpersist()
     events.unpersist()

@@ -396,17 +396,34 @@ def append_to_user_state_index(
     write_wave_segment(_user_ref_state(events, ref_type), path, wave, kind=USER_STATE_KIND)
 
 
-def _read_user_state(spark, index_path: str, exclude_wave=None) -> DataFrame:
-    """Merged per-user state across wave segments (:func:`merge_user_state`
-    is the single winner rule).  ``exclude_wave`` drops one wave's own
-    segment from the merge — the RETRY shape: a crashed wave may already
-    have appended its state, and a retried probe that sees the wave's own
-    refs would enrich targets against FUTURE events (an index ref is only
+# Explicit read schemas (wave typed as STRING): partition-value
+# inference parses a numeric-looking wave dir name into an integer and
+# NORMALIZES it (wave=007 reads back as 7), so a string-compared
+# exclusion silently misses the segment — the same inference hazard the
+# LSH rows scan pins (similarity._LSH_ROWS_SCHEMA, round 4).
+_USER_STATE_SCHEMA = "user_id long, ts_us long, event_id long, wave string"
+ROLLUP_SCHEMA = (
+    "b long, event_type string, n_events long, sum_value_micro long, wave string"
+)
+
+
+def user_state_rows(spark, index_path: str, exclude_wave=None) -> DataFrame:
+    """Raw index rows under the pinned schema, optionally dropping one
+    wave's own segment — the RETRY shape: a crashed wave may already have
+    appended its state, and a retried probe that sees the wave's own refs
+    would enrich targets against FUTURE events (an index ref is only
     at-or-before by the waves-are-ordered contract, which the wave's own
     rows do not satisfy).  Partition pruning makes the exclusion free."""
-    rows = spark.read.parquet(index_path)
+    rows = spark.read.schema(_USER_STATE_SCHEMA).parquet(index_path)
     if exclude_wave is not None:
-        rows = rows.where(F.col("wave").cast("string") != str(exclude_wave))
+        rows = rows.where(F.col("wave") != str(exclude_wave))
+    return rows
+
+
+def _read_user_state(spark, index_path: str, exclude_wave=None) -> DataFrame:
+    """Merged per-user state across wave segments (:func:`merge_user_state`
+    is the single winner rule)."""
+    rows = user_state_rows(spark, index_path, exclude_wave=exclude_wave)
     return merge_user_state(rows.select("user_id", "ts_us", "event_id")).select(
         "user_id",
         F.col("ts_us").alias("s_ts"),
@@ -538,7 +555,8 @@ def time_rollup_from_index(
     refuse_mid_compaction(spark, index_path)
     assert_index_param(spark, index_path, "finest_s", resolutions_s[0], create=False)
     level = (
-        spark.read.parquet(index_path)
+        spark.read.schema(ROLLUP_SCHEMA)
+        .parquet(index_path)
         .select("b", "event_type", "n_events", "sum_value_micro")
         .groupBy("b", "event_type")
         .agg(

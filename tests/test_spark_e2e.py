@@ -728,6 +728,16 @@ out = os.path.join(tmp, "ev"); ust = os.path.join(tmp, "ust")
 ru = os.path.join(tmp, "ru"); met = os.path.join(tmp, "met")
 base = ["--output", out, "--user-state-index", ust,
         "--rollup-index", ru, "--metrics", met]
+# crashed bootstrap: rollup index written, user_state (the commit
+# point) not — the retry must re-run the bootstrap, not refuse
+from paperoni_spark.operators.temporal import write_rollup_index
+from jobs.events_job import _synthetic_events as _synth
+from pyspark.sql import SparkSession as _S
+_sp = (_S.builder.master("local[4]").config("spark.sql.shuffle.partitions", "4")
+       .config("spark.sql.session.timeZone", "UTC")
+       .config("spark.ui.enabled", "false").getOrCreate())
+write_rollup_index(_synth(_sp, "synthetic:2000"), ru)
+_sp.stop()
 events_main(["--input", "synthetic:2000", "--wave-id", "w1"] + base)
 events_main(["--input", "synthetic:1000:2000", "--wave-id", "w2", "--append"] + base)
 # retry w2: its index segments already exist — must replay, not refuse
@@ -738,6 +748,24 @@ try:
     raise AssertionError("out-of-order wave was not refused")
 except SystemExit as e:
     assert "out-of-order" in str(e), e
+# append with a lost rollup index: refused loudly (a silent re-bootstrap
+# would under-count every future probe by all prior waves)
+import shutil
+shutil.rmtree(ru)
+try:
+    events_main(["--input", "synthetic:1000:3000", "--wave-id", "w4", "--append"] + base)
+    raise AssertionError("append onto a missing rollup index was not refused")
+except SystemExit as e:
+    assert "rollup" in str(e), e
+# restore the rollup index for the identity check below (rebuild from
+# the two ingested waves; disjoint, so partials reproduce exactly)
+from paperoni_spark.operators.temporal import append_to_rollup_index
+_sp = (_S.builder.master("local[4]").config("spark.sql.shuffle.partitions", "4")
+       .config("spark.sql.session.timeZone", "UTC")
+       .config("spark.ui.enabled", "false").getOrCreate())
+write_rollup_index(_synth(_sp, "synthetic:2000"), ru)
+append_to_rollup_index(_synth(_sp, "synthetic:1000:2000"), ru, "w2")
+_sp.stop()
 
 from pyspark.sql import SparkSession
 from paperoni_spark.operators import temporal
