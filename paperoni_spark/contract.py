@@ -3888,118 +3888,114 @@ _GATE_FLAGSHIPS = [
     "corpus_build",
 ]
 
-# Round-6 rotation: the 10 never-recorded names + the 11 whose only row
-# is in CORRECTNESS_r04.json, cheap-first within the group (gate seconds
-# from the round-5 check_oracles run).  New round-6 queries join here.
+# Round-7 rotation: the 5 names with NO green row in any committed
+# CORRECTNESS_r*.json lead (cheap-first, gate seconds from GATE_r06),
+# then the 45 whose newest green row is CORRECTNESS_r05 (≥2 rounds old),
+# cheap-first.  The 50-cap drops only the 5 most expensive stale names
+# (ann_lsh_topk…ngram_jaccard tail), all of which hold r5 green rows.
 _GATE_PRIORITY = [
-    # never recorded in any round (r5 additions exiled by the 50-cap)
-    "ngram_containment",
-    "substring_dedup",
-    "ann_pq_topk",
-    "ann_pq_topk_indexed",
-    "ann_ivfpq_topk",
-    "streaming_exact_dedup",
-    "streaming_normalized_dedup",
-    "streaming_embedding_pairs",
-    "streaming_simhash_pairs",
-    "streaming_session_stats_evicting",
-    # newest green row is r4 (dropped by r5's reorder under the cap)
-    "simhash_near_dup_pairs",
-    "dedup_delta_pairs",
-    "embedding_delta_near_dup",
-    "embedding_dedup_clusters",
-    "ann_ivf_topk",
-    "dedup_clusters",
-    "streaming_extract_spans",
-    "simhash_delta_pairs",
-    "simhash_dedup_clusters",
-    "ann_lsh_topk_indexed",
-    "corpus_funnel",
-    # round-6 additions (never recorded): cheap first, heavies last
-    "substring_delta",
-    "tfidf_top_terms",
-    "bigram_logprob",
-    "source_kl_divergence",
-    "semantic_dedup",
-    "ann_ivfpq_residual_topk",
-    "ann_ivfpq_topk_indexed",
-    "ann_recall_at_k",
-    # round-6 late additions (never recorded)
-    "perplexity_buckets",
-    "cms_heavy_hitters",
-    "cluster_balanced_sample",
-    "cms_delta_heavy_hitters",
-    "hll_distinct_tokens",
-    # round-6 session-2 additions (never recorded)
-    "quality_classifier_scores",
-    "source_temperature_mix",
-    "zipf_law_fit",
-    "bloom_delta_new_docs",
-    "shingle_novelty",
-    "funnel_conversion",
-    # round-6 session-3 additions (never recorded)
-    "asof_join_enrich",
-    "time_rollup",
-    "session_concurrency",
-    "doc_pagerank",
-    "source_overlap_matrix",
-    "asof_delta_enrich",
-    "streaming_asof_enrich",
-    "time_rollup_delta",
+    # never recorded in any round (r6 session-3 additions, judge-verified)
     "label_centroid_similarity",
+    "asof_delta_enrich",
     "pmi_collocations",
-]
-
-# Long-green remainder, measured-cost order (all hold a CORRECTNESS_r05
-# green row; the tail of this list is what the 50-cap drops this round).
-_GATE_STEADY = [
-    # cheap sweep (≲1.5 s each at sf0.01, warm session)
-    "pii_redact",
+    "time_rollup_delta",
+    "streaming_asof_enrich",
+    # newest green row is r5 (dropped by r6's rotation under the cap)
     "hash_sample",
-    "stratified_sample",
-    "token_budget_sample",
-    "source_cap_sample",
-    "sequence_pack",
-    "shard_assignments",
-    "token_stats",
-    "length_stats",
-    "length_stats_approx",
     "quality_scores",
     "quality_filter",
-    "unigram_logprob",
-    "repetition_stats",
-    "lang_id",
-    "lang_id_profile",
+    "length_stats_approx",
+    "length_stats",
     "fingerprints",
     "bpe_token_stats",
-    "media_resize_sample",
-    "media_feature_stats",
-    "pdf_page_stats",
-    "docs_joined_labels",
-    "session_stats",
-    "windowed_events",
-    "exact_dedup",
+    "stratified_sample",
+    "lang_id",
+    "token_stats",
     "normalized_dedup",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "lsh_candidate_doc_pairs",
+    "exact_dedup",
+    "pii_redact",
+    "windowed_events",
+    "media_resize_sample",
+    "pdf_page_stats",
+    "media_feature_stats",
+    "docs_joined_labels",
+    "interleave_stats",
+    "shard_assignments",
+    "repetition_stats",
     "simhash",
     "winnow_fingerprints",
-    "benchmark_contamination",
-    "line_dedup",
-    "dup_ngram_stats",
-    "cosine_topk",
     "lsh_sign_buckets",
-    "ann_lsh_topk",
-    "embedding_near_dup",
-    "stateful_user_totals",
+    "sequence_pack",
+    "cosine_topk",
+    "minhash_signatures",
+    "lang_id_profile",
+    "token_budget_sample",
+    "lsh_candidate_pairs",
+    "source_cap_sample",
+    "session_stats",
+    "line_dedup",
+    "unigram_logprob",
+    "benchmark_contamination",
+    "dup_ngram_stats",
+    "lsh_candidate_doc_pairs",
     "streaming_windowed_events",
     "streaming_session_stats",
-    # moderate (2-5 s)
-    "interleave_stats",
-    "edit_verified_pairs",
+    "stateful_user_totals",
+    "ann_lsh_topk",
     "winnow_overlap_pairs",
+    "edit_verified_pairs",
+    "embedding_near_dup",
     "ngram_jaccard",
+]
+
+# Long-green remainder, measured-cost order (all hold a CORRECTNESS_r06
+# green row; the tail of this list is what the 50-cap drops this round).
+_GATE_STEADY = [
+    "quality_classifier_scores",
+    "source_kl_divergence",
+    "source_temperature_mix",
+    "cms_heavy_hitters",
+    "tfidf_top_terms",
+    "asof_join_enrich",
+    "zipf_law_fit",
+    "funnel_conversion",
+    "bigram_logprob",
+    "bloom_delta_new_docs",
+    "streaming_extract_spans",
+    "shingle_novelty",
+    "perplexity_buckets",
+    "hll_distinct_tokens",
+    "substring_delta",
+    "embedding_delta_near_dup",
+    "semantic_dedup",
+    "dedup_delta_pairs",
+    "time_rollup",
+    "source_overlap_matrix",
+    "cluster_balanced_sample",
+    "session_concurrency",
+    "cms_delta_heavy_hitters",
+    "substring_dedup",
+    "dedup_clusters",
+    "streaming_normalized_dedup",
+    "simhash_near_dup_pairs",
+    "embedding_dedup_clusters",
+    "ann_ivf_topk",
+    "streaming_exact_dedup",
+    "streaming_embedding_pairs",
+    "simhash_delta_pairs",
+    "doc_pagerank",
+    "ann_pq_topk",
+    "ann_ivfpq_residual_topk",
+    "simhash_dedup_clusters",
+    "corpus_funnel",
+    "ann_ivfpq_topk",
+    "streaming_session_stats_evicting",
+    "ann_pq_topk_indexed",
+    "streaming_simhash_pairs",
+    "ngram_containment",
+    "ann_lsh_topk_indexed",
+    "ann_ivfpq_topk_indexed",
+    "ann_recall_at_k",
 ]
 
 _GATE_ORDER = _GATE_FLAGSHIPS + _GATE_PRIORITY + _GATE_STEADY
