@@ -1546,7 +1546,12 @@ def q_streaming_session_stats_evicting(spark: SparkSession, sf_dir: str) -> Data
             EVENTS_SCHEMA,
         )
         sdir = os.path.join(tmp, f"s{i}")
-        sdf.coalesce(1).write.parquet(sdir)
+        # a 1-row createDataFrame is already a single partition — and
+        # coalesce(1) over a Python-pickled local relation measures a flat
+        # ~4 s/action on this Spark build (never reuses its worker), so
+        # the bare write both is correct and saves ~8 s across the two
+        # sentinel files
+        sdf.write.parquet(sdir)
         shutil.move(
             glob.glob(os.path.join(sdir, "part-*.parquet"))[0],
             os.path.join(events_dir, f"b{i}.parquet"),

@@ -600,15 +600,19 @@ def write_ivf_index(
 def _write_centroids_table(spark, path: str, centroids) -> None:
     """The ``_centroids`` side table (k × dim doubles, one file) — shared
     by write_ivf_index and write_ivfpq_index."""
+    # repartition(1), not coalesce(1): one output file either way, but
+    # coalesce over a Python-pickled local relation measures a flat ~4 s
+    # per action on this Spark build (vs ~0.5 s through the shuffle)
     spark.createDataFrame(
         [(i, list(c)) for i, c in enumerate(centroids)],
         "centroid: int, coords: array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/_centroids")
 
 
 def _write_codebooks_table(spark, path: str, codebooks) -> None:
     """The ``_codebooks`` side table (m × n_codes × dim/m doubles, one
     file) — shared by write_pq_index and write_ivfpq_index."""
+    # repartition(1), not coalesce(1) — same rationale as _centroids
     spark.createDataFrame(
         [
             (mi, ci, [float(x) for x in c])
@@ -616,7 +620,7 @@ def _write_codebooks_table(spark, path: str, codebooks) -> None:
             for ci, c in enumerate(cb)
         ],
         "sub: int, code: int, coords: array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebooks")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/_codebooks")
 
 
 def read_ivf_centroids(spark, path: str) -> list[list[float]]:

@@ -4,9 +4,10 @@ These are the settings we would ship to a 1000-executor cluster via
 ``spark-submit --py-files``; locally they apply to ``local[N]`` unchanged:
 
 * AQE on (runtime coalescing + skew splitting around the UDF stage);
-* Arrow enabled with a bounded ``maxRecordsPerBatch`` — the extraction UDF
-  re-chunks by bytes, but bounding record count keeps the JVM→Python transfer
-  of span-heavy rows small;
+* Arrow enabled with a bounded ``maxBytesPerBatch`` — the extraction UDF
+  re-chunks its OUTPUT by bytes, and the byte bound keeps the JVM→Python
+  INPUT transfer of span-heavy rows small without shredding narrow-row
+  paths into tiny batches;
 * shuffle partition count sized to the parallelism level rather than the
   200-partition default (at cluster scale this would instead be ~2-3× total
   cores, or left to AQE coalescing).
@@ -24,11 +25,19 @@ from pyspark.sql import SparkSession
 # like driver memory) and must still get the engine's Arrow bounds
 RUNTIME_ENGINE_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # bound the JVM→Python Arrow transfer: with heavy-tailed span rows the
-    # 10,000-record default produces multi-GB direct buffers and kills the
-    # job with an Arrow OutOfMemoryException at high task concurrency
-    # (reproduced at 500k synthetic docs on local[32] with a 1g driver)
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+    # bound the JVM→Python Arrow transfer BY BYTES, not records: with
+    # heavy-tailed span rows an unbounded batch produces multi-GB direct
+    # buffers and kills the job with an Arrow OutOfMemoryException at high
+    # task concurrency (reproduced at 500k synthetic docs on local[32]
+    # with a 1g driver).  The former 256-record bound protected that case
+    # but shredded every NARROW-row Python path (events, embeddings,
+    # shingle digests) into hundreds of tiny batches — measured 2× wall
+    # on the stateful event streams at sf0.1.  The byte bound is strictly
+    # tighter where it matters (256 span rows can be ~25 MB; this caps a
+    # batch at 4 MB — the same figure as the extraction UDF's own output
+    # chunking) and lets ~500-byte rows batch 8k rows at a time.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.execution.arrow.maxBytesPerBatch": str(4 * 1024 * 1024),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
 }
