@@ -853,7 +853,12 @@ def _cc_fixpoint(
                 .agg(F.min("nc").alias("nmin"))
             )
             # propagated labels feed BOTH sides of the shortcut self-join
-            # — materialize so the edge join + agg runs once per round
+            # — materialize so the edge join + agg runs once per round.
+            # LAZY (eager=False): the checkpoint blocks are written the
+            # first time the round's ONE action (the convergence count
+            # below) computes the frame, so a round costs one job instead
+            # of three (two eager checkpoints + the count) while keeping
+            # the same compute-once and lineage-truncation guarantees.
             prop = materialize(
                 labels.join(neighbor_min, "doc_id", "left").select(
                     "doc_id",
@@ -861,8 +866,7 @@ def _cc_fixpoint(
                         "mid"
                     ),
                     "cluster",
-                ),
-                eager=True,
+                )
             )
             # pointer doubling: label ← label(label).  The shortcut join
             # moves only the label table (id pairs), never the edges.
@@ -876,8 +880,7 @@ def _cc_fixpoint(
                         "new_cluster"
                     ),
                     "cluster",
-                ),
-                eager=True,
+                )
             )
             changed = updated.where(
                 F.col("new_cluster") != F.col("cluster")

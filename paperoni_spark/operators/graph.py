@@ -40,9 +40,11 @@ def doc_pagerank(documents: DataFrame, n_iters: int = PAGERANK_ITERS) -> DataFra
     * each iteration is one edge-keyed join + one dst-keyed partial
       aggregation (the classic distributed PageRank step — contribution
       traffic is O(|E|), partial-agg combines map-side);
-    * the dangling term is a single driver scalar per iteration (the
-      same driver-scalar-per-round shape as the connected-components
-      convergence count — one long, not a collected table);
+    * the dangling term is a one-row aggregate broadcast back into the
+      iteration's plan (a cross join with a single-row frame — the same
+      arithmetic the former per-iteration driver collect produced, but
+      computed inside the iteration's one job instead of paying a
+      separate collect round-trip per iteration);
     * each iteration's rank frame is materialized to truncate lineage
       (5 chained joins would otherwise re-derive the whole prefix per
       action — the CC loop precedent, materialize.py tradeoff notes).
@@ -81,12 +83,19 @@ def doc_pagerank(documents: DataFrame, n_iters: int = PAGERANK_ITERS) -> DataFra
     )
     damp = f"pr * {PAGERANK_DAMP_NUM}"
     for _ in range(n_iters):
-        dangling = (
-            pr.where(F.col("deg") == 0)
-            .agg(F.sum(F.expr(f"({damp}) div {PAGERANK_DAMP_DEN}")))
-            .collect()[0][0]
+        # one-row dangling aggregate, broadcast-cross-joined into the
+        # iteration instead of collected: share = (dangling or 0) // n_docs
+        # in the SAME exact long arithmetic (div == // on non-negative
+        # longs), so every pr value is bit-identical to the collect form —
+        # but each iteration is ONE job, not a collect job + a build job
+        dang = pr.where(F.col("deg") == 0).agg(
+            F.coalesce(
+                F.sum(F.expr(f"({damp}) div {PAGERANK_DAMP_DEN}")), F.lit(0)
+            )
+            .cast("long")
+            .alias("dangling")
         )
-        share = (dangling or 0) // n_docs
+        share = F.expr(f"dangling div {n_docs}")
         contribs = (
             pr.where(F.col("deg") > 0)
             .join(edges, pr.doc_id == edges.src)
@@ -98,11 +107,14 @@ def doc_pagerank(documents: DataFrame, n_iters: int = PAGERANK_ITERS) -> DataFra
             .agg(F.sum("c").alias("c"))
         )
         pr = materialize(
-            nd.join(contribs, "doc_id", "left").select(
+            nd.join(contribs, "doc_id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
                 "doc_id",
                 "deg",
                 (
-                    F.lit(teleport + share).cast("long")
+                    F.lit(teleport).cast("long")
+                    + share.cast("long")
                     + F.coalesce(F.col("c"), F.lit(0)).cast("long")
                 )
                 .cast("long")
