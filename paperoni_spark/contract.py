@@ -1526,12 +1526,12 @@ def q_streaming_session_stats_evicting(spark: SparkSession, sf_dir: str) -> Data
     session_stats fixpoint as the full-history twin — proving the bounded-
     state path is row-identical to batch, not just "close"."""
     import datetime as dt
-    import glob
     import shutil
     import tempfile
     import time
 
-    from .streaming.windowed import EVENTS_SCHEMA
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     spark = _utc(spark)
     tmp = tempfile.mkdtemp(prefix="sessev_")
@@ -1540,22 +1540,36 @@ def q_streaming_session_stats_evicting(spark: SparkSession, sf_dir: str) -> Data
     src = os.path.join(sf_dir, "events.parquet")
     shutil.copyfile(src, os.path.join(events_dir, "b0.parquet"))
     max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+    # the sentinels' ONLY job is to march the watermark 10/20 days past
+    # every real session's end + gap — write the two 1-row files driver-
+    # side with pyarrow (ms) instead of two Spark write jobs (measured
+    # seconds each: a Python-pickled local relation never reuses its
+    # worker).  Field names/types mirror streaming.windowed.EVENTS_SCHEMA;
+    # the +days margin dwarfs any tz-convention drift in the collected
+    # max_ts, and sentinel users are negative ids filtered from the result
+    sentinel_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
     for i, days in ((1, 10), (2, 20)):
-        sdf = spark.createDataFrame(
-            [(-i, max_ts + dt.timedelta(days=days), -i, "sentinel", 0.0, "{}")],
-            EVENTS_SCHEMA,
+        tbl = pa.table(
+            {
+                "event_id": [-i],
+                "ts": [max_ts + dt.timedelta(days=days)],
+                "user_id": [-i],
+                "event_type": ["sentinel"],
+                "value": [0.0],
+                "props": ["{}"],
+            },
+            schema=sentinel_schema,
         )
-        sdir = os.path.join(tmp, f"s{i}")
-        # a 1-row createDataFrame is already a single partition — and
-        # coalesce(1) over a Python-pickled local relation measures a flat
-        # ~4 s/action on this Spark build (never reuses its worker), so
-        # the bare write both is correct and saves ~8 s across the two
-        # sentinel files
-        sdf.write.parquet(sdir)
-        shutil.move(
-            glob.glob(os.path.join(sdir, "part-*.parquet"))[0],
-            os.path.join(events_dir, f"b{i}.parquet"),
-        )
+        pq.write_table(tbl, os.path.join(events_dir, f"b{i}.parquet"))
     now = time.time()
     for i in range(3):  # file source orders batches by modification time
         path = os.path.join(events_dir, f"b{i}.parquet")

@@ -702,6 +702,7 @@ def simhash_delta_pairs_from_sh(
     max_hamming: int = SIMHASH_HAMMING_MAX,
     bands: int = SIMHASH_BANDS,
     cap: int | None = SIMHASH_BAND_CAP,
+    delta_materialized: bool = False,
 ) -> DataFrame:
     """The probe with a PRECOMPUTED (doc_id, simhash) delta frame — for
     callers that also append the wave to the index and must not run the
@@ -713,14 +714,21 @@ def simhash_delta_pairs_from_sh(
     bucket histogram and both anti-joins are skipped entirely (2 jobs +
     a materialize per wave), not merely given an unreachable threshold —
     the exactness-gate shape, where the result must equal the uncapped
-    whole-corpus sweep anyway."""
+    whole-corpus sweep anyway.
+
+    ``delta_materialized=True`` tells the probe the caller's ``delta_sh``
+    is already checkpointed (the streaming loop materializes it to share
+    with the index-segment write): the band rows then derive map-side per
+    consumer from those blocks instead of paying a second checkpoint —
+    one less materialization per wave.  Leave False when ``delta_sh`` is
+    a live pipeline (the tokenize+hash aggregation must run once)."""
     from ..fsio import refuse_mid_compaction
 
     refuse_mid_compaction(spark, index_path)
     _simhash_pair_guard(bits, bands, max_hamming)
-    delta_rows = materialize(
-        _simhash_band_rows_from(delta_sh, bits, bands)
-    )
+    if not delta_materialized:
+        delta_sh = materialize(delta_sh)
+    delta_rows = _simhash_band_rows_from(delta_sh, bits, bands)
     index_rows = _simhash_band_rows_from(
         spark.read.parquet(index_path), bits, bands
     )

@@ -228,7 +228,7 @@ def run_streaming_simhash_dedup(
         # the probe and becomes the wave's index segment
         sh = materialize(dedup_ops.simhash(batch_df, bits))
         pairs = dedup_ops.simhash_delta_pairs_from_sh(
-            spark, sh, index_dir, **kwargs
+            spark, sh, index_dir, delta_materialized=True, **kwargs
         )
         return pairs, sh
 
