@@ -1672,8 +1672,16 @@ def ann_lsh_topk_indexed(
         qbands = qbands.select(
             "query_id", "band", F.explode(_probe_keys(F.col("bkey"))).alias("bkey")
         )
-    qbands = qbands.distinct()
-    probe_keys = {(r["band"], r["bkey"]) for r in qbands.select("band", "bkey").collect()}
+    # ONE execution of the query-banding pipeline: the collected rows are
+    # both the probe-key set and (as a literal frame) the broadcast join
+    # side — re-deriving the distinct for the join would run its shuffle
+    # a second time for identical rows
+    qrows = qbands.distinct().collect()
+    probe_keys = {(r["band"], r["bkey"]) for r in qrows}
+    qbands = spark.createDataFrame(
+        [(r["query_id"], r["band"], r["bkey"]) for r in qrows],
+        "query_id: long, band: int, bkey: string",
+    )
     pruned = lsh_probe_scan(spark, index_path, probe_keys, cap)
     if pruned is None:
         return spark.createDataFrame(

@@ -40,6 +40,18 @@ RUNTIME_ENGINE_CONFS = {
     "spark.sql.execution.arrow.maxBytesPerBatch": str(4 * 1024 * 1024),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Partition-discovery strategy for the bucket-partitioned index roots
+    # (LSH rows = bands × 2^R directories): Spark's default threshold of
+    # 32 paths launches a LISTING JOB for any probe, and each such job
+    # costs ~0.4 s of scheduling for a listing the driver does in ms on a
+    # local/low-latency filesystem (measured: ann_lsh_topk_indexed
+    # 3.5 s → 1.9 s).  On a high-latency object store with >>4k
+    # directories per table, parallel listing earns its keep — size via
+    # PAPERONI_PARALLEL_DISCOVERY_THRESHOLD (manifest-based table formats
+    # avoid the listing entirely; guide §6).
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": os.environ.get(
+        "PAPERONI_PARALLEL_DISCOVERY_THRESHOLD", "4096"
+    ),
 }
 
 
