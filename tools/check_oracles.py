@@ -140,6 +140,23 @@ def main() -> int:
     if not only:
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         out = gate_artifact_path(repo_root)
+        # provenance stamp (round-6 verdict item: a working-tree re-run
+        # must be distinguishable from the committed run without git
+        # archaeology): HEAD sha + dirty flag + wall clock
+        import subprocess
+
+        def _git(*args):
+            try:
+                return (
+                    subprocess.run(
+                        ["git", *args], cwd=repo_root, capture_output=True
+                    )
+                    .stdout.decode()
+                    .strip()
+                )
+            except Exception:  # noqa: BLE001 — provenance is best-effort
+                return ""
+
         with open(out, "w") as f:
             json.dump(
                 {
@@ -147,6 +164,11 @@ def main() -> int:
                     "total_sec": total,
                     "n_queries": len(record),
                     "n_failures": failures,
+                    "git_sha": _git("rev-parse", "HEAD"),
+                    "git_dirty": bool(_git("status", "--porcelain")),
+                    "run_utc": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
                     "queries": record,
                 },
                 f,
