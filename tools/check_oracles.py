@@ -165,7 +165,18 @@ def main() -> int:
                     "n_queries": len(record),
                     "n_failures": failures,
                     "git_sha": _git("rev-parse", "HEAD"),
-                    "git_dirty": bool(_git("status", "--porcelain")),
+                    # the gate artifact itself is excluded: the previous
+                    # run's (about-to-be-overwritten) file would mark
+                    # every run dirty
+                    "git_dirty": bool(
+                        _git(
+                            "status",
+                            "--porcelain",
+                            "--",
+                            ".",
+                            ":!GATE_r*.json",
+                        )
+                    ),
                     "run_utc": time.strftime(
                         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
                     ),
